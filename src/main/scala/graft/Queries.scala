@@ -1,0 +1,336 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Upsert, Validate}
+
+/** The engine's declared query surface (SURVEY.md §2 inventory), each entry
+  * paired with an ANSI-SQL oracle in [[oracles]] runnable by DuckDB over the
+  * same parquet tables.
+  *
+  * Conventions for oracle parity:
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - floating aggregates are `round(x, 4)`-ed on both sides (partial
+  *    aggregation order differs between engines at the last ulp);
+  *  - no bare `LIMIT` without a total order;
+  *  - `try_cast`, never `cast`, for string→number (Spark 4 ANSI mode throws
+  *    on bad input; the reference's pandas `errors='coerce'` semantics —
+  *    reference etl/transform.py:35,39 — map to try_cast).
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val ts_19980902 = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+  private val ts_19960101 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+
+  /** Allowed event types for the validation demo (the synthetic `events`
+    * table also contains 'error' rows, which become the dead-letter side). */
+  private val allowedEventTypes = Seq("view", "click", "purchase", "signup")
+
+  // ---------------------------------------------------------------- core ---
+
+  val core: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A3/A4: grouped aggregation with arithmetic (TPC-H Q1 shape).
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(ts_19980902))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // J1: fact → dims star join; dims broadcast (reference README.md:145-147).
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // O3: latest-per-key (top-1 window with deterministic tiebreak).
+    "q03_latest_order_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+          col("o_orderdate").as("latest_orderdate"), col("o_totalprice").as("latest_totalprice"))
+    }),
+
+    // J2: scalar-subquery join (reference README.md:154-160), via spark.sql.
+    "q04_orders_at_max_date" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")
+    }),
+
+    // P5/P10: selective filter + projection (both pushed to the parquet scan).
+    "q05_selective_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24 && col("l_shipdate") >= lit(ts_19960101))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    }),
+
+    // D1: deterministic first-wins dedup. (l_orderkey, l_linenumber) is not
+    // unique in the synthetic data, so the tiebreak orders by every column.
+    "q06_dedup_first_wins" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val order = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate").map(col(_).asc)
+      Dedup.firstWins(li, Seq("l_orderkey"), order)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+    }),
+
+    // P11/F10: LIKE predicates (pushed as StartsWith to the scan).
+    "q07_like_filter" -> ((s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_type").like("STAND%") || col("p_name").like("red%"))
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    }),
+
+    // O2: top-k with a total order (ties broken by key).
+    "q08_topk_acctbal" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    }),
+
+    // A1/A2: data-quality gates (row count + null-key count) in one pass.
+    "q09_dq_gates" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("o_custkey").isNull || col("o_orderkey").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_null_keys"))
+    }),
+
+    // Set op: UNION (distinct) of projected keys.
+    "q10_active_nation_keys" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()
+    }),
+
+    // P3/P4/F1-F3: year-range normalization ("2020-2021" → 2020) with
+    // try_cast, the reference's signature coercion (etl/transform.py:38-39).
+    "q11_year_normalize" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          concat_ws("-", year(col("o_orderdate")).cast("string"),
+            (year(col("o_orderdate")) + 1).cast("string")).as("year_raw"))
+        .withColumn("year_norm", expr("try_cast(element_at(split(year_raw, '-'), 1) AS INT)"))
+    }),
+
+    // S8/D4: keyed last-writer-wins upsert (anti-join + union).
+    "q12_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val updates = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 2001)
+        .select(col("o_orderkey"), lit("R").as("o_orderstatus"),
+          (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+      Upsert.upsert(base, updates, Seq("o_orderkey"), Seq(col("o_orderkey")))
+    }),
+
+    // F6: JSON extraction + try_cast.
+    "q13_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k_str"))
+        .withColumn("k_int", expr("try_cast(k_str AS INT)"))
+    }),
+
+    // ST6 (batch shape): tumbling-window aggregation over event time.
+    "q14_hourly_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+    }),
+
+    // V1 (valid side): vectorized validation, dead-letter split.
+    "q15_validate_valid" -> ((s, dir) => {
+      val (valid, _) = Validate.split(t(s, dir, "events"), eventRules)
+      valid.select("event_id", "user_id", "event_type", "value")
+    }),
+
+    // V1 (dead-letter side): rejected rows with error detail.
+    "q16_validate_rejected" -> ((s, dir) => {
+      val (_, rejected) = Validate.split(t(s, dir, "events"), eventRules)
+      rejected.select("event_id", "event_type", "error_details")
+    }),
+
+    // Text analysis: token counting (whitespace tokenizer).
+    "q17_token_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        size(array_distinct(split(trim(col("text")), "\\s+"))).cast("long").as("n_unique"))
+    }),
+
+    // Text analysis: document fingerprint (whitespace-normalized md5).
+    "q18_doc_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+    })
+  )
+
+  private def eventRules: Seq[Validate.Rule] =
+    Validate.required("event_id", "ts", "user_id", "event_type") ++ Seq(
+      Validate.Rule("event_type not in allowed set",
+        col("event_type").isin(allowedEventTypes: _*)),
+      Validate.Rule("value must be non-negative", col("value") >= 0))
+
+  // The same rules as ANSI SQL, for the oracle (order must match eventRules).
+  private val sqlRules: Seq[(String, String)] = Seq(
+    "event_id is required" -> "event_id IS NOT NULL",
+    "ts is required" -> "ts IS NOT NULL",
+    "user_id is required" -> "user_id IS NOT NULL",
+    "event_type is required" -> "event_type IS NOT NULL",
+    "event_type not in allowed set" ->
+      s"event_type IN (${allowedEventTypes.map("'" + _ + "'").mkString(",")})",
+    "value must be non-negative" -> "value >= 0")
+
+  private val sqlErrorDetails: String = sqlRules.map { case (msg, ok) =>
+    s"CASE WHEN NOT coalesce($ok, false) THEN '$msg' END"
+  }.mkString("concat_ws('; ', ", ", ", ")")
+
+  private val sqlAllOk: String =
+    sqlRules.map { case (_, ok) => s"coalesce($ok, false)" }.mkString(" AND ")
+
+  // -------------------------------------------------------------- oracles ---
+
+  val coreOracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),4) AS sum_qty,
+         round(sum(l_extendedprice),4) AS sum_base_price,
+         round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "q03_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+         o_orderdate AS latest_orderdate, o_totalprice AS latest_totalprice
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               FROM orders) WHERE rn = 1""",
+
+    "q04_orders_at_max_date" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""",
+
+    "q05_selective_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'""",
+
+    "q06_dedup_first_wins" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey,
+                  l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,
+                  l_returnflag, l_linestatus, l_shipdate) AS rn
+               FROM lineitem) WHERE rn = 1""",
+
+    "q07_like_filter" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+         WHERE p_type LIKE 'STAND%' OR p_name LIKE 'red%'""",
+
+    "q08_topk_acctbal" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10""",
+
+    "q09_dq_gates" ->
+      """SELECT count(*) AS n_rows,
+         CAST(coalesce(sum(CASE WHEN o_custkey IS NULL OR o_orderkey IS NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_null_keys
+         FROM orders""",
+
+    "q10_active_nation_keys" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT s_nationkey AS nationkey FROM supplier""",
+
+    "q11_year_normalize" ->
+      """SELECT o_orderkey, year_raw,
+         TRY_CAST(split_part(year_raw, '-', 1) AS INTEGER) AS year_norm
+         FROM (SELECT o_orderkey,
+                 concat(CAST(year(o_orderdate) AS VARCHAR), '-',
+                        CAST(year(o_orderdate)+1 AS VARCHAR)) AS year_raw
+               FROM orders)""",
+
+    "q12_upsert" ->
+      """WITH upd AS (SELECT o_orderkey, 'R' AS o_orderstatus,
+                        o_totalprice + 100.0 AS o_totalprice
+                      FROM orders WHERE year(o_orderdate) = 2001)
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)""",
+
+    "q13_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+         TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+         FROM events""",
+
+    "q14_hourly_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         count(*) AS n_events, round(sum(value),4) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "q15_validate_valid" ->
+      s"""SELECT event_id, user_id, event_type, value FROM events
+          WHERE $sqlAllOk""",
+
+    "q16_validate_rejected" ->
+      s"""SELECT event_id, event_type, error_details
+          FROM (SELECT event_id, event_type, $sqlErrorDetails AS error_details
+                FROM events)
+          WHERE error_details <> ''""",
+
+    "q17_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_unique
+         FROM documents""",
+
+    "q18_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents"""
+  )
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = core
+  def oracles: Map[String, String] = coreOracles
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (see TESTDATA.md).
+  *
+  * Every query in [[SparkEntry.queries]] takes a scale-factor directory and
+  * reads the parquet tables it needs from there, so the same query runs
+  * unchanged at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench) — and, on a
+  * real cluster, against a 100 TB lake path. Reads are plain
+  * `spark.read.parquet`, so Catalyst gets full predicate pushdown / column
+  * pruning / partition coalescing on the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNanoTimestamps(df)
+  }
+
+  /** The `events` table stores TIMESTAMP(NANOS) which Spark's TimestampType
+    * (microseconds) cannot represent; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
+    * LongType nanos, and this rewrites it to a proper timestamp. The testdata
+    * carries only microsecond precision, so the conversion is lossless. */
+  private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case (acc, _) => acc
+    }
+
+  /** Register every table as a temp view so `spark.sql` queries resolve —
+    * mirrors the reference's analytics surface where loaded tables are
+    * queried by name (reference README.md:137-161). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * The reference dedups with pandas `drop_duplicates`, which keeps the first
+  * occurrence in input order (reference etl/transform.py:45-48,67,78). Spark's
+  * `dropDuplicates` keeps an *arbitrary* row per key, which is
+  * nondeterministic under distributed execution — so the faithful primitive
+  * here is a window + `row_number` with an explicit deterministic tiebreaker.
+  *
+  * Scale notes (100 TB): both variants shuffle once on the dedup key — the
+  * minimum possible. `firstWins` uses a single window (one shuffle + in-
+  * partition sort); `exact` uses hash aggregation (map-side partial combine,
+  * so the shuffle only carries one row per key per input partition). Prefer
+  * `exact` when any representative row will do; `firstWins` when
+  * reproducibility of *which* row survives matters.
+  */
+object Dedup {
+
+  /** Deterministic first-wins dedup: keeps, per key, the first row in
+    * `order`. Mirrors pandas `drop_duplicates(subset=keys)` semantics given
+    * an explicit ingest-order column (reference etl/transform.py:45-48). */
+  def firstWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty && order.nonEmpty, "firstWins needs keys and a deterministic order")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Exact dedup by key via hash aggregation: one surviving row per key with
+    * `first` semantics on non-key columns made deterministic by min-struct.
+    * Map-side combine makes this cheaper than a window at scale. */
+  def exact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val nonKey = df.columns.filterNot(keys.contains)
+    // min over a struct ordered by (order..., nonKey...) picks a single
+    // deterministic representative without a global sort.
+    val packed = struct(order ++ nonKey.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(min(packed).as("__graft_rep"))
+      .select(keys.map(col) ++ nonKey.map(c => col(s"__graft_rep.$c").as(c)): _*)
+  }
+
+  /** Reference D1 rule (etl/transform.py:45-48): dedup by `idCol` when the
+    * column exists and has any non-null value, else by `fallbackKeys`. The
+    * condition is data-dependent, exactly as in the reference. */
+  def byIdOrComposite(df: DataFrame, idCol: String, fallbackKeys: Seq[String],
+                      order: Seq[Column]): DataFrame = {
+    val useId = df.columns.contains(idCol) &&
+      df.filter(col(idCol).isNotNull).limit(1).count() > 0
+    if (useId) firstWins(df, Seq(idCol), order)
+    else firstWins(df, fallbackKeys, order)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed last-writer-wins upsert — the reference's core load primitive
+  * (`bulk_upsert`, reference etl/load.py:30-52: one
+  * `INSERT .. ON CONFLICT (key) DO UPDATE` per table).
+  *
+  * Spark has no built-in MERGE on plain parquet, so the operator is expressed
+  * relationally: `updates ∪ (base ⟕anti updates)` — the updated rows win, base
+  * rows survive only when their key is absent from the batch.
+  *
+  * Scale notes (100 TB base, small-to-medium update batches):
+  *  - the anti-join is the only shuffle; when `updates` is small (the common
+  *    incremental-batch case) Catalyst/AQE turns it into a broadcast anti-join
+  *    so the base table is never shuffled — `upsert` calls `broadcast()` on
+  *    the key set explicitly when `hintBroadcast` is set.
+  *  - updates are defensively deduped by key first: Postgres `ON CONFLICT`
+  *    errors when one statement carries duplicate keys (reference relies on a
+  *    prior dedup step); we make the operator total instead (last-writer-wins
+  *    within the batch via the caller-supplied priority order).
+  */
+object Upsert {
+
+  /** Relational upsert: rows of `updates` replace same-key rows of `base`.
+    * `updatePriority` orders duplicate-key rows *within* the batch (first in
+    * this order wins), keeping the result deterministic. */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
+             updatePriority: Seq[Column], hintBroadcast: Boolean = true): DataFrame = {
+    val batch = Dedup.firstWins(updates, keys, updatePriority)
+    val keySet = batch.select(keys.map(col): _*)
+    val keep = base.join(if (hintBroadcast) broadcast(keySet) else keySet, keys, "left_anti")
+    batch.unionByName(keep)
+  }
+
+  /** Upsert into a parquet-backed keyed table at `path`, creating it when
+    * absent. Atomic-enough for a single writer: writes to a temp dir then
+    * swaps, mirroring the reference's single-transaction load
+    * (reference etl/load.py:50-51). */
+  def upsertTable(spark: SparkSession, path: String, updates: DataFrame,
+                  keys: Seq[String], updatePriority: Seq[Column]): Unit = {
+    val fs = new java.io.File(path)
+    val merged =
+      if (fs.exists()) upsert(spark.read.parquet(path), updates, keys, updatePriority)
+      else Dedup.firstWins(updates, keys, updatePriority)
+    val tmp = path + ".__graft_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(target)
+    }
+    new java.io.File(tmp).renameTo(target): Unit
+  }
+}
