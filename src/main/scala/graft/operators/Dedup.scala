@@ -38,8 +38,12 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val nonKey = df.columns.filterNot(keys.contains)
     // min over a struct ordered by (order..., nonKey...) picks a single
-    // deterministic representative without a global sort.
-    val packed = struct(order ++ nonKey.map(col): _*)
+    // deterministic representative without a global sort. Order columns get
+    // synthetic aliases so a column used both for ordering and as payload
+    // doesn't make the struct fields ambiguous.
+    val packed = struct(
+      order.zipWithIndex.map { case (c, i) => c.as(s"__graft_o$i") } ++
+        nonKey.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(min(packed).as("__graft_rep"))
       .select(keys.map(col) ++ nonKey.map(c => col(s"__graft_rep.$c").as(c)): _*)

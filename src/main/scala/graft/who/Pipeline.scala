@@ -1,0 +1,104 @@
+package graft.who
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Upsert
+import graft.sources.{ODataClient, PageFetcher, StateRepo}
+
+/** End-to-end pipeline driver — the EP2 shape (reference etl/local_run.py:
+  * 34-117): extract → transform → validate → upsert → DQ, one SparkSession
+  * program, with rejected records always persisted (superset of the DAG path,
+  * which drops them — SURVEY.md gotcha #5).
+  */
+final case class PipelineConfig(
+    baseUrl: String,
+    warehouseDir: String,
+    stateDir: String,
+    indicatorCodes: Seq[String] = Nil,
+    pageSize: Int = 100,
+    devRunLimit: Option[Int] = None,
+    skipRequestErrors: Boolean = true)
+
+/** A1/A2 gates (reference dags/who_gho_etl_dag.py:189-206). */
+final case class DqReport(factRowCount: Long, nullKeyCount: Long) {
+  def passed: Boolean = factRowCount > 0 && nullKeyCount == 0
+}
+
+final case class PipelineReport(
+    observationsExtracted: Int,
+    indicatorsExtracted: Int,
+    countriesExtracted: Int,
+    indicatorsLoaded: Long,
+    countriesLoaded: Long,
+    observationsLoaded: Long,
+    rejectedRecords: Long,
+    dq: DqReport)
+
+object Pipeline {
+
+  def run(spark: SparkSession, fetcher: PageFetcher, cfg: PipelineConfig): PipelineReport = {
+    val stateRepo = new StateRepo(spark, cfg.stateDir)
+    val client = new ODataClient(cfg.baseUrl, fetcher, Some(stateRepo), cfg.skipRequestErrors)
+
+    // --- extract (reference dag:93-129) -----------------------------------
+    val rawInd = client.getAllData("Indicator", "who_indicators", None, cfg.pageSize)
+    val rawCty = client.getAllData("DIMENSION/COUNTRY/DimensionValues",
+      "who_countries", None, cfg.pageSize)
+    // indicator list: config or fallback to all extracted (dag:110-113)
+    val indicatorCodes =
+      if (cfg.indicatorCodes.nonEmpty) cfg.indicatorCodes
+      else rawInd.flatMap(_.get("IndicatorCode")).filter(_ != null).distinct
+    // drop countries with a falsy Code (dag:113-117)
+    val countryCodes = rawCty
+      .flatMap(r => Option(r.getOrElse("Code", null)))
+      .filter(_.nonEmpty)
+    val rawObs = ODataClient.fetchObservations(client, indicatorCodes,
+      countryCodes, cfg.devRunLimit, cfg.pageSize)
+
+    // --- stage as DataFrames ---------------------------------------------
+    val indDf = ODataClient.toDataFrame(spark, rawInd, Schemas.rawIndicator)
+    val ctyDf = ODataClient.toDataFrame(spark, rawCty, Schemas.rawCountry)
+    val obsDf = ODataClient.toDataFrame(spark, rawObs, Schemas.rawObservation)
+
+    // --- transform + validate (dag:133-165) -------------------------------
+    val (indicators, indRej) = ValidateWho.validateIndicators(Transform.transformIndicators(indDf))
+    val (countries, ctyRej) = ValidateWho.validateCountries(Transform.transformCountries(ctyDf))
+    val (observations, obsRej) = ValidateWho.validateObservations(Transform.transformObservations(obsDf))
+
+    // --- load: keyed upsert per table (dag:168-187, etl/load.py:30-52) -----
+    Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_indicator",
+      indicators.toDF(), Seq("indicator_code"), Seq(col("indicator_code")))
+    Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_country",
+      countries.toDF(), Seq("country_code"), Seq(col("country_code")))
+    Upsert.upsertTable(spark, s"${cfg.warehouseDir}/fact_observation",
+      observations.toDF(), Seq("observation_id"), Seq(col("observation_id")))
+
+    // --- dead letter: always persisted (etl/load.py:55-71) ----------------
+    val rejects = indRej.unionByName(ctyRej).unionByName(obsRej)
+    val nRejected = rejects.count()
+    if (nRejected > 0)
+      rejects.write.mode("append").parquet(s"${cfg.warehouseDir}/rejected_record")
+
+    // --- DQ gates over the *loaded* table (dag:189-206) --------------------
+    val fact = spark.read.parquet(s"${cfg.warehouseDir}/fact_observation")
+    val dq = DqReport(
+      factRowCount = fact.count(),
+      nullKeyCount = fact.filter(col("indicator_code").isNull ||
+        col("spatial_dim").isNull || col("time_dim").isNull).count())
+
+    // --- watermark (etl/state.py:39-55; wired here, unlike the reference) --
+    stateRepo.setLastSuccessfulRunAt("who_gho_etl",
+      new java.sql.Timestamp(System.currentTimeMillis()))
+
+    PipelineReport(
+      observationsExtracted = rawObs.size,
+      indicatorsExtracted = rawInd.size,
+      countriesExtracted = rawCty.size,
+      indicatorsLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_indicator").count(),
+      countriesLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_country").count(),
+      observationsLoaded = fact.count(),
+      rejectedRecords = nRejected,
+      dq = dq)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class UpsertSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("upsert: updates replace same-key rows, base rows survive") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val out = Upsert.upsert(base, updates, Seq("k"), Seq(col("k"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("upsert: duplicate keys within the batch collapse deterministically") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val updates = Seq((1L, "first"), (1L, "second")).toDF("k", "v")
+    val out = Upsert.upsert(base, updates, Seq("k"), Seq(col("v").asc)).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "first")
+  }
+
+  test("upsertTable: round-trip create, re-run idempotent, key overwrite") {
+    val path = tempDir("upsert") + "/t"
+    val first = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Upsert.upsertTable(spark, path, first, Seq("k"), Seq(col("k")))
+    assert(spark.read.parquet(path).count() === 2)
+
+    // idempotent re-run
+    Upsert.upsertTable(spark, path, first, Seq("k"), Seq(col("k")))
+    assert(spark.read.parquet(path).count() === 2)
+
+    // overwrite one key, add one
+    val second = Seq((2L, "B2"), (3L, "c")).toDF("k", "v")
+    Upsert.upsertTable(spark, path, second, Seq("k"), Seq(col("k")))
+    val out = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+  }
+
+  test("dedup firstWins keeps first in order") {
+    val in = Seq((1L, 10, "x"), (1L, 20, "y"), (2L, 5, "z")).toDF("k", "ord", "v")
+    val out = Dedup.firstWins(in, Seq("k"), Seq(col("ord").asc)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "x", 2L -> "z"))
+  }
+
+  test("dedup exact picks deterministic representative") {
+    val in = Seq((1L, 2, "b"), (1L, 1, "a"), (2L, 9, "z")).toDF("k", "ord", "v")
+    val out = Dedup.exact(in, Seq("k"), Seq(col("ord"))).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out === Map(1L -> "a", 2L -> "z"))
+  }
+}

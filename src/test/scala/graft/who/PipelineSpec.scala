@@ -1,0 +1,119 @@
+package graft.who
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.PageFetcher
+
+/** End-to-end pipeline on a stubbed OData API serving the reference fixtures
+  * (numbers served as JSON numbers to exercise the number→string ingest
+  * coercion). EP2 shape: reference etl/local_run.py:34-117. */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private val indicatorsBody =
+    """{"value": [
+      {"IndicatorCode": "WHOSIS_000001", "IndicatorName": "Life expectancy at birth (years)", "Language": "EN"},
+      {"IndicatorCode": "LIFE_EXPECTANCY_0", "IndicatorName": "Life expectancy at age 60 (years)", "Language": "EN"},
+      {"IndicatorCode": "WHOSIS_000001", "IndicatorName": "Life expectancy at birth (years)", "Language": "EN"}
+    ]}"""
+
+  private val countriesBody =
+    """{"value": [
+      {"Code": "USA", "Title": "United States of America"},
+      {"Code": "CAN", "Title": "Canada"},
+      {"Code": "MEX", "Title": "Mexico"},
+      {"Code": "USA", "Title": "United States of America"},
+      {"Code": "GBR", "Title": "United Kingdom"}
+    ]}"""
+
+  private def obs(id: Int, ind: String, cty: String, year: String, num: Any, v: Any) =
+    s"""{"Id": $id, "IndicatorCode": "$ind", "SpatialDim": "$cty", "SpatialDimType": "COUNTRY",
+        "TimeDim": "$year", "TimeDimType": "YEAR", "NumericValue": $num, "Value": $v}"""
+
+  private class WhoStub extends PageFetcher {
+    override def fetch(url: String): (Int, String) = {
+      val body =
+        if (url.contains("/Indicator?")) indicatorsBody
+        else if (url.contains("DIMENSION/COUNTRY")) countriesBody
+        else if (url.contains("WHOSIS_000001") && url.contains("%27USA%27"))
+          s"""{"value": [${obs(1, "WHOSIS_000001", "USA", "2019", 78.5, 78.5)},
+                         ${obs(1, "WHOSIS_000001", "USA", "2019", 78.5, 78.5)}]}"""
+        else if (url.contains("WHOSIS_000001") && url.contains("%27CAN%27"))
+          s"""{"value": [${obs(2, "WHOSIS_000001", "CAN", "2019", 82.0, 82.0)}]}"""
+        else if (url.contains("WHOSIS_000001") && url.contains("%27GBR%27"))
+          s"""{"value": [${obs(5, "WHOSIS_000001", "GBR", "2020-2020", 80.4, 80.4)}]}"""
+        else if (url.contains("LIFE_EXPECTANCY_0") && url.contains("%27MEX%27"))
+          s"""{"value": [${obs(3, "LIFE_EXPECTANCY_0", "MEX", "2018", 75.0, 75.0)}]}"""
+        else """{"value": []}"""
+      (200, body)
+    }
+  }
+
+  test("pipeline end-to-end: extract → transform → validate → upsert → DQ") {
+    val wh = tempDir("graft-wh")
+    val cfg = PipelineConfig(
+      baseUrl = "http://who/api",
+      warehouseDir = s"$wh/warehouse",
+      stateDir = s"$wh/state")
+
+    val report = Pipeline.run(spark, new WhoStub, cfg)
+
+    assert(report.indicatorsExtracted === 3)
+    assert(report.countriesExtracted === 5)
+    // 7: USA appears twice in the raw country list, so its page is fetched
+    // twice (2+2), + CAN 1 + GBR 1 + MEX 1 — faithful to the reference,
+    // which builds country_codes from the RAW extract (dag:113-117).
+    assert(report.observationsExtracted === 7)
+    assert(report.indicatorsLoaded === 2)      // dedup 3→2
+    assert(report.countriesLoaded === 4)       // dedup 5→4
+    assert(report.observationsLoaded === 4)    // dedup 5→4 (dup Id=1)
+    assert(report.rejectedRecords === 0)
+    assert(report.dq.passed)
+
+    // "2020-2020" year normalized through the whole pipe
+    val fact = spark.read.parquet(s"${cfg.warehouseDir}/fact_observation")
+    assert(fact.filter(col("spatial_dim") === "GBR")
+      .collect().head.getAs[Int]("time_dim") === 2020)
+
+    // J1 analytics shape over the warehouse (reference README.md:141-150)
+    val dimC = spark.read.parquet(s"${cfg.warehouseDir}/dim_country")
+    val dimI = spark.read.parquet(s"${cfg.warehouseDir}/dim_indicator")
+    val j1 = fact
+      .join(dimC, fact("spatial_dim") === dimC("country_code"))
+      .join(dimI, Seq("indicator_code"))
+      .filter(col("indicator_name").like("Life expectancy at birth%"))
+      .select("country_name", "time_dim", "numeric_value")
+    assert(j1.count() === 3) // USA, CAN, GBR
+
+    // re-run is idempotent (upsert semantics)
+    val report2 = Pipeline.run(spark, new WhoStub, cfg)
+    assert(report2.observationsLoaded === 4)
+    assert(report2.indicatorsLoaded === 2)
+    assert(report2.countriesLoaded === 4)
+
+    // watermark was written
+    val state = new graft.sources.StateRepo(spark, cfg.stateDir)
+    assert(state.get("who_gho_etl").flatMap(_.last_successful_run_at).isDefined)
+  }
+
+  test("pipeline persists rejected records to the dead-letter table") {
+    val wh = tempDir("graft-wh2")
+    val stub = new WhoStub {
+      override def fetch(url: String): (Int, String) =
+        if (url.contains("LIFE_EXPECTANCY_0") && url.contains("%27MEX%27"))
+          // Id null → required-field rejection after transform keeps the row
+          (200, s"""{"value": [{"Id": null, "IndicatorCode": "LIFE_EXPECTANCY_0",
+            "SpatialDim": "MEX", "SpatialDimType": "COUNTRY", "TimeDim": "2018",
+            "TimeDimType": "YEAR", "NumericValue": 75.0, "Value": 75.0},
+            ${obs(3, "LIFE_EXPECTANCY_0", "MEX", "2018", 75.0, 75.0)}]}""")
+        else super.fetch(url)
+    }
+    val cfg = PipelineConfig("http://who/api", s"$wh/warehouse", s"$wh/state")
+    val report = Pipeline.run(spark, stub, cfg)
+    assert(report.rejectedRecords === 1)
+    val rej = spark.read.parquet(s"${cfg.warehouseDir}/rejected_record").collect()
+    assert(rej.length === 1)
+    assert(rej.head.getAs[String]("error_details").contains("observation_id is required"))
+  }
+}
