@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Extension query surface: the LLM-training-data operators (dedup family,
+  * similarity search, text analysis, multimodal) declared over the
+  * `documents` / `embeddings` testdata tables, with DuckDB oracles generated
+  * from the same parameters so both engines compute bit-identical md5-based
+  * signatures. */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // Shared oracle fragments ------------------------------------------------
+
+  /** DuckDB twin of TextFunctions.shingles (word 3-grams, distinct). */
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+       sh AS (SELECT doc_id, unnest(list_distinct(
+                [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))])) AS s
+              FROM toks)"""
+
+  private val K = 12 // minhash functions
+  private val BANDS = 4
+
+  private def minhashSigSql: String = {
+    val mins = (0 until K).map(j => s"min(md5('$j|'||s)) AS mh$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private def bandSql: String = {
+    val rows = K / BANDS
+    (0 until BANDS).map { b =>
+      val key = (0 until rows).map(r => s"mh${b * rows + r}").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band_id, md5($key) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+  }
+
+  // ------------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: canonical doc per content fingerprint.
+    "q19_exact_dedup_groups" -> ((s, dir) =>
+      TextDedup.exactGroups(t(s, dir, "documents"))),
+
+    // MinHash + LSH banding near-dup candidates.
+    "q20_minhash_lsh_pairs" -> ((s, dir) =>
+      TextDedup.minhashLshPairs(t(s, dir, "documents"), k = K, bands = BANDS)),
+
+    // SimHash near-dups at Hamming ≤ 3.
+    "q21_simhash_pairs" -> ((s, dir) =>
+      TextDedup.simhashPairs(t(s, dir, "documents"))),
+
+    // Exact n-gram Jaccard over shared-shingle candidates.
+    "q22_ngram_jaccard_pairs" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), minJaccard = 0.5)),
+
+    // Brute-force cosine top-10 for the vec_id=0 query vector.
+    "q23_embedding_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, k = 10)
+    }),
+
+    // Embedding near-dup pairs (sign-LSH banded, exact re-score ≥ 0.3).
+    "q24_embedding_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.3)),
+
+    // ANN through the sign-LSH index (no SQL oracle: rows-only check;
+    // recall vs brute force is asserted in SimilaritySpec).
+    "q25_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      lsh.topK(lsh.index(emb.filter(col("vec_id") =!= 0)), q, k = 10)
+    }),
+
+    // Language-ID heuristic (marker-count argmax).
+    "q26_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))),
+
+    // Quality features + composite score.
+    "q27_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))),
+
+    // BPE-ish token stats.
+    "q28_token_bpe" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents"))),
+
+    // Multimodal: binary payload → partition-batched stub decode.
+    "q29_multimodal_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(
+        Multimodal.payloadFromText(t(s, dir, "documents"))).toDF())
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  private def minhashOracle: String = {
+    val agree = (0 until K)
+      .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $shingleCte, $minhashSigSql,
+        bands AS ($bandSql),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, round(($agree) / $K.0, 4) AS est_jaccard
+        FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id"""
+  }
+
+  private def simhashOracle: String = {
+    val votes = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    val assemble = (0 until 60)
+      .map(b => s"(CASE WHEN s$b > 0 THEN 1::BIGINT << $b ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                     FROM documents),
+        h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tok),
+        votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, $assemble AS simhash FROM votes),
+        chunks AS (SELECT doc_id, simhash, c AS chunk_id,
+                          (simhash >> (c*15)) & 32767 AS chunk_val
+                   FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS c))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+  }
+
+  private def jaccardOracle: String =
+    s"""WITH $shingleCte,
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        rare AS (SELECT sh.doc_id, sh.s FROM sh
+                 JOIN (SELECT s FROM sh GROUP BY s
+                       HAVING count(*) BETWEEN 2 AND 100) d ON sh.s = d.s),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id
+        WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.5"""
+
+  /** DuckDB twin of VectorFunctions: double-cast elementwise, left-fold sums. */
+  private val normalizedCte =
+    """n AS (SELECT vec_id,
+              [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE)*CAST(y AS DOUBLE) for y in embedding]))
+               for x in embedding] AS v
+            FROM embeddings)"""
+
+  private def signLshOracle: String = {
+    // identical plane derivation to Similarity.planeComponent
+    val plane = "(('0x'||substr(md5('plane_'||j||'_'||d),1,15))::BIGINT / POW(2,59) - 1.0)"
+    s"""WITH $normalizedCte,
+        sig AS (SELECT vec_id, v,
+                 list_sum([CASE WHEN list_sum([v[d+1] * $plane for d in range(0,64)]) >= 0
+                           THEN (1 << j) ELSE 0 END
+                           for j in range(0,8)]) AS sig
+                FROM n),
+        banded AS (SELECT vec_id, v, 0 AS band, sig & 15 AS key FROM sig
+                   UNION ALL
+                   SELECT vec_id, v, 1 AS band, sig >> 4 AS key FROM sig),
+        pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_sum([p[1]*p[2] for p in list_zip(a.v, b.v)]), 6) AS cosine
+                  FROM banded a JOIN banded b
+                    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
+  }
+
+  private def langidOracle: String = {
+    def cnt(markers: Seq[String]): String = markers.map { m =>
+      s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+    }.mkString(" + ")
+    val langs = TextAnalysis.langMarkers
+    val cols = langs.map { case (l, ms) => s"${cnt(ms)} AS cnt_$l" }.mkString(", ")
+    val names = langs.map(_._1)
+    val cases = names.map { l =>
+      val beats = names.filterNot(_ == l).map(o => s"cnt_$l >= cnt_$o").mkString(" AND ")
+      s"WHEN cnt_$l > 0 AND $beats THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${names.map(l => s"cnt_$l").mkString(", ")},
+               CASE $cases ELSE 'unknown' END AS predicted_lang
+        FROM (SELECT doc_id, $cols
+              FROM (SELECT doc_id, ' '||lower(text)||' ' AS p FROM documents))"""
+  }
+
+  private def qualityOracle: String =
+    """SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         CAST(CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS INTEGER) AS BIGINT) AS n_stopwords,
+         round(
+           0.3 * least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_\s]', '', 'g')) AS DOUBLE) / length(text))
+         + 0.4 * least(CAST(CAST((length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' the ', ''))) / 5 AS INTEGER) AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\s+')) * 10.0, 1.0),
+           4) AS quality_score
+       FROM documents"""
+
+  private def tokenBpeOracle: String =
+    """SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+         CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_unique_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+         round(CAST(length(text) AS DOUBLE) /
+               greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1),
+               4) AS chars_per_bpe_token
+       FROM documents"""
+
+  private def multimodalOracle: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         ('0x'||substr(md5(text),1,4))::INTEGER % 1024 + 1 AS width,
+         ('0x'||substr(md5(text),5,4))::INTEGER % 1024 + 1 AS height,
+         round((('0x'||substr(md5(text),9,4))::INTEGER % 256) / 255.0, 4) AS brightness
+       FROM documents"""
+
+  val oracles: Map[String, String] = Map(
+    "q19_exact_dedup_groups" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+         min(doc_id) AS canonical_id, count(*) AS n_docs
+         FROM documents GROUP BY 1""",
+    "q20_minhash_lsh_pairs" -> minhashOracle,
+    "q21_simhash_pairs" -> simhashOracle,
+    "q22_ngram_jaccard_pairs" -> jaccardOracle,
+    "q23_embedding_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id,
+             list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) for p in list_zip(e.embedding, q.qv)]) /
+             (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+              sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qv]))) AS cos
+           FROM embeddings e, q WHERE e.vec_id <> 0)
+         SELECT vec_id, round(cos, 6) AS cosine FROM scored
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    "q24_embedding_near_dup" -> signLshOracle,
+    // q25_ann_topk: intentionally no oracle (rows-only check) — ANN quality
+    // is asserted against brute force in SimilaritySpec instead.
+    "q26_langid" -> langidOracle,
+    "q27_quality_score" -> qualityOracle,
+    "q28_token_bpe" -> tokenBpeOracle,
+    "q29_multimodal_features" -> multimodalOracle)
+}

@@ -331,6 +331,6 @@ object Queries {
          FROM documents"""
   )
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = core
-  def oracles: Map[String, String] = coreOracles
+  def all: Map[String, (SparkSession, String) => DataFrame] = core ++ ExtQueries.queries
+  def oracles: Map[String, String] = coreOracles ++ ExtQueries.oracles
 }

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the dedup / analysis operators. All built-ins (split,
+  * higher-order transforms, md5) — codegen-friendly, and every definition has
+  * an exact ANSI-SQL twin for the DuckDB oracle.
+  *
+  * Hashing convention: the engine-portable hash family is
+  * `md5(seed || "|" || value)` — md5 produces identical lowercase hex in
+  * Spark and DuckDB, so MinHash/SimHash signatures reproduce bit-for-bit in
+  * the oracle. (Inside Spark-only paths xxhash64 would be cheaper; md5 is the
+  * price of cross-engine verifiability and is still fully codegen'd.)
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles joined by single spaces; empty array when
+    * the doc has fewer than `n` tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))
+    ).otherwise(array().cast("array<string>"))
+    array_distinct(grams)
+  }
+
+  /** Seeded portable hash to hex (full md5). */
+  def seededMd5(seed: Int, value: Column): Column =
+    md5(concat(lit(s"$seed|"), value))
+
+  /** Seeded portable hash to a 60-bit non-negative long (15 hex chars →
+    * conv base 16). 60 bits keeps it inside BIGINT range in both engines. */
+  def hash60(value: Column): Column =
+    conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+
+  /** Count of non-overlapping occurrences of literal `marker` in `text`
+    * via the replace-length trick (plain string replace, not regex) —
+    * identical semantics in DuckDB. */
+  def occurrences(text: Column, marker: String): Column =
+    ((length(text) - length(call_function("replace", text, lit(marker), lit(""))))
+      / marker.length).cast("int")
+
+  /** Whitespace-normalized md5 fingerprint (exact-dup canonicalizer). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

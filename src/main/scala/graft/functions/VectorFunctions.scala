@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{aggregate, lit, round => sqlRound, sqrt, transform => hof_transform, zip_with}
+
+/** Vector math over `array<float|double>` columns, built entirely from
+  * Spark's codegen'd higher-order functions — no UDFs, no serialization of
+  * the array out of Tungsten format.
+  *
+  * Elements are cast to double *before* any multiply so results are exact
+  * IEEE double sequences, reproducible across engines (the DuckDB oracle
+  * computes the identical left-to-right fold). `aggregate` folds
+  * left-to-right, so summation order is deterministic — important both for
+  * oracle parity and for run-to-run reproducibility at scale.
+  */
+object VectorFunctions {
+
+  /** Elementwise cast to double. */
+  def toDoubleArray(a: Column): Column = hof_transform(a, _.cast("double"))
+
+  /** Dot product: left fold over pairwise products. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity in double precision. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Unit-normalized copy (double elements); lets downstream dots skip the
+    * per-pair norm. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    hof_transform(toDoubleArray(a), x => x / n)
+  }
+
+  /** Cosine rounded for stable cross-engine comparison. */
+  def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
+    sqlRound(cosineSimilarity(a, b), scale)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document-level text analysis: language id, quality scoring, token
+  * statistics. Pure column expressions (one projection over the scan, no
+  * shuffle, whole-stage codegen), each with an exact SQL twin for the
+  * oracle. */
+object TextAnalysis {
+
+  /** Marker tokens per language for the n-gram/stopword heuristic. Priority
+    * order (en, de, es, fr) breaks ties deterministically. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and "),
+    "de" -> Seq(" der ", " und "),
+    "es" -> Seq(" el ", " que "),
+    "fr" -> Seq(" le ", " et "))
+
+  private def padded(textCol: Column): Column =
+    concat(lit(" "), lower(textCol), lit(" "))
+
+  /** (doc_id, cnt_en, cnt_de, cnt_es, cnt_fr, predicted_lang). Marker-count
+    * argmax with a fixed priority chain; 'unknown' when no marker hits. */
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val p = padded(col(textCol))
+    val counts = langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => occurrences(p, m)).reduce(_ + _)
+    }
+    val withCounts = counts.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (d, (lang, c)) => d.withColumn(s"cnt_$lang", c)
+    }
+    // argmax with priority order: first language whose count is >= all others
+    // and > 0.
+    val langs = langMarkers.map(_._1)
+    val predicted = langs.foldRight(lit("unknown")) { (lang, els) =>
+      val c = col(s"cnt_$lang")
+      val beatsRest = langs.filterNot(_ == lang)
+        .map(o => c >= col(s"cnt_$o")).reduce(_ && _)
+      when(c > 0 && beatsRest, lit(lang)).otherwise(els)
+    }
+    withCounts.select(
+      (col(idCol) +: langs.map(l => col(s"cnt_$l"))) :+ predicted.as("predicted_lang"): _*)
+  }
+
+  /** Quality features + a bounded composite score:
+    * length signal, punctuation penalty, stopword signal. All arithmetic is
+    * reproducible in the oracle (round at the end only). */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val nChars = length(text)
+    val nTokens = size(split(trim(text), "\\s+"))
+    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9_\\s]", ""))
+    val digits = nChars - length(regexp_replace(text, "[0-9]", ""))
+    val stop = occurrences(padded(text), " the ")
+    val punctRatio = punct.cast("double") / nChars
+    val stopRatio = stop.cast("double") / nTokens
+    docs.select(
+      col(idCol),
+      nChars.cast("long").as("n_chars"),
+      nTokens.cast("long").as("n_tokens"),
+      punct.cast("long").as("n_punct"),
+      digits.cast("long").as("n_digits"),
+      stop.cast("long").as("n_stopwords"),
+      round(
+        lit(0.3) * least(nTokens.cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (lit(1.0) - punctRatio) +
+          lit(0.4) * least(stopRatio * 10.0, lit(1.0)),
+        4).as("quality_score"))
+  }
+
+  /** Token statistics under a BPE-ish regex tokenizer (letter runs, digit
+    * runs, single non-space symbols) alongside the whitespace tokenizer. */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val bpe = expr(
+      s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")
+    docs.select(
+      col(idCol),
+      size(ws).cast("long").as("n_ws_tokens"),
+      size(array_distinct(ws)).cast("long").as("n_unique_ws_tokens"),
+      size(bpe).cast("long").as("n_bpe_tokens"),
+      round(length(col(textCol)).cast("double") /
+        greatest(size(bpe), lit(1)).cast("double"), 4).as("chars_per_bpe_token"))
+  }
+}

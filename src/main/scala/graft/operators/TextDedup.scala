@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection for document corpora — the dedup family a
+  * training-data pipeline needs beyond exact matching.
+  *
+  * Scale design (the point of each algorithm at 100 TB):
+  *  - **exact**: hash-groupBy on a content fingerprint — one shuffle, map-side
+  *    combine, no pairwise work.
+  *  - **MinHash + LSH banding**: converts all-pairs similarity (O(n²), dead at
+  *    any scale) into an equi-join on band keys: docs are only compared when
+  *    they collide in a bucket. Shuffles: one to build signatures (explode
+  *    shingles → groupBy doc), one self-join keyed by (band, key) whose
+  *    fan-out is bucket-bounded. AQE handles hot buckets (boilerplate docs).
+  *  - **SimHash**: one 60-bit signature per doc, near-dups = small Hamming
+  *    distance; candidates come from 15-bit chunk collisions (pigeonhole: any
+  *    pair at distance ≤3 shares at least one of 4 chunks — exact recall).
+  *  - **n-gram Jaccard**: exact verification on candidate pairs through a
+  *    shared-shingle join with a document-frequency cap on join shingles
+  *    (standard frequent-shingle pruning; an ubiquitous shingle generates
+  *    quadratic join fan-out and carries no signal).
+  *
+  * Every hash is the portable md5 family, so each operator's output is
+  * bit-reproducible in the DuckDB oracle.
+  */
+object TextDedup {
+
+  /** Exact dedup groups: canonical (min) doc id + duplicate count per
+    * whitespace-normalized content fingerprint. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash signature frame: doc id + k minhash columns mh0..mh{k-1}.
+    * One explode + one groupBy (single shuffle); all k mins computed in the
+    * same aggregation pass. */
+  def minhashSignatures(docs: DataFrame, k: Int = 12,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(seededMd5(0, col("sh"))).as("mh0"),
+        (1 until k).map(j => min(seededMd5(j, col("sh"))).as(s"mh$j")): _*)
+  }
+
+  /** LSH band keys: `bands` bands of `rowsPerBand` signature rows each,
+    * band key = md5 of the concatenated rows. */
+  private def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val keyStructs = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws("|", rows: _*)).as("band_key"))
+    }
+    sig.select(col("doc_id"), explode(array(keyStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Candidate near-dup pairs from MinHash LSH banding, with the estimated
+    * Jaccard (fraction of agreeing minhashes). Output: (doc_a, doc_b,
+    * est_jaccard), doc_a < doc_b. */
+  def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val sig = minhashSignatures(docs, k, idCol, textCol)
+    val bk = bandKeys(sig, bands, k / bands)
+
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val agree = (0 until k).map(j =>
+      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / k, 4).as("est_jaccard"))
+  }
+
+  /** 60-bit SimHash per doc: token-frequency-weighted bit votes over the
+    * portable 60-bit hash. One explode + one groupBy; the 60 per-bit sums are
+    * one aggregation pass. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitVotes = (0 until 60).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")
+    }
+    val summed = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+    val assembled = (0 until 60).map { b =>
+      when(col(s"s$b") > 0, expr(s"shiftleft(1L, $b)")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    summed.select(col("doc_id"), assembled.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming` (default 3),
+    * candidates from 15-bit chunk collisions — exact recall for ≤3 by
+    * pigeonhole over 4 chunks. Output: (doc_a, doc_b, hamming). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol)
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk_id"),
+          expr(s"shiftright(simhash, ${c * 15}) & 32767").as("chunk_val"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs found via a shared-shingle
+    * join. `maxShingleDf` prunes join shingles whose document frequency
+    * exceeds the cap (fan-out control at scale — an ubiquitous shingle is
+    * quadratic cost and no signal). Output: (doc_a, doc_b, jaccard) with
+    * jaccard ≥ `minJaccard`. */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
+                        maxShingleDf: Int = 100,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf && col("df") >= 2)
+        .select(col("sh")),
+      "sh")
+    val inter = rare.as("a")
+      .join(rare.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only but carries explicit incremental machinery
+  * (checkpoint/resume, SURVEY.md §2.10); this module is the streaming-native
+  * expression of that contract: the same aggregations as the batch queries,
+  * run incrementally with watermarked state. Works identically on a file
+  * stream, Kafka source, or rate source — the transforms only see a streaming
+  * DataFrame. */
+object EventStreams {
+
+  /** Streaming twin of q14_hourly_windows: tumbling event-time windows with
+    * a 10-minute watermark bounding state. In append mode a window emits
+    * once the watermark passes its end — state is O(open windows), not
+    * O(stream length), which is what makes this run forever at scale. */
+  def hourlyWindowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long,
+      total_value: Double)
+  private final case class SessionState(
+      start: Long, last: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization with custom state (flatMapGroupsWithState):
+    * a session closes when `gapMinutes` pass without an event for the user.
+    * This is the KeyValueGroupedDataset custom-state path the built-in
+    * windows can't express. State per user is O(1). */
+  def sessionize(events: Dataset[UserEvent], gapMinutes: Int = 30) = {
+    val gapMs = gapMinutes * 60 * 1000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState) = UserSession(userId,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+            s.n, math.rint(s.total * 100) / 100)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = Seq.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed :+= toSession(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }(Encoders.product[SessionState], Encoders.product[UserSession])
+  }
+}

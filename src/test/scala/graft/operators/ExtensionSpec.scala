@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Behavior tests for the dedup / similarity / analysis / multimodal
+  * extensions (cross-engine value parity is covered by the DuckDB oracle
+  * gate; these assert semantics). */
+class ExtensionSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exactGroups collapses literal duplicates") {
+    val in = Seq((1L, "hello   world"), (2L, "Hello world"), (3L, "different")).toDF("doc_id", "text")
+    val out = TextDedup.exactGroups(in).collect()
+    assert(out.length === 2) // whitespace+case normalization unifies 1 and 2
+    val dup = out.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dup.getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("minhashLshPairs finds planted near-duplicates, est_jaccard high") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely unrelated text about spark query engines and columnar execution at scale"
+    val in = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(in).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("est_jaccard") > 0.3)
+  }
+
+  test("simhash: identical docs distance 0; near-dups within 3; distinct docs far") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val in = Seq((1L, base), (2L, base), (3L, base + " extra"),
+      (4L, "totally different content about columnar engines")).toDF("doc_id", "text")
+    val sig = TextDedup.simhashSignatures(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) === sig(2L))
+    assert(java.lang.Long.bitCount(sig(1L) ^ sig(4L)) > 10)
+    val pairs = TextDedup.simhashPairs(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("ngramJaccardPairs: exact jaccard for planted dup") {
+    val base = "a b c d e f g h i j k l m n o p"
+    val in = Seq((1L, base), (2L, base), (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val out = TextDedup.ngramJaccardPairs(in, minJaccard = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("bruteForceTopK is ordered and self-similarity excluded upstream") {
+    val q = embeddings.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val top = Similarity.bruteForceTopK(embeddings.filter($"vec_id" =!= 0), q, k = 5).collect()
+    assert(top.length === 5)
+    val sims = top.map(_.getAs[Double]("cosine"))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("ANN topK retrieves planted near-duplicates (genuine neighbors)") {
+    // The synthetic embeddings are i.i.d. gaussian: "nearest" neighbors are
+    // nearly orthogonal (max pairwise cos ≈ 0.5), which no LSH can bucket —
+    // so plant real near-duplicates of the query and require ANN to find
+    // them, the property an ANN index actually promises.
+    val v0 = embeddings.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val planted = (1 to 5).map { p =>
+      (9000L + p, v0.zipWithIndex.map { case (x, d) =>
+        x * (1.0f + 0.02f * p * ((d % 3) - 1)) })
+    }
+    val corpus = embeddings.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+      .union(planted.toDF("vec_id", "embedding"))
+    val q = embeddings.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+    val exact = Similarity.bruteForceTopK(corpus, q, 10).collect().map(_.getLong(0)).toSet
+    assert(planted.map(_._1).toSet.subsetOf(exact)) // sanity: they ARE the top
+
+    val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+    val approx = lsh.topK(lsh.index(corpus), q, 10).collect().map(_.getLong(0)).toSet
+    val foundPlanted = (planted.map(_._1).toSet intersect approx).size
+    info(s"ANN found $foundPlanted/5 planted near-dups; recall@10 = ${(exact intersect approx).size / 10.0}")
+    assert(foundPlanted === 5)
+  }
+
+  test("langId is deterministic and covers markers") {
+    val in = Seq(
+      (1L, "the cat and the dog and the bird"),
+      (2L, "der hund und der vogel und der fisch"),
+      (3L, "xyz qrs tuv")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(in).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("predicted_lang")).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
+  }
+
+  test("qualityScore is bounded [0,1] on real docs") {
+    val scores = TextAnalysis.qualityScore(docs).select("quality_score")
+      .collect().map(_.getDouble(0))
+    assert(scores.nonEmpty)
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("multimodal: decode is deterministic, resize bounds the box, frames explode") {
+    val media = Multimodal.payloadFromText(docs.limit(20))
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(f => f.width >= 1 && f.width <= 1024 && f.brightness <= 1.0))
+    // determinism
+    val again = Multimodal.imageFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).toSeq === again.sortBy(_.media_id).toSeq)
+    // resize
+    val resized = Multimodal.resizeFeatures(media, maxSide = 64).collect()
+    assert(resized.forall(f => f.width <= 64 && f.height <= 64))
+    // frame sampling: one row per frame
+    val frames = Multimodal.sampleFrames(media, nFrames = 4).collect()
+    assert(frames.length === 80)
+  }
+}
