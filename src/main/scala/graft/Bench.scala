@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (JVM JIT, codegen pipeline, FS metadata) so per-query
+    // timings reflect steady-state execution rather than first-query startup.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

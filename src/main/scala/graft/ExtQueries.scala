@@ -139,7 +139,7 @@ object ExtQueries {
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         rare AS (SELECT sh.doc_id, sh.s FROM sh
                  JOIN (SELECT s FROM sh GROUP BY s
-                       HAVING count(*) BETWEEN 2 AND 100) d ON sh.s = d.s),
+                       HAVING count(*) BETWEEN 2 AND 20) d ON sh.s = d.s),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
                   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
@@ -164,11 +164,11 @@ object ExtQueries {
         sig AS (SELECT vec_id, v,
                  list_sum([CASE WHEN list_sum([v[d+1] * $plane for d in range(0,64)]) >= 0
                            THEN (1 << j) ELSE 0 END
-                           for j in range(0,8)]) AS sig
+                           for j in range(0,16)]) AS sig
                 FROM n),
-        banded AS (SELECT vec_id, v, 0 AS band, sig & 15 AS key FROM sig
+        banded AS (SELECT vec_id, v, 0 AS band, sig & 255 AS key FROM sig
                    UNION ALL
-                   SELECT vec_id, v, 1 AS band, sig >> 4 AS key FROM sig),
+                   SELECT vec_id, v, 1 AS band, sig >> 8 AS key FROM sig),
         pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_sum([p[1]*p[2] for p in list_zip(a.v, b.v)]), 6) AS cosine
                   FROM banded a JOIN banded b

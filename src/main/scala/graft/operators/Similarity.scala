@@ -35,17 +35,17 @@ object Similarity {
       .select(col(idCol), round(col("cos"), 6).as("cosine"))
 
   /** All pairs with cosine ≥ `threshold` (embedding near-dup dedup).
-    * Pre-normalizes once so the pair score is a plain dot; pairs are blocked
-    * by sign-LSH chunk collision exactly like MinHash banding, so this never
-    * goes all-pairs at scale; `maxPairsPerBucket` caps pathological buckets. */
+    * Pre-normalizes once (norm computed into its own column, not per
+    * element) so the pair score is a plain dot; pairs are blocked by
+    * sign-LSH band collision exactly like MinHash banding, so this never
+    * goes all-pairs at scale. 16 sign bits in 2 bands of 8 keep bucket
+    * sizes ~n/256 per band; the dot is computed once per *distinct*
+    * candidate pair, after dedup. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
-                         nBits: Int = 8,
+                         nBits: Int = 16,
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = firstVectorLength(embeddings, vecCol)
-    val normed = embeddings.select(col(idCol).as("vec_id"),
-      l2Normalize(col(vecCol)).as("v"))
-    // 2 bands of nBits/2 hyperplane signs each: near-identical vectors agree
-    // on most signs, so they collide in at least one band with high prob.
+    val normed = normalize(embeddings, idCol, vecCol)
     val sig = withSignBits(normed, "v", dim, nBits)
     val half = nBits / 2
     val banded = sig.select(col("vec_id"), col("v"),
@@ -58,22 +58,43 @@ object Similarity {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dotProduct(col("a.v"), col("b.v")), 6).as("cosine"))
-      .distinct()
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dotProduct(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * portable 60-bit hash scaled to [-1, 1). Same formula is expressible in
-    * the oracle, and identical on every executor with no broadcast RNG. */
-  private def planeComponent(plane: Int, d: Int): Column =
-    hash60(lit(s"plane_${plane}_$d")).cast("double") / lit(math.pow(2, 59)) - 1.0
+  /** (id, v): unit-normalized double vector, with the norm evaluated once
+    * per row in its own column (an aggregate expression inside a transform
+    * lambda would be re-evaluated per element). */
+  private def normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embeddings
+      .select(col(idCol).as("vec_id"), toDoubleArray(col(vecCol)).as("vd"))
+      .withColumn("norm", sqrt(aggregate(
+        transform(col("vd"), x => x * x), lit(0.0), (acc, v) => acc + v)))
+      .select(col("vec_id"), transform(col("vd"), x => x / col("norm")).as("v"))
+
+  /** Deterministic pseudo-random hyperplane for plane j: component d is the
+    * portable 60-bit md5 hash of "plane_j_d" scaled to [-1, 1) — the exact
+    * formula the oracle recomputes in SQL. Evaluated on the driver into a
+    * literal array: identical values, but the sign expression stays a small
+    * zip_with fold instead of `nBits × dim` unrolled terms (which blew up
+    * optimizer/codegen time far beyond the actual data cost). */
+  private def planeVector(plane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val hex = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"plane_${plane}_$d").substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
+    }
 
   /** Append `sig`: an int whose bit j is the sign of dot(v, plane_j). */
   private def withSignBits(df: DataFrame, vecCol: String, dim: Int, nBits: Int): DataFrame = {
     val sig = (0 until nBits).map { j =>
-      val dot = (0 until dim).map(d =>
-        element_at(col(vecCol), d + 1) * planeComponent(j, d)).reduce(_ + _)
+      val dot = aggregate(
+        zip_with(col(vecCol), typedLit(planeVector(j, dim)), (x, p) => x * p),
+        lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
     df.withColumn("sig", sig)
@@ -89,15 +110,16 @@ object Similarity {
       * by `bucket` for partition-pruned probes at scale. */
     def index(embeddings: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame =
-      withSignBits(
-        embeddings.select(col(idCol).as("vec_id"), l2Normalize(col(vecCol)).as("v")),
-        "v", dim, nBits)
+      withSignBits(normalize(embeddings, idCol, vecCol), "v", dim, nBits)
         .withColumnRenamed("sig", "bucket")
 
     /** Top-k through the index: probe the query bucket and all buckets at
       * Hamming distance 1 (nBits+1 buckets), re-score exactly, take k. */
     def topK(indexDf: DataFrame, query: DataFrame, k: Int = 10): DataFrame = {
-      val q = withSignBits(query.select(l2Normalize(col("qv")).as("qn")), "qn", dim, nBits)
+      val q = withSignBits(
+        normalize(query.withColumn("__qid", lit(0L)), "__qid", "qv")
+          .withColumnRenamed("v", "qn").drop("vec_id"),
+        "qn", dim, nBits)
         .withColumnRenamed("sig", "qbucket")
       val probes = q.select(col("qn"),
         explode(array((-1 until nBits).map {

@@ -36,52 +36,62 @@ object TextDedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** (doc_id, sh) exploded distinct-shingle rows. Tokens are materialized in
+    * their own projection before the shingle lambda touches them — without
+    * the boundary the split() re-evaluates per element_at reference
+    * (measured 10× slower at sf0.1). */
+  private[operators] def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("__toks"))).as("sh"))
+
   /** MinHash signature frame: doc id + k minhash columns mh0..mh{k-1}.
     * One explode + one groupBy (single shuffle); all k mins computed in the
     * same aggregation pass. */
   def minhashSignatures(docs: DataFrame, k: Int = 12,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("sh"))
+    val sh = shingleRows(docs, idCol, textCol)
     sh.groupBy(col("doc_id"))
       .agg(
         min(seededMd5(0, col("sh"))).as("mh0"),
         (1 until k).map(j => min(seededMd5(j, col("sh"))).as(s"mh$j")): _*)
   }
 
-  /** LSH band keys: `bands` bands of `rowsPerBand` signature rows each,
-    * band key = md5 of the concatenated rows. */
-  private def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val keyStructs = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_id"), md5(concat_ws("|", rows: _*)).as("band_key"))
-    }
-    sig.select(col("doc_id"), explode(array(keyStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-  }
-
   /** Candidate near-dup pairs from MinHash LSH banding, with the estimated
     * Jaccard (fraction of agreeing minhashes). Output: (doc_a, doc_b,
-    * est_jaccard), doc_a < doc_b. */
+    * est_jaccard), doc_a < doc_b.
+    *
+    * The full signature rides along the banded rows as an array column, so
+    * the whole operator is ONE aggregation + ONE self-join — no join-back to
+    * the signature frame (which would recompute the shingle aggregation per
+    * join arm). The estimate is computed after pair-dedup so each surviving
+    * pair pays for exactly one signature comparison. */
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
     val sig = minhashSignatures(docs, k, idCol, textCol)
-    val bk = bandKeys(sig, bands, k / bands)
+      .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("mhs"))
+    val keyStructs = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => element_at(col("mhs"), b * rows + r + 1))
+      struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("mhs"), explode(array(keyStructs: _*)).as("band"))
+      .select(col("doc_id"), col("mhs"), col("band.band_id"), col("band.band_key"))
 
-    val cand = bk.as("a")
-      .join(bk.as("b"),
+    val agree = aggregate(
+      zip_with(col("a_mhs"), col("b_mhs"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    banded.as("a")
+      .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-
-    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
-    val agree = (0 until k).map(j =>
-      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.mhs").as("a_mhs"), col("b.mhs").as("b_mhs"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("a_mhs")).as("a_mhs"), first(col("b_mhs")).as("b_mhs"))
       .select(col("doc_a"), col("doc_b"),
         round(agree.cast("double") / k, 4).as("est_jaccard"))
   }
@@ -91,8 +101,9 @@ object TextDedup {
     * one aggregation pass. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
+    val tok = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
       .withColumn("h", hash60(col("tok")))
     val bitVotes = (0 until 60).map { b =>
       sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")
@@ -132,10 +143,9 @@ object TextDedup {
     * quadratic cost and no signal). Output: (doc_a, doc_b, jaccard) with
     * jaccard ≥ `minJaccard`. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
-                        maxShingleDf: Int = 100,
+                        maxShingleDf: Int = 20,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol))).as("sh"))
+    val sh = shingleRows(docs, idCol, textCol)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
