@@ -60,11 +60,15 @@ object ExtQueries {
     "q22_ngram_jaccard_pairs" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(t(s, dir, "documents"), minJaccard = 0.5)),
 
-    // Brute-force cosine top-10 for the vec_id=0 query vector.
+    // Brute-force cosine top-10 for the vec_id=0 query vector, scored by the
+    // native fused-loop Expression (bit-identical to the HOF formulation,
+    // which the DuckDB oracle mirrors).
     "q23_embedding_topk" -> ((s, dir) => {
+      graft.plans.CosineSimilarity.register(s)
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, k = 10)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), q, k = 10,
+        scorer = graft.functions.VectorFunctions.cosineSimilarityNative)
     }),
 
     // Embedding near-dup pairs (sign-LSH banded, exact re-score ≥ 0.3).

@@ -188,6 +188,55 @@ object Queries {
     "q18_doc_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fingerprint"))
+    }),
+
+    // ROLLUP subtotals (region → nation hierarchy).
+    "q30_rollup_revenue" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(round(sum("c_acctbal"), 4).as("total_acctbal"),
+          count(lit(1)).as("n_customers"))
+    }),
+
+    // J3: referential-integrity DQ via anti-join counts (NOT EXISTS).
+    "q31_orphan_check" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphan_lineitems,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+             AS n_childless_orders""")
+    }),
+
+    // Correlated EXISTS (semi join).
+    "q32_exists_big_lineitem" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE EXISTS (SELECT 1 FROM lineitem l
+                             WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""")
+    }),
+
+    // Distinct aggregation per group.
+    "q33_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+          round(avg("c_acctbal"), 4).as("avg_acctbal"))
+    }),
+
+    // Conditional aggregation (pivot shape without PIVOT syntax).
+    "q34_status_by_year" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_partial"))
     })
   )
 
@@ -328,7 +377,42 @@ object Queries {
 
     "q18_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
-         FROM documents"""
+         FROM documents""",
+
+    "q30_rollup_revenue" ->
+      """SELECT r_name, n_name, round(sum(c_acctbal),4) AS total_acctbal,
+         count(*) AS n_customers
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+
+    "q31_orphan_check" ->
+      """SELECT
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS n_orphan_lineitems,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+           AS n_childless_orders""",
+
+    "q32_exists_big_lineitem" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+
+    "q33_distinct_agg" ->
+      """SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments,
+         round(avg(c_acctbal),4) AS avg_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "q34_status_by_year" ->
+      """SELECT year(o_orderdate) AS order_year,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+         FROM orders GROUP BY 1"""
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] = core ++ ExtQueries.queries

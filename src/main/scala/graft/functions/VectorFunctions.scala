@@ -41,4 +41,12 @@ object VectorFunctions {
   /** Cosine rounded for stable cross-engine comparison. */
   def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
     sqlRound(cosineSimilarity(a, b), scale)
+
+  /** Native fused-loop cosine ([[graft.plans.CosineSimilarity]]); requires
+    * `CosineSimilarity.register(spark)` on the session first. Bit-identical
+    * to [[cosineSimilarity]] (same accumulation order), one pass, no
+    * intermediate arrays. */
+  def cosineSimilarityNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "graft_cosine_sim", toDoubleArray(a), toDoubleArray(b))
 }

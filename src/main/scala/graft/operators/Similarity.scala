@@ -25,11 +25,16 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact top-k by cosine against one query vector (given as a 1-row frame
-    * with column `qv`). Tiebreak on id keeps the result total-ordered. */
+    * with column `qv`). Tiebreak on id keeps the result total-ordered.
+    * `scorer` defaults to the higher-order-function cosine; pass
+    * [[VectorFunctions.cosineSimilarityNative]] (after registering
+    * [[graft.plans.CosineSimilarity]]) for the fused single-pass codegen —
+    * the two are bit-identical. */
   def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int = 10,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     scorer: (Column, Column) => Column = cosineSimilarity): DataFrame =
     embeddings.crossJoin(broadcast(query))
-      .withColumn("cos", cosineSimilarity(col(vecCol), col("qv")))
+      .withColumn("cos", scorer(col(vecCol), col("qv")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("cos"), 6).as("cosine"))

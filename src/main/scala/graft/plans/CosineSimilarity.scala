@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native codegen'd cosine similarity over two `array<double>` columns.
+  *
+  * The higher-order-function formulation ([[graft.functions.VectorFunctions
+  * .cosineSimilarity]]) materializes three intermediate arrays per row
+  * (zip_with product + two squared copies) and folds each; this expression
+  * is a single fused loop — no intermediate ArrayData allocation, one pass
+  * over both vectors — generated directly into the enclosing
+  * WholeStageCodegen stage.
+  *
+  * Accumulation order (ascending index, separate accumulators, final
+  * `dot/(sqrt(na)*sqrt(nb))`) is EXACTLY the higher-order version's fold
+  * order, so results are bit-identical and the DuckDB oracle parity carries
+  * over unchanged.
+  *
+  * Null elements inside the arrays are not expected (embedding vectors);
+  * null array inputs return null via the standard null-safe contract.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv;
+         |  $na += $xv * $xv;
+         |  $nb += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Register `graft_cosine_sim` in the session's function registry so it is
+    * callable from `call_function` / SQL. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "built-in")
+}

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class CosineSimilaritySpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("native expression is bit-identical to the higher-order formulation") {
+    CosineSimilarity.register(spark)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val scored = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        VectorFunctions.cosineSimilarity($"embedding", $"qv").as("hof"),
+        VectorFunctions.cosineSimilarityNative($"embedding", $"qv").as("native"))
+      .collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      // exact bit equality, not approximate: same accumulation order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"mismatch at vec_id=${r.getLong(0)}")
+    }
+  }
+
+  test("native expression works from SQL and survives codegen") {
+    CosineSimilarity.register(spark)
+    val out = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head()
+    assert(out.getDouble(0) === 1.0)
+    val ortho = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c").head()
+    assert(ortho.getDouble(0) === 0.0)
+  }
+
+  test("null array input yields null") {
+    CosineSimilarity.register(spark)
+    val out = spark.sql(
+      "SELECT graft_cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").head()
+    assert(out.isNullAt(0))
+  }
+}
