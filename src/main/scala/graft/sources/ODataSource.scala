@@ -198,6 +198,14 @@ object ODataClient {
       case c => c.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
     }
 
+  /** The per-(indicator,country) observation query string with pushed
+    * filter + order (reference etl/extract.py:137-143), encoded like
+    * Python's `urlencode(quote_via=quote)`. */
+  def encodeObservationQuery(country: String): String =
+    percentEncode("$filter") + "=" +
+      percentEncode(s"SpatialDim eq '$country'") + "&" +
+      percentEncode("$orderby") + "=" + percentEncode("TimeDim asc")
+
   /** reference `fetch_observations` (extract.py:119-153): per
     * (indicator, country) scan with server-side filter + order pushdown and
     * nested early-exit on the global limit. */
@@ -213,10 +221,7 @@ object ODataClient {
       val ctyIt = countryCodes.iterator
       while (ctyIt.hasNext && !limit.exists(fetched >= _)) {
         val country = ctyIt.next()
-        val query = percentEncode("$filter") + "=" +
-          percentEncode(s"SpatialDim eq '$country'") + "&" +
-          percentEncode("$orderby") + "=" + percentEncode("TimeDim asc")
-        val entitySet = s"$indicator?$query"
+        val entitySet = s"$indicator?${encodeObservationQuery(country)}"
         val processName = s"who_observations_${indicator}_$country"
         val remaining = limit.map(_ - fetched)
         val batch = client.getAllData(entitySet, processName, remaining, pageSize)

@@ -1,0 +1,200 @@
+package graft.sources.odata
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{ODataClient, PageFetcher}
+
+/** DataSource V2 connector for paged OData APIs — the Spark-native form of
+  * the reference's extraction layer (reference etl/extract.py), where the
+  * hand-rolled optimizations become Catalyst contracts:
+  *
+  *  - `$filter=SpatialDim eq '…'` pushdown (extract.py:137-142) →
+  *    [[SupportsPushDownFilters]]: an `EqualTo("SpatialDim", v)` predicate is
+  *    consumed by the source and sent to the server;
+  *  - `dev_run_limit` early termination (extract.py:70-73) →
+  *    [[SupportsPushDownLimit]]: paging stops at the limit;
+  *  - per-(indicator, country) fetch loops (extract.py:129-151) →
+  *    [[InputPartition]]s: what the reference runs sequentially becomes one
+  *    Spark task per pair, giving cluster-wide parallel extraction;
+  *  - column selection → [[SupportsPushDownRequiredColumns]] (records are
+  *    projected at parse time, rows never carry dropped fields).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-odata")
+  *     .option("baseUrl", "https://ghoapi.azureedge.net/api")
+  *     .option("columns", "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+  *     .option("indicatorCodes", "WHOSIS_000001")      // observation mode
+  *     .option("countryCodes", "USA,CAN")               //   (one partition per pair)
+  *     // or .option("entitySet", "Indicator")          // single-set mode
+  *     .option("fetcherClass", "graft.sources.HttpPageFetcherFactory")
+  *     .load()
+  * }}}
+  *
+  * `fetcherClass` names a no-arg [[PageFetcherFactory]] so executors
+  * construct their own transport (HTTP in production, deterministic stubs in
+  * tests) — nothing non-serializable crosses the driver/executor boundary.
+  * Checkpoint/resume state stays a driver-side concern ([[graft.sources.StateRepo]]);
+  * a DSv2 batch scan is a pure read.
+  */
+class ODataDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-odata"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ODataDataSource.schemaFromOptions(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ODataTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object ODataDataSource {
+  /** Permissive all-string schema from the `columns` option — the
+    * schema-on-read contract of the reference ingest. */
+  def schemaFromOptions(options: CaseInsensitiveStringMap): StructType = {
+    val cols = Option(options.get("columns"))
+      .getOrElse(throw new IllegalArgumentException("graft-odata requires a 'columns' option"))
+    StructType(cols.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(StructField(_, StringType, nullable = true)))
+  }
+}
+
+/** Factory seam: executors instantiate the transport themselves. */
+trait PageFetcherFactory extends Serializable {
+  def create(): PageFetcher
+}
+
+/** Default: real HTTP transport. */
+class HttpPageFetcherFactory extends PageFetcherFactory {
+  override def create(): PageFetcher = new graft.sources.HttpPageFetcher()
+}
+
+class ODataTable(schema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    s"odata:${options.getOrDefault("baseUrl", "?")}"
+
+  override def schema(): StructType = schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ODataScanBuilder(schema, options)
+}
+
+class ODataScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit
+    with SupportsPushDownRequiredColumns {
+
+  private var pushedSpatialDim: Option[String] = None
+  private var notPushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var readSchema: StructType = fullSchema
+
+  /** Consume `SpatialDim = '<v>'` (the one predicate the OData API accepts,
+    * exactly as the reference pushes it); everything else stays for Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, rest) = filters.partition {
+      case EqualTo("SpatialDim", v: String) => pushedSpatialDim.isEmpty && { pushedSpatialDim = Some(v); true }
+      case _ => false
+    }
+    notPushed = rest
+    rest // Spark re-applies only these
+  }
+
+  override def pushedFilters(): Array[Filter] =
+    pushedSpatialDim.map(v => EqualTo("SpatialDim", v): Filter).toArray
+
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    false // partial: paging stops at the limit but may overshoot in-page
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    readSchema = requiredSchema
+
+  override def build(): Scan =
+    new ODataScan(readSchema, options, pushedSpatialDim, limit)
+}
+
+class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
+                pushedSpatialDim: Option[String], limit: Option[Int])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = readSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-odata pushedSpatialDim=$pushedSpatialDim limit=$limit"
+
+  private def opt(k: String, d: String) = options.getOrDefault(k, d)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val indicators = opt("indicatorCodes", "").split(",").map(_.trim).filter(_.nonEmpty)
+    val countries0 = opt("countryCodes", "").split(",").map(_.trim).filter(_.nonEmpty)
+    // server-side filter: restrict the partition grid to the pushed country
+    val countries = pushedSpatialDim.map(c => countries0.filter(_ == c)).getOrElse(countries0)
+    if (indicators.nonEmpty) {
+      for (i <- indicators; c <- countries) yield
+        ODataInputPartition(entitySetFor(i, c), s"${i}_$c"): InputPartition
+    } else {
+      Array(ODataInputPartition(opt("entitySet", "Indicator"), "single"): InputPartition)
+    }
+  }
+
+  private def entitySetFor(indicator: String, country: String): String = {
+    val query = ODataClient.encodeObservationQuery(country)
+    s"$indicator?$query"
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ODataReaderFactory(readSchema, opt("baseUrl", ""),
+      opt("fetcherClass", classOf[HttpPageFetcherFactory].getName),
+      opt("pageSize", "100").toInt, limit)
+}
+
+final case class ODataInputPartition(entitySet: String, label: String) extends InputPartition
+
+final case class ODataReaderFactory(schema: StructType, baseUrl: String,
+                                    fetcherClass: String, pageSize: Int,
+                                    limit: Option[Int])
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ODataInputPartition]
+    val fetcher = Class.forName(fetcherClass)
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[PageFetcherFactory].create()
+    val client = new ODataClient(baseUrl, fetcher)
+    // limit is per-partition here (a global limit needs a coordinated
+    // CollectLimit above, which Spark adds anyway since pushLimit → false)
+    val records = client.getAllData(p.entitySet, s"dsv2_${p.label}", limit, pageSize)
+    new PartitionReader[InternalRow] {
+      private val it = records.iterator
+      private var current: Map[String, String] = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(schema.fieldNames.toSeq.map { f =>
+          current.get(f).flatMap(Option(_)).map(UTF8String.fromString).orNull
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

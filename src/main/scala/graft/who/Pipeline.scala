@@ -66,7 +66,9 @@ object Pipeline {
     val (countries, ctyRej) = ValidateWho.validateCountries(Transform.transformCountries(ctyDf))
     val (observations, obsRej) = ValidateWho.validateObservations(Transform.transformObservations(obsDf))
 
-    // --- load: keyed upsert per table (dag:168-187, etl/load.py:30-52) -----
+    // --- load: DDL + migration check, then keyed upsert per table
+    // (dag:168-187, etl/load.py:17-52) -------------------------------------
+    Warehouse.createSchema(spark, cfg.warehouseDir)
     Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_indicator",
       indicators.toDF(), Seq("indicator_code"), Seq(col("indicator_code")))
     Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_country",

@@ -1,0 +1,108 @@
+package graft.sources.odata
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+import graft.sources.PageFetcher
+
+import scala.collection.concurrent.TrieMap
+
+/** Records every URL fetched, serves deterministic observation pages. The
+  * factory is instantiated per partition (executor-side in cluster mode), so
+  * the URL log lives in a companion TrieMap — fine in local[=] tests. */
+class StubFetcherFactory extends PageFetcherFactory {
+  override def create(): PageFetcher = new PageFetcher {
+    override def fetch(url: String): (Int, String) = {
+      StubFetcherFactory.urls.put(url, true)
+      val body =
+        if (url.contains("%27USA%27"))
+          """{"value": [
+             {"Id": 1, "IndicatorCode": "IND_A", "SpatialDim": "USA", "TimeDim": "2019", "Value": "78.5"},
+             {"Id": 2, "IndicatorCode": "IND_A", "SpatialDim": "USA", "TimeDim": "2020", "Value": "79.1"}]}"""
+        else if (url.contains("%27CAN%27"))
+          """{"value": [
+             {"Id": 3, "IndicatorCode": "IND_A", "SpatialDim": "CAN", "TimeDim": "2019", "Value": "82.0"}]}"""
+        else if (url.contains("/Indicator?"))
+          """{"value": [
+             {"IndicatorCode": "IND_A", "IndicatorName": "A", "Language": "EN"},
+             {"IndicatorCode": "IND_B", "IndicatorName": "B", "Language": "EN"}]}"""
+        else """{"value": []}"""
+      (200, body)
+    }
+  }
+}
+
+object StubFetcherFactory {
+  val urls: TrieMap[String, Boolean] = TrieMap.empty
+  def reset(): Unit = urls.clear()
+  def fetched: Seq[String] = urls.keys.toSeq
+}
+
+class ODataV2Spec extends AnyFunSuite with SparkSpec {
+
+  private def read(extra: (String, String)*) = {
+    val base = spark.read.format("graft-odata")
+      .option("baseUrl", "http://t/api")
+      .option("fetcherClass", classOf[StubFetcherFactory].getName)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("single entity-set scan via short name") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "entitySet" -> "Indicator",
+      "columns" -> "IndicatorCode,IndicatorName,Language")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq === Seq("IND_A", "IND_B"))
+  }
+
+  test("observation mode: one partition per (indicator,country)") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA,CAN",
+      "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.count() === 3)
+  }
+
+  test("SpatialDim equality filter is pushed: untouched partitions never fetch") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA,CAN",
+      "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+      .filter(col("SpatialDim") === "USA")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedSpatialDim=Some(USA)"), s"plan was:\n$plan")
+    assert(df.count() === 2)
+    // the CAN partition was pruned away — its URL never requested
+    assert(StubFetcherFactory.fetched.forall(!_.contains("%27CAN%27")))
+  }
+
+  test("column pruning reaches the reader schema") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA",
+      "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+      .select("Id", "TimeDim")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<Id:string,TimeDim:string>") ||
+      df.schema.fieldNames.toSeq == Seq("Id", "TimeDim"))
+    assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("2019", "2020"))
+  }
+
+  test("limit pushdown stops paging at the source") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA",
+      "columns" -> "Id,SpatialDim",
+      "pageSize" -> "2")
+      .limit(1)
+    assert(df.count() === 1)
+    // page 1 satisfied the limit: no $skip=2 request
+    assert(StubFetcherFactory.fetched.forall(!_.contains("skip=2")))
+  }
+}
