@@ -99,7 +99,39 @@ object ExtQueries {
     // Multimodal: binary payload → partition-batched stub decode.
     "q29_multimodal_features" -> ((s, dir) =>
       Multimodal.imageFeatures(
-        Multimodal.payloadFromText(t(s, dir, "documents"))).toDF())
+        Multimodal.payloadFromText(t(s, dir, "documents"))).toDF()),
+
+    // Structured Streaming on the verified surface: the hourly-window agg
+    // run INCREMENTALLY (file-stream source, AvailableNow trigger, complete
+    // output) — complete mode makes the final state equal the batch answer,
+    // so the q14 oracle applies verbatim.
+    "q35_streaming_hourly" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+      t(s, dir, "events").write.mode("overwrite").parquet(s"$stage/in")
+      val schema = s.read.parquet(s"$stage/in").schema
+      val name = "graft_q35_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .hourlyWindowedCounts(s.readStream.schema(schema).parquet(s"$stage/in"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$stage/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(name)
+    }),
+
+    // IVF ANN (MLlib k-means cells + probed exact re-score). KMeans is
+    // deterministic per seed but not reproducible in SQL → rows-only check;
+    // retrieval quality is spec-tested against brute force.
+    "q36_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ivf = Similarity.Ivf(nCentroids = 16, nProbe = 4)
+      val (centers, index) = ivf.build(emb.filter(col("vec_id") =!= 0))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      ivf.topK(centers, index, q, k = 10)
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -252,6 +284,12 @@ object ExtQueries {
     // q25_ann_topk: intentionally no oracle (rows-only check) — ANN quality
     // is asserted against brute force in SimilaritySpec instead.
     "q26_langid" -> langidOracle,
+    "q35_streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         count(*) AS n_events, round(sum(value),4) AS total_value
+         FROM events GROUP BY 1, 2""",
+    // q36_ivf_topk: intentionally no oracle (kmeans centroids are not
+    // reproducible in SQL) — quality asserted vs brute force in spec.
     "q27_quality_score" -> qualityOracle,
     "q28_token_bpe" -> tokenBpeOracle,
     "q29_multimodal_features" -> multimodalOracle)

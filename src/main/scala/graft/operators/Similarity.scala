@@ -108,6 +108,52 @@ object Similarity {
   private def firstVectorLength(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** IVF (inverted-file) ANN index: k-means centroids partition the vector
+    * space; a query probes only the `nProbe` nearest cells and re-scores
+    * exactly. The scale shape: the index is a plain DataFrame keyed by
+    * `centroid_id` — write it partitioned/bucketed by that column and a
+    * probe becomes a partition-pruned scan of nProbe/nCentroids of the data.
+    * Centroids are trained with MLlib KMeans (fixed seed → deterministic for
+    * a given Spark version; no cross-engine oracle, quality is spec-tested
+    * against brute force). */
+  final case class Ivf(nCentroids: Int, nProbe: Int, seed: Long = 42L) {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    /** (model's cluster centers, index frame (vec_id, v, centroid_id)). */
+    def build(embeddings: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding"): (Array[Array[Double]], DataFrame) = {
+      val feat = normalize(embeddings, idCol, vecCol)
+        .withColumn("features", array_to_vector(col("v")))
+      // few iterations: IVF needs rough cells, not converged clustering —
+      // training cost is index-build cost and 5 rounds is plenty
+      val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("centroid_id")
+        .fit(feat)
+      val index = model.transform(feat).drop("features")
+      (model.clusterCenters.map(_.toArray), index)
+    }
+
+    /** Top-k via probed cells + exact re-score. The centroid shortlist is
+      * computed on the driver (centroids are tiny by construction). */
+    def topK(centers: Array[Array[Double]], index: DataFrame, query: DataFrame,
+             k: Int = 10): DataFrame = {
+      val qv = query.select(col("qv")).head().getSeq[Any](0)
+        .map { case f: Float => f.toDouble; case d: Double => d }.toArray
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val normedQ = qv.map(_ / qn)
+      val probes = centers.zipWithIndex
+        .map { case (c, i) => (i, c.zip(normedQ).map { case (a, b) => a * b }.sum) }
+        .sortBy(-_._2).take(nProbe).map(_._1)
+      index
+        .filter(col("centroid_id").isin(probes.toSeq: _*))
+        .withColumn("cos", dotProduct(col("v"), typedLit(normedQ)))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+    }
+  }
+
   /** Sign-LSH index + exact re-scoring ANN. Build once, query many. */
   final case class SignLsh(nBits: Int, dim: Int) {
 

@@ -25,7 +25,7 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
 
   /** Queries with deliberately no SQL oracle (driver does a rows-only
     * check); each must have a behavior spec instead. */
-  private val oracleless = Set("q25_ann_topk")
+  private val oracleless = Set("q25_ann_topk", "q36_ivf_topk")
 
   test("every query has an oracle (or is a declared rows-only op)") {
     val missing = Queries.all.keySet -- Queries.oracles.keySet -- oracleless

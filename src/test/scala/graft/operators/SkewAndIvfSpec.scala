@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SkewAndIvfSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin: row parity with a plain join under heavy key skew") {
+    // 10k rows on one hot key + a long tail
+    val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("lv"))
+      .union(spark.range(100).select((col("id") + 2).as("k"), col("id").as("lv")))
+    val right = Seq((1L, "hot"), (5L, "cold"), (999L, "missing-left")).toDF("k", "rv")
+
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+    val salted = SkewJoin.saltedJoin(left, right, Seq("k"), saltBuckets = 8)
+      .select("k", "lv", "rv")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("saltedJoin spreads the hot key across buckets") {
+    val left = spark.range(1000).select(lit(1L).as("k"), col("id").as("lv"))
+    val salted = left.withColumn("__graft_salt",
+      pmod(hash(left.columns.map(col): _*), lit(8)))
+    assert(salted.select("__graft_salt").distinct().count() === 8)
+  }
+
+  test("IVF retrieves planted near-duplicates through probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v0 = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    val planted = (1 to 5).map { p =>
+      (9000L + p, v0.zipWithIndex.map { case (x, d) =>
+        x * (1.0f + 0.02f * p * ((d % 3) - 1)) })
+    }
+    val corpus = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+      .union(planted.toDF("vec_id", "embedding"))
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+    val ivf = Similarity.Ivf(nCentroids = 8, nProbe = 2)
+    val (centers, index) = ivf.build(corpus)
+    assert(centers.length === 8)
+    val top = ivf.topK(centers, index, q, k = 10).collect()
+    val found = top.map(_.getLong(0)).toSet intersect planted.map(_._1).toSet
+    info(s"IVF found ${found.size}/5 planted near-dups")
+    assert(found.size === 5) // near-identical vectors share the query's cell
+    // probing fewer cells scanned less than the full corpus
+    val probedRows = index.filter($"centroid_id".isin(
+      centers.zipWithIndex.map { case (c, i) =>
+        val qn = v0.map(_.toDouble)
+        val n = math.sqrt(qn.map(x => x * x).sum)
+        (i, c.zip(qn.map(_ / n)).map { case (a, b) => a * b }.sum)
+      }.sortBy(-_._2).take(2).map(_._1).toSeq: _*)).count()
+    assert(probedRows < corpus.count())
+  }
+}
