@@ -122,6 +122,10 @@ object ExtQueries {
       s.table(name)
     }),
 
+    // Winnowing (rolling-hash) document fingerprints.
+    "q37_winnow_fingerprints" -> ((s, dir) =>
+      TextDedup.winnowFingerprints(t(s, dir, "documents"))),
+
     // IVF ANN (MLlib k-means cells + probed exact re-score). KMeans is
     // deterministic per seed but not reproducible in SQL → rows-only check;
     // retrieval quality is spec-tested against brute force.
@@ -288,6 +292,20 @@ object ExtQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
          count(*) AS n_events, round(sum(value),4) AS total_value
          FROM events GROUP BY 1, 2""",
+    "q37_winnow_fingerprints" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+          shp AS (SELECT doc_id,
+                   [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))] AS sh
+                  FROM toks),
+          hashes AS (SELECT doc_id, [substr(md5(s),1,8) for s in sh] AS hs FROM shp),
+          win AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= 4
+                        THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-2)])
+                        WHEN len(hs) > 0 THEN [list_min(hs)]
+                        ELSE [] END AS fps
+                  FROM hashes)
+          SELECT doc_id, unnest(fps) AS fingerprint FROM win""",
     // q36_ivf_topk: intentionally no oracle (kmeans centroids are not
     // reproducible in SQL) — quality asserted vs brute force in spec.
     "q27_quality_score" -> qualityOracle,

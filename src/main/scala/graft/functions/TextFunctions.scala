@@ -37,6 +37,27 @@ object TextFunctions {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** POSITIONAL shingles (duplicates kept, document order preserved) — the
+    * input a rolling/winnowing fingerprint needs. Same materialized-tokens
+    * contract as [[shinglesFromTokens]]. */
+  def positionalShinglesFromTokens(t: Column, n: Int = 3): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i =>
+        concat_ws(" ", (1 to n).map(k => element_at(t, i + k)): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Winnowing (MOSS-style) fingerprint selection over a positional hash
+    * sequence: the minimum hash of every length-`w` window, deduplicated.
+    * Guarantees any match of length ≥ w+n-1 tokens shares a fingerprint,
+    * with ~2/(w+1) of hashes kept — the standard local sampling for
+    * plagiarism/near-dup detection. */
+  def winnow(hashes: Column, w: Int = 4): Column =
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w), i =>
+        array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<string>")))
+
   /** Seeded portable hash to hex (full md5). */
   def seededMd5(seed: Int, value: Column): Column =
     md5(concat(lit(s"$seed|"), value))

@@ -137,6 +137,21 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Winnowed (rolling-window min-hash) fingerprints: (doc_id, fingerprint)
+    * rows, ~2/(w+1) sampling of the positional shingle hashes. Joining on
+    * `fingerprint` finds docs sharing any ≥(w+2)-token run — the
+    * containment/plagiarism complement to MinHash's whole-doc similarity.
+    * One projection chain + one explode; no shuffle until the caller
+    * aggregates. */
+  def winnowFingerprints(docs: DataFrame, w: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        transform(positionalShinglesFromTokens(col("__toks")),
+          s => substring(md5(s), 1, 8)).as("__hs"))
+      .select(col("doc_id"), explode(winnow(col("__hs"), w)).as("fingerprint"))
+
   /** Exact n-gram Jaccard over candidate pairs found via a shared-shingle
     * join. `maxShingleDf` prunes join shingles whose document frequency
     * exceeds the cap (fan-out control at scale — an ubiquitous shingle is

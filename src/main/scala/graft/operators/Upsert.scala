@@ -34,6 +34,52 @@ object Upsert {
     batch.unionByName(keep)
   }
 
+  /** Hash-bucket column used by the partitioned upsert layout. */
+  val BucketCol = "__graft_bucket"
+
+  /** Upsert into a HASH-PARTITIONED keyed parquet table — the 100 TB shape.
+    *
+    * [[upsertTable]] rewrites the whole table per batch, which is correct but
+    * O(table) I/O; at scale the table must be laid out so a batch only
+    * touches the data it changes. Layout: parquet partitioned by
+    * `pmod(hash(keys), numBuckets)`. A batch's keys hash to a set of buckets
+    * B; the merge reads ONLY those partitions (partition-pruned scan),
+    * anti-joins, and dynamically overwrites ONLY those partition directories
+    * (`partitionOverwriteMode=dynamic`). I/O is O(|touched buckets| ×
+    * bucket size), independent of total table size. */
+  def upsertPartitionedTable(spark: SparkSession, path: String, updates: DataFrame,
+                             keys: Seq[String], updatePriority: Seq[Column],
+                             numBuckets: Int = 64): Unit = {
+    val withBucket = Dedup.firstWins(updates, keys, updatePriority)
+      .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
+    val exists = new java.io.File(path).exists()
+    val merged =
+      if (!exists) withBucket
+      else {
+        val buckets = withBucket.select(BucketCol).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val base = spark.read.parquet(path)
+          .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned
+        withBucket.unionByName(
+          base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged.write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol).parquet(path)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Read back a partitioned keyed table without the layout column. */
+  def readPartitionedTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+
   /** Upsert into a parquet-backed keyed table at `path`, creating it when
     * absent. Atomic-enough for a single writer: writes to a temp dir then
     * swaps, mirroring the reference's single-transaction load

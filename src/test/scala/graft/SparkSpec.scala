@@ -9,6 +9,10 @@ trait SparkSpec {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-tests")
+    // fresh warehouse per JVM: the in-memory catalog forgets managed tables
+    // between runs but their directories survive and block saveAsTable
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
