@@ -160,7 +160,11 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
                         maxShingleDf: Int = 20,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the shingle frame feeds four plan branches (sizes, df filter, both
+    // join arms); persist it once instead of re-tokenizing per branch —
+    // ~shingle-count × ~40B, evicted LRU, disk-spillable
     val sh = shingleRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val rare = sh.join(
       sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))

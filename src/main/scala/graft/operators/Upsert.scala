@@ -52,27 +52,50 @@ object Upsert {
                              numBuckets: Int = 64): Unit = {
     val withBucket = Dedup.firstWins(updates, keys, updatePriority)
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
-    val exists = new java.io.File(path).exists()
-    val merged =
-      if (!exists) withBucket
-      else {
-        val buckets = withBucket.select(BucketCol).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        val base = spark.read.parquet(path)
-          .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned
-        withBucket.unionByName(
-          base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
-      }
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      merged.write.mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol).parquet(path)
-    } finally {
-      prev match {
+    val dir = new java.io.File(path)
+    // layout detection is filesystem-level: partition dirs named
+    // "__graft_bucket=N". A flat dir (even an empty pre-created table) must
+    // be fully migrated — mixing root files with partition dirs is a
+    // conflicting layout for partition discovery.
+    val bucketed = dir.exists() && Option(dir.listFiles()).exists(
+      _.exists(f => f.isDirectory && f.getName.startsWith(BucketCol + "=")))
+
+    def writePartitioned(df: DataFrame, target: String): Unit = {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try df.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(target)
+      finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+    }
+
+    if (bucketed) {
+      // incremental: read + rewrite ONLY the touched buckets
+      val buckets = withBucket.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val base = spark.read.parquet(path)
+        .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned
+      val merged = withBucket.unionByName(
+        base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
+      writePartitioned(merged, path)
+    } else if (dir.exists()) {
+      // one-time migration: legacy flat table → bucketed layout (tmp + swap;
+      // the write must materialize before the source files are removed)
+      val base = spark.read.parquet(path)
+        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
+      val merged = withBucket.unionByName(
+        base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
+      val tmp = path + ".__graft_tmp"
+      writePartitioned(merged, tmp)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+      new java.io.File(tmp).renameTo(dir): Unit
+    } else {
+      writePartitioned(withBucket, path)
     }
   }
 

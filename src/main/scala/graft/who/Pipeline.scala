@@ -18,7 +18,8 @@ final case class PipelineConfig(
     indicatorCodes: Seq[String] = Nil,
     pageSize: Int = 100,
     devRunLimit: Option[Int] = None,
-    skipRequestErrors: Boolean = true)
+    skipRequestErrors: Boolean = true,
+    factBuckets: Int = 64)
 
 /** A1/A2 gates (reference dags/who_gho_etl_dag.py:189-206). */
 final case class DqReport(factRowCount: Long, nullKeyCount: Long) {
@@ -69,12 +70,16 @@ object Pipeline {
     // --- load: DDL + migration check, then keyed upsert per table
     // (dag:168-187, etl/load.py:17-52) -------------------------------------
     Warehouse.createSchema(spark, cfg.warehouseDir)
+    // dims: tiny keyed tables → simple whole-table upsert.
     Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_indicator",
       indicators.toDF(), Seq("indicator_code"), Seq(col("indicator_code")))
     Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_country",
       countries.toDF(), Seq("country_code"), Seq(col("country_code")))
-    Upsert.upsertTable(spark, s"${cfg.warehouseDir}/fact_observation",
-      observations.toDF(), Seq("observation_id"), Seq(col("observation_id")))
+    // fact: the table that is 100 TB at scale → hash-bucket-partitioned
+    // layout; an incremental batch rewrites only the buckets it touches.
+    Upsert.upsertPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation",
+      observations.toDF(), Seq("observation_id"), Seq(col("observation_id")),
+      numBuckets = cfg.factBuckets)
 
     // --- dead letter: always persisted (etl/load.py:55-71) ----------------
     val rejects = indRej.unionByName(ctyRej).unionByName(obsRej)
@@ -83,7 +88,7 @@ object Pipeline {
       rejects.write.mode("append").parquet(s"${cfg.warehouseDir}/rejected_record")
 
     // --- DQ gates over the *loaded* table (dag:189-206) --------------------
-    val fact = spark.read.parquet(s"${cfg.warehouseDir}/fact_observation")
+    val fact = Upsert.readPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation")
     val dq = DqReport(
       factRowCount = fact.count(),
       nullKeyCount = fact.filter(col("indicator_code").isNull ||
