@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Upsert, Validate}
+import graft.operators.{AsOfJoin, Dedup, Upsert, Validate}
 
 /** The engine's declared query surface (SURVEY.md §2 inventory), each entry
   * paired with an ANSI-SQL oracle in [[oracles]] runnable by DuckDB over the
@@ -229,6 +229,41 @@ object Queries {
           round(avg("c_acctbal"), 4).as("avg_acctbal"))
     }),
 
+    // Exact interpolated percentiles per group.
+    "q38_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+    }),
+
+    // Time series: 7-day moving average over daily rollups. The global
+    // window runs on the DAILY aggregate (tiny at any source scale).
+    "q39_moving_avg" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+        .agg(round(sum("o_totalprice"), 4).as("daily_total"))
+      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily.select(col("day"), col("daily_total"),
+        round(avg(col("daily_total")).over(w), 4).as("ma7"))
+    }),
+
+    // As-of join: each event matched to the user's latest order at or
+    // before the event time (union+window operator; DuckDB ASOF oracle).
+    "q40_asof_latest_order" -> ((s, dir) => {
+      val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+      // right side unique per (key, time): deterministic pre-dedup
+      val orders = Dedup.firstWins(t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey").desc))
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofJoin(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey" -> "matched_orderkey",
+          "o_totalprice" -> "matched_totalprice"))
+    }),
+
     // Conditional aggregation (pivot shape without PIVOT syntax).
     "q34_status_by_year" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -406,6 +441,33 @@ object Queries {
          round(avg(c_acctbal),4) AS avg_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+
+    "q38_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q39_moving_avg" ->
+      """WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                               round(sum(o_totalprice), 4) AS daily_total
+                        FROM orders GROUP BY 1)
+         SELECT day, daily_total,
+                round(avg(daily_total) OVER
+                  (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+         FROM daily""",
+
+    "q40_asof_latest_order" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+                    FROM (SELECT *, row_number() OVER
+                            (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) AS rn
+                          FROM orders) WHERE rn = 1)
+         SELECT e.event_id, e.user_id, e.ts,
+                r.o_orderkey AS matched_orderkey,
+                r.o_totalprice AS matched_totalprice
+         FROM events e ASOF JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
 
     "q34_status_by_year" ->
       """SELECT year(o_orderdate) AS order_year,
