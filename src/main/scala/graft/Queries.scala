@@ -75,7 +75,7 @@ object Queries {
 
     // J2: scalar-subquery join (reference README.md:154-160), via spark.sql.
     "q04_orders_at_max_date" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "orders")
       s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
                WHERE o_orderdate = (SELECT max(o_orderdate) FROM orders)""")
     }),
@@ -202,7 +202,7 @@ object Queries {
 
     // J3: referential-integrity DQ via anti-join counts (NOT EXISTS).
     "q31_orphan_check" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "orders", "lineitem")
       s.sql("""SELECT
            (SELECT count(*) FROM lineitem l
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
@@ -214,7 +214,7 @@ object Queries {
 
     // Correlated EXISTS (semi join).
     "q32_exists_big_lineitem" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.register(s, dir, "orders", "lineitem")
       s.sql("""SELECT o_orderkey, o_totalprice FROM orders o
                WHERE EXISTS (SELECT 1 FROM lineitem l
                              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""")
@@ -262,6 +262,44 @@ object Queries {
         leftTime = "ts", rightTime = "o_orderdate",
         rightPayload = Seq("o_orderkey" -> "matched_orderkey",
           "o_totalprice" -> "matched_totalprice"))
+    }),
+
+    // HLL sketch: approximate distinct (no cross-engine oracle — estimator
+    // internals are engine-specific; accuracy asserted vs exact in spec).
+    "q42_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))
+    }),
+
+    // Window-function breadth: lag/lead deltas, rank, cumulative share.
+    "q41_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .withColumn("order_rank", row_number().over(w))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("price_delta", round(col("o_totalprice") - coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 4))
+        .withColumn("running_spend", round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .drop("o_orderdate")
+    }),
+
+    // Gap-based sessionization as a BATCH window query — the SQL-expressible
+    // twin of streaming/EventStreams.sessionize (30-minute gap).
+    "q43_sessionization" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      val gapMs = 30 * 60 * 1000L
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L).otherwise(0L))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
     }),
 
     // Conditional aggregation (pivot shape without PIVOT syntax).
@@ -468,6 +506,35 @@ object Queries {
                 r.o_totalprice AS matched_totalprice
          FROM events e ASOF JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+
+    "q41_window_suite" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER w AS order_rank,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0.0), 4) AS price_delta,
+         round(sum(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "q43_sessionization" ->
+      """WITH marked AS (
+           SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT *, CAST(sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM marked)
+         SELECT user_id, session_seq,
+                min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, round(sum(value), 4) AS total_value
+         FROM sessions GROUP BY user_id, session_seq""",
 
     "q34_status_by_year" ->
       """SELECT year(o_orderdate) AS order_year,

@@ -33,9 +33,13 @@ object Tables {
       case (acc, _) => acc
     }
 
-  /** Register every table as a temp view so `spark.sql` queries resolve —
-    * mirrors the reference's analytics surface where loaded tables are
-    * queried by name (reference README.md:137-161). */
+  /** Register tables as temp views so `spark.sql` queries resolve — mirrors
+    * the reference's analytics surface where loaded tables are queried by
+    * name (reference README.md:137-161). Pass only the tables the query
+    * touches: each registration costs a file listing + footer read. */
+  def register(spark: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    register(spark, dir, names: _*)
 }

@@ -25,7 +25,15 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
 
   /** Queries with deliberately no SQL oracle (driver does a rows-only
     * check); each must have a behavior spec instead. */
-  private val oracleless = Set("q25_ann_topk", "q36_ivf_topk")
+  private val oracleless = Set("q25_ann_topk", "q36_ivf_topk", "q42_approx_distinct")
+
+  test("q42 approx distinct is within 5% of exact") {
+    val row = Queries.all("q42_approx_distinct")(spark, sfDir).head()
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .selectExpr("count(distinct l_orderkey)", "count(distinct l_partkey)").head()
+    assert(math.abs(row.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.05)
+    assert(math.abs(row.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
+  }
 
   test("every query has an oracle (or is a declared rows-only op)") {
     val missing = Queries.all.keySet -- Queries.oracles.keySet -- oracleless
