@@ -61,37 +61,39 @@ object TextDedup {
     * Jaccard (fraction of agreeing minhashes). Output: (doc_a, doc_b,
     * est_jaccard), doc_a < doc_b.
     *
-    * The full signature rides along the banded rows as an array column, so
-    * the whole operator is ONE aggregation + ONE self-join — no join-back to
-    * the signature frame (which would recompute the shingle aggregation per
-    * join arm). The estimate is computed after pair-dedup so each surviving
-    * pair pays for exactly one signature comparison. */
+    * Shuffle discipline, learned the hard way at a 100k-doc / dense-cluster
+    * stress: the band self-join's fan-out is quadratic in cluster size, so
+    * banded rows must stay MINIMAL (id + band key) — carrying the signature
+    * array through the join multiplied shuffle bytes by the fan-out and was
+    * 5× slower. Instead the signature frame is computed once, persisted, and
+    * joined back only for the DISTINCT surviving pairs. */
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val rows = k / bands
     val sig = minhashSignatures(docs, k, idCol, textCol)
-      .select(col("doc_id"), array((0 until k).map(j => col(s"mh$j")): _*).as("mhs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyStructs = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => element_at(col("mhs"), b * rows + r + 1))
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
     }
     val banded = sig
-      .select(col("doc_id"), col("mhs"), explode(array(keyStructs: _*)).as("band"))
-      .select(col("doc_id"), col("mhs"), col("band.band_id"), col("band.band_key"))
+      .select(col("doc_id"), explode(array(keyStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
 
-    val agree = aggregate(
-      zip_with(col("a_mhs"), col("b_mhs"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    banded.as("a")
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.mhs").as("a_mhs"), col("b.mhs").as("b_mhs"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("a_mhs")).as("a_mhs"), first(col("b_mhs")).as("b_mhs"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val agree = (0 until k).map(j =>
+      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(agree.cast("double") / k, 4).as("est_jaccard"))
   }

@@ -19,7 +19,12 @@ final case class PipelineConfig(
     pageSize: Int = 100,
     devRunLimit: Option[Int] = None,
     skipRequestErrors: Boolean = true,
-    factBuckets: Int = 64)
+    factBuckets: Int = 64,
+    /** EP1 fidelity: when set, raw extracts are staged as JSON files and
+      * re-read before transform (the Airflow-task file handoff,
+      * reference dags/who_gho_etl_dag.py:94-129,143-158). When None, data
+      * passes in memory (EP2 / local_run shape). */
+    stageDir: Option[String] = None)
 
 /** A1/A2 gates (reference dags/who_gho_etl_dag.py:189-206). */
 final case class DqReport(factRowCount: Long, nullKeyCount: Long) {
@@ -58,9 +63,25 @@ object Pipeline {
       countryCodes, cfg.devRunLimit, cfg.pageSize)
 
     // --- stage as DataFrames ---------------------------------------------
-    val indDf = ODataClient.toDataFrame(spark, rawInd, Schemas.rawIndicator)
-    val ctyDf = ODataClient.toDataFrame(spark, rawCty, Schemas.rawCountry)
-    val obsDf = ODataClient.toDataFrame(spark, rawObs, Schemas.rawObservation)
+    // Optionally round-trip through JSON stage files (S6/S7): written raw,
+    // re-read with the explicit permissive schema — absent fields become
+    // NULL (the ensure-columns contract) and PERMISSIVE mode sends corrupt
+    // lines to the dead letter instead of failing the job.
+    def staged(df: org.apache.spark.sql.DataFrame, name: String,
+               schema: org.apache.spark.sql.types.StructType) =
+      cfg.stageDir match {
+        case Some(stage) =>
+          df.write.mode("overwrite").json(s"$stage/$name")
+          spark.read.schema(schema).option("mode", "PERMISSIVE")
+            .json(s"$stage/$name")
+        case None => df
+      }
+    val indDf = staged(ODataClient.toDataFrame(spark, rawInd, Schemas.rawIndicator),
+      "indicators_raw", Schemas.rawIndicator)
+    val ctyDf = staged(ODataClient.toDataFrame(spark, rawCty, Schemas.rawCountry),
+      "countries_raw", Schemas.rawCountry)
+    val obsDf = staged(ODataClient.toDataFrame(spark, rawObs, Schemas.rawObservation),
+      "observations_raw", Schemas.rawObservation)
 
     // --- transform + validate (dag:133-165) -------------------------------
     val (indicators, indRej) = ValidateWho.validateIndicators(Transform.transformIndicators(indDf))

@@ -97,6 +97,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(state.get("who_gho_etl").flatMap(_.last_successful_run_at).isDefined)
   }
 
+  test("staged mode (EP1): JSON file handoff produces identical results") {
+    val wh = tempDir("graft-wh-staged")
+    val cfg = PipelineConfig("http://who/api", s"$wh/warehouse", s"$wh/state",
+      stageDir = Some(s"$wh/stage"))
+    val report = Pipeline.run(spark, new WhoStub, cfg)
+    assert(report.observationsLoaded === 4)
+    assert(report.indicatorsLoaded === 2)
+    assert(report.dq.passed)
+    // the stage files exist and are re-readable raw JSON
+    assert(new java.io.File(s"$wh/stage/observations_raw").exists())
+    assert(spark.read.json(s"$wh/stage/observations_raw").count() === 7)
+  }
+
+  test("second batch updates values last-writer-wins across runs") {
+    val wh = tempDir("graft-wh-batches")
+    val cfg = PipelineConfig("http://who/api", s"$wh/warehouse", s"$wh/state")
+    Pipeline.run(spark, new WhoStub, cfg)
+    // batch 2: CAN observation revised (82.0 → 83.3)
+    val stub2 = new WhoStub {
+      override def fetch(url: String): (Int, String) =
+        if (url.contains("WHOSIS_000001") && url.contains("%27CAN%27"))
+          (200, s"""{"value": [${obs(2, "WHOSIS_000001", "CAN", "2019", 83.3, 83.3)}]}""")
+        else super.fetch(url)
+    }
+    val report2 = Pipeline.run(spark, stub2, cfg)
+    assert(report2.observationsLoaded === 4) // same keys, no growth
+    val fact = graft.operators.Upsert.readPartitionedTable(
+      spark, s"${cfg.warehouseDir}/fact_observation")
+    assert(fact.filter(col("spatial_dim") === "CAN")
+      .head().getAs[Double]("numeric_value") === 83.3)
+  }
+
   test("pipeline persists rejected records to the dead-letter table") {
     val wh = tempDir("graft-wh2")
     val stub = new WhoStub {
