@@ -126,6 +126,34 @@ object ExtQueries {
     "q37_winnow_fingerprints" -> ((s, dir) =>
       TextDedup.winnowFingerprints(t(s, dir, "documents"))),
 
+    // Containment near-dups: pairs sharing ≥3 winnowed fingerprints —
+    // catches copied RUNS (plagiarism shape), complementing MinHash's
+    // whole-document similarity. Fingerprints with df > 50 are pruned
+    // (fan-out control, same rationale as the Jaccard shingle cap).
+    "q44_containment_pairs" -> ((s, dir) => {
+      val fp = TextDedup.winnowFingerprints(t(s, dir, "documents"))
+      val rare = fp.join(
+        fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+          .filter(col("df").between(2, 50)).select("fingerprint"),
+        "fingerprint")
+      rare.as("a")
+        .join(rare.as("b"),
+          col("a.fingerprint") === col("b.fingerprint") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+    }),
+
+    // Dead-letter observability: rejects per failure reason.
+    "q45_reject_breakdown" -> ((s, dir) => {
+      val (_, rejected) = graft.operators.Validate.split(
+        t(s, dir, "events"), Queries.eventRulesForOracle)
+      rejected.groupBy(col("error_details"))
+        .agg(count(lit(1)).as("n_rejects"),
+          round(avg(col("value")), 4).as("avg_value"))
+    }),
+
     // IVF ANN (MLlib k-means cells + probed exact re-score). KMeans is
     // deterministic per seed but not reproducible in SQL → rows-only check;
     // retrieval quality is spec-tested against brute force.
@@ -288,6 +316,35 @@ object ExtQueries {
     // q25_ann_topk: intentionally no oracle (rows-only check) — ANN quality
     // is asserted against brute force in SimilaritySpec instead.
     "q26_langid" -> langidOracle,
+    "q44_containment_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+          shp AS (SELECT doc_id,
+                   [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))] AS sh
+                  FROM toks),
+          hashes AS (SELECT doc_id, [substr(md5(s),1,8) for s in sh] AS hs FROM shp),
+          win AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= 4
+                        THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-2)])
+                        WHEN len(hs) > 0 THEN [list_min(hs)]
+                        ELSE [] END AS fps
+                  FROM hashes),
+          fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM win),
+          rare AS (SELECT fp.doc_id, fp.fingerprint FROM fp
+                   JOIN (SELECT fingerprint FROM fp GROUP BY fingerprint
+                         HAVING count(*) BETWEEN 2 AND 50) d
+                     ON fp.fingerprint = d.fingerprint)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM rare a JOIN rare b
+            ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "q45_reject_breakdown" ->
+      s"""SELECT error_details, count(*) AS n_rejects,
+          round(avg(value), 4) AS avg_value
+          FROM (SELECT ${Queries.sqlErrorDetails} AS error_details, value FROM events)
+          WHERE error_details <> '' GROUP BY error_details""",
+
     "q35_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
          count(*) AS n_events, round(sum(value),4) AS total_value

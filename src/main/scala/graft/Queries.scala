@@ -313,6 +313,9 @@ object Queries {
     })
   )
 
+  /** Shared with ExtQueries for the reject-breakdown query. */
+  private[graft] def eventRulesForOracle: Seq[Validate.Rule] = eventRules
+
   private def eventRules: Seq[Validate.Rule] =
     Validate.required("event_id", "ts", "user_id", "event_type") ++ Seq(
       Validate.Rule("event_type not in allowed set",
@@ -329,7 +332,7 @@ object Queries {
       s"event_type IN (${allowedEventTypes.map("'" + _ + "'").mkString(",")})",
     "value must be non-negative" -> "value >= 0")
 
-  private val sqlErrorDetails: String = sqlRules.map { case (msg, ok) =>
+  private[graft] val sqlErrorDetails: String = sqlRules.map { case (msg, ok) =>
     s"CASE WHEN NOT coalesce($ok, false) THEN '$msg' END"
   }.mkString("concat_ws('; ', ", ", ", ")")
 

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gates — the generalization of the reference's
+  * post-load checks (reference dags/who_gho_etl_dag.py:189-206: row-count
+  * gate + null-key gate, fail the run on violation).
+  *
+  * Each expectation compiles to an aggregate over one pass; `check` runs all
+  * expectations against a frame in a SINGLE job (one scan, one collect) and
+  * returns a per-expectation report. At 100 TB a DQ sweep is one extra scan,
+  * not one scan per rule. */
+object DataQuality {
+
+  final case class Expectation(name: String, violations: Column)
+  final case class Result(name: String, violations: Long) {
+    def passed: Boolean = violations == 0
+  }
+  final case class Report(results: Seq[Result]) {
+    def passed: Boolean = results.forall(_.passed)
+    def failures: Seq[Result] = results.filterNot(_.passed)
+  }
+
+  /** A1: the frame must be non-empty. */
+  def expectNonEmpty: Expectation =
+    Expectation("non_empty", when(count(lit(1)) === 0, 1L).otherwise(0L))
+
+  /** A2: columns must never be null. */
+  def expectNoNulls(cols: String*): Expectation =
+    Expectation(s"no_nulls(${cols.mkString(",")})",
+      coalesce(sum(when(cols.map(col(_).isNull).reduce(_ || _), 1L).otherwise(0L)), lit(0L)))
+
+  /** Key uniqueness: duplicate key rows count as violations. */
+  def expectUnique(cols: String*): Expectation =
+    Expectation(s"unique(${cols.mkString(",")})",
+      count(lit(1)) - countDistinct(struct(cols.map(col): _*)))
+
+  /** Value-domain rule: rows where `ok` is false or NULL violate. */
+  def expectAll(name: String, ok: Column): Expectation =
+    Expectation(name,
+      coalesce(sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)), lit(0L)))
+
+  /** One-pass evaluation of all expectations. */
+  def check(df: DataFrame, expectations: Seq[Expectation]): Report = {
+    val row = df.agg(
+      expectations.head.violations.as("e0"),
+      expectations.tail.zipWithIndex.map { case (e, i) =>
+        e.violations.as(s"e${i + 1}") }: _*
+    ).head()
+    Report(expectations.zipWithIndex.map { case (e, i) =>
+      Result(e.name, row.getLong(i))
+    })
+  }
+
+  /** J3: referential integrity — count of child keys absent from the parent
+    * (needs a join, so it is its own job, not part of `check`'s single
+    * pass). */
+  def orphanCount(child: DataFrame, parent: DataFrame,
+                  childKey: String, parentKey: String): Long =
+    child.join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .count()
+}

@@ -37,6 +37,26 @@ object EventStreams {
   private final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
+  /** Streaming incremental load: each micro-batch upserts into a keyed,
+    * hash-bucket-partitioned warehouse table via foreachBatch — the
+    * streaming-native form of the reference's per-run idempotent load
+    * (SURVEY.md §2.10 "incremental-contract equivalent"). Exactly-once
+    * per-key effect: reprocessed batches overwrite the same keys, so
+    * at-least-once delivery composes into idempotent state. Returns the
+    * started query; callers own the trigger/termination. */
+  def upsertStream(events: org.apache.spark.sql.DataFrame, tablePath: String,
+                   checkpointDir: String, keys: Seq[String],
+                   numBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Upsert.upsertPartitionedTable(
+          batch.sparkSession, tablePath, batch,
+          keys, keys.map(col), numBuckets)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Gap-based sessionization with custom state (flatMapGroupsWithState):
     * a session closes when `gapMinutes` pass without an event for the user.
     * This is the KeyValueGroupedDataset custom-state path the built-in

@@ -108,12 +108,16 @@ object Pipeline {
     if (nRejected > 0)
       rejects.write.mode("append").parquet(s"${cfg.warehouseDir}/rejected_record")
 
-    // --- DQ gates over the *loaded* table (dag:189-206) --------------------
+    // --- DQ gates over the *loaded* table (dag:189-206), one pass ---------
     val fact = Upsert.readPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation")
-    val dq = DqReport(
-      factRowCount = fact.count(),
-      nullKeyCount = fact.filter(col("indicator_code").isNull ||
-        col("spatial_dim").isNull || col("time_dim").isNull).count())
+    val dqRow = fact.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("indicator_code").isNull ||
+            col("spatial_dim").isNull || col("time_dim").isNull, 1L).otherwise(0L)),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val dq = DqReport(factRowCount = dqRow.getLong(0), nullKeyCount = dqRow.getLong(1))
 
     // --- watermark (etl/state.py:39-55; wired here, unlike the reference) --
     stateRepo.setLastSuccessfulRunAt("who_gho_etl",
@@ -125,7 +129,7 @@ object Pipeline {
       countriesExtracted = rawCty.size,
       indicatorsLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_indicator").count(),
       countriesLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_country").count(),
-      observationsLoaded = fact.count(),
+      observationsLoaded = dq.factRowCount,
       rejectedRecords = nRejected,
       dq = dq)
   }
