@@ -302,6 +302,53 @@ object Queries {
           count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // Set operations: INTERSECT / EXCEPT.
+    "q46_set_ops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val supp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      cust.intersect(supp).withColumn("op", lit("both"))
+        .unionByName(cust.except(supp).withColumn("op", lit("customer_only")))
+        .unionByName(supp.except(cust).withColumn("op", lit("supplier_only")))
+    }),
+
+    // Fuzzy dedup by edit distance: levenshtein over 80-char prefixes for
+    // candidate pairs blocked on (source, length-bucket) — both join keys
+    // are EQUALITY conditions so the pair space stays a hash join over
+    // small blocks and the quadratic DP runs only on capped prefixes of a
+    // bounded candidate set. (An unblocked same-source join is quadratic in
+    // source size and measured minutes at sf0.1.)
+    "q47_edit_distance_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          floor(col("n_chars") / 10).cast("int").as("len_bucket"),
+          substring(col("text"), 1, 80).as("prefix"))
+      d.as("a").join(d.as("b"),
+          col("a.source") === col("b.source") &&
+            col("a.len_bucket") === col("b.len_bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_distance"))
+        .filter(col("edit_distance") <= 40)
+    }),
+
+    // Equi + range predicate join (burst detection): same-user event pairs
+    // within 5 minutes, blocked on (user, hour) equality so the join stays
+    // a hash join over hour-sized groups — a per-user equi join alone
+    // produces |events-per-user|² rows before the range filter (66M at
+    // sf0.1). Same-hour blocking is the declared semantic (cross-hour
+    // bursts straddle the boundary and are excluded).
+    "q48_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          date_trunc("hour", col("ts")).as("hour"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.hour") === col("b.hour") &&
+            col("b.ts") > col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+        .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"))
+    }),
+
     // Conditional aggregation (pivot shape without PIVOT syntax).
     "q34_status_by_year" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -538,6 +585,36 @@ object Queries {
                 min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM sessions GROUP BY user_id, session_seq""",
+
+    "q46_set_ops" ->
+      """SELECT nationkey, 'both' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT s_nationkey AS nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'customer_only' AS op FROM
+           (SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT s_nationkey AS nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'supplier_only' AS op FROM
+           (SELECT s_nationkey AS nationkey FROM supplier
+            EXCEPT SELECT c_nationkey AS nationkey FROM customer)""",
+
+    "q47_edit_distance_pairs" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_distance
+         FROM documents a JOIN documents b
+           ON a.source = b.source
+          AND floor(a.n_chars / 10) = floor(b.n_chars / 10)
+          AND a.doc_id < b.doc_id
+         WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40""",
+
+    "q48_range_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id
+          AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+          AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 5 MINUTE""",
 
     "q34_status_by_year" ->
       """SELECT year(o_orderdate) AS order_year,

@@ -13,7 +13,8 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     * recall is probabilistic); they must still run. */
   private val mayBeEmpty = Set(
     "q20_minhash_lsh_pairs", "q21_simhash_pairs",
-    "q22_ngram_jaccard_pairs", "q24_embedding_near_dup")
+    "q22_ngram_jaccard_pairs", "q24_embedding_near_dup",
+    "q44_containment_pairs", "q47_edit_distance_pairs", "q48_range_join")
 
   Queries.all.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
