@@ -18,17 +18,25 @@ object Bench {
     // min of two timed passes per query: the environment is a shared VM
     // with visible noisy-neighbor variance, and min-of-N is the standard
     // steady-state estimator under external interference.
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a query may have pinned (outside its timing) so later
       // queries aren't measured under accumulated heap pressure
       spark.catalog.clearCache()
-      dt
+      // a failed run must not masquerade as a fast timing: report -1
+      if (ok) dt else -1.0
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

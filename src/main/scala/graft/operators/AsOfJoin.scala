@@ -33,41 +33,42 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val payloadOut = rightPayload.map(_._2)
 
-    val taggedLeft = left
-      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
-      .withColumn("__is_left", lit(1))
-    val withNullPayload = rightPayload.foldLeft(taggedLeft) {
-      case (df, (src, out)) =>
-        df.withColumn(out, lit(null).cast(right.schema(src).dataType))
-    }
-
-    val taggedRight0 = right
+    // The payload travels as ONE struct, not independent columns: filling
+    // per-column with last(ignoreNulls) would splice a NULL field of the
+    // true as-of match with an older row's value (a row that never
+    // existed), and a match whose payload happens to be all-NULL would be
+    // indistinguishable from no match. The struct is non-null exactly when
+    // a right row exists, regardless of its field values.
+    val payloadStruct = struct(rightPayload.map { case (src, out) => col(src).as(out) }: _*)
+    val rightAligned0 = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime))
       .withColumn("__is_left", lit(0))
-    val renamedRight = rightPayload.foldLeft(taggedRight0) {
-      case (df, (src, out)) => df.withColumn(out, col(src))
-    }
-    val rightAligned = leftCols.foldLeft(renamedRight) {
+      .withColumn("__payload", payloadStruct)
+    val rightAligned = leftCols.foldLeft(rightAligned0) {
       case (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols ++ payloadOut ++ Seq("__k", "__t", "__is_left")).map(col): _*)
+    }.select((leftCols ++ Seq("__payload", "__k", "__t", "__is_left")).map(col): _*)
 
-    val leftAligned = withNullPayload
-      .select((leftCols ++ payloadOut ++ Seq("__k", "__t", "__is_left")).map(col): _*)
+    val payloadType = rightAligned.schema("__payload").dataType
+    val leftAligned = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .select((leftCols ++ Seq("__payload", "__k", "__t", "__is_left")).map(col): _*)
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payloadOut.foldLeft(leftAligned.unionByName(rightAligned)) {
-      case (df, out) => df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
+    val filled = leftAligned.unionByName(rightAligned)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
 
     val leftRows = filled.filter(col("__is_left") === 1)
-      .select((leftCols ++ payloadOut).map(col): _*)
-    if (joinType == "inner")
-      leftRows.filter(payloadOut.map(c => col(c).isNotNull).reduce(_ || _))
-    else leftRows
+    val matchedFilter =
+      if (joinType == "inner") leftRows.filter(col("__payload").isNotNull)
+      else leftRows
+    matchedFilter.select(
+      leftCols.map(col) ++ payloadOut.map(c => col(s"__payload.$c").as(c)): _*)
   }
 }

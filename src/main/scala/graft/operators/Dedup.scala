@@ -36,6 +36,14 @@ object Dedup {
     * `first` semantics on non-key columns made deterministic by min-struct.
     * Map-side combine makes this cheaper than a window at scale. */
   def exact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    // min-struct can only express ASCENDING preference; a .asc/.desc
+    // SortOrder inside struct() fails analysis. Fail fast with a usable
+    // message instead (invert the column value, or use firstWins).
+    require(!order.exists { c =>
+      val s = c.toString
+      s.contains(" ASC NULLS") || s.contains(" DESC NULLS")
+    }, "Dedup.exact orders ascending only — pass plain columns (invert values " +
+      "for descending preference) or use Dedup.firstWins for .asc/.desc ordering")
     val nonKey = df.columns.filterNot(keys.contains)
     // min over a struct ordered by (order..., nonKey...) picks a single
     // deterministic representative without a global sort. Order columns get

@@ -51,21 +51,28 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = firstVectorLength(embeddings, vecCol)
     val normed = normalize(embeddings, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = withSignBits(normed, "v", dim, nBits)
     val half = nBits / 2
-    val banded = sig.select(col("vec_id"), col("v"),
+    // banded rows carry ONLY (id, band, key): shipping the vectors through
+    // the band self-join multiplies shuffle bytes by the candidate fan-out
+    // (the same dense-cluster trap measured in minhashLshPairs); vectors
+    // are joined back from the persisted normalized frame for the DISTINCT
+    // surviving pairs only.
+    val banded = sig.select(col("vec_id"),
       explode(array(
         struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1 << half) - 1)).as("key")),
         struct(lit(1).as("band"), shiftright(col("sig"), half).as("key")))).as("b"))
-      .select(col("vec_id"), col("v"), col("b.band"), col("b.key"))
-    banded.as("a")
+      .select(col("vec_id"), col("b.band"), col("b.key"))
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
-      .groupBy(col("vec_a"), col("vec_b"))
-      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(normed.toDF("vec_a", "va"), "vec_a")
+      .join(normed.toDF("vec_b", "vb"), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(dotProduct(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)

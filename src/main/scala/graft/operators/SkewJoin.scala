@@ -19,9 +19,18 @@ import org.apache.spark.sql.functions._
   * the hot keys (split-union) instead. */
 object SkewJoin {
 
+  /** Join types where right-side replication cannot duplicate output rows:
+    * unmatched right rows never surface. Right/full outer joins would emit
+    * each unmatched right row once PER SALT REPLICA — rejected. */
+  private val saltSafeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"joinType '$joinType' is not salt-safe: replicated right rows would " +
+        "duplicate unmatched right-side output (use inner/left/semi/anti)")
     val saltedLeft = left.withColumn("__graft_salt",
       pmod(hash(left.columns.map(col): _*), lit(saltBuckets)))
     val saltedRight = right.withColumn("__graft_salt",

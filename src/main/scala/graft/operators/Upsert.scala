@@ -37,6 +37,10 @@ object Upsert {
   /** Hash-bucket column used by the partitioned upsert layout. */
   val BucketCol = "__graft_bucket"
 
+  /** Marker file recording the bucket count a layout was written with
+    * (underscore prefix → ignored by parquet file listing). */
+  val BucketMarker = "_graft_buckets"
+
   /** Upsert into a HASH-PARTITIONED keyed parquet table — the 100 TB shape.
     *
     * [[upsertTable]] rewrites the whole table per batch, which is correct but
@@ -56,9 +60,14 @@ object Upsert {
     // layout detection is filesystem-level: partition dirs named
     // "__graft_bucket=N". A flat dir (even an empty pre-created table) must
     // be fully migrated — mixing root files with partition dirs is a
-    // conflicting layout for partition discovery.
+    // conflicting layout for partition discovery. The bucket COUNT the
+    // layout was written with lives in a marker file: merging with a
+    // different modulus would leave stale same-key rows in un-touched
+    // buckets, so a count mismatch forces a full re-bucket migration.
     val bucketed = dir.exists() && Option(dir.listFiles()).exists(
       _.exists(f => f.isDirectory && f.getName.startsWith(BucketCol + "=")))
+    val markerPath = s"$path/$BucketMarker"
+    val layoutBuckets = graft.util.Fs.readMarker(markerPath).map(_.toInt)
 
     def writePartitioned(df: DataFrame, target: String): Unit = {
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -68,9 +77,22 @@ object Upsert {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      graft.util.Fs.writeMarker(s"$target/$BucketMarker", numBuckets.toString)
     }
 
-    if (bucketed) {
+    def migrate(base: DataFrame): Unit = {
+      // tmp + swap; the write must materialize before source files go away
+      val rebucketed = base.withColumn(BucketCol,
+        pmod(hash(keys.map(col): _*), lit(numBuckets)))
+      val merged = withBucket.unionByName(
+        rebucketed.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
+      val tmp = path + ".__graft_tmp"
+      writePartitioned(merged, tmp)
+      graft.util.Fs.deleteRecursively(dir)
+      new java.io.File(tmp).renameTo(dir): Unit
+    }
+
+    if (bucketed && layoutBuckets.contains(numBuckets)) {
       // incremental: read + rewrite ONLY the touched buckets
       val buckets = withBucket.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSeq
@@ -79,21 +101,12 @@ object Upsert {
       val merged = withBucket.unionByName(
         base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
       writePartitioned(merged, path)
+    } else if (bucketed) {
+      // bucket-count change (or pre-marker layout): full re-bucket
+      migrate(spark.read.parquet(path).drop(BucketCol))
     } else if (dir.exists()) {
-      // one-time migration: legacy flat table → bucketed layout (tmp + swap;
-      // the write must materialize before the source files are removed)
-      val base = spark.read.parquet(path)
-        .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
-      val merged = withBucket.unionByName(
-        base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
-      val tmp = path + ".__graft_tmp"
-      writePartitioned(merged, tmp)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
-      }
-      rm(dir)
-      new java.io.File(tmp).renameTo(dir): Unit
+      // legacy flat table → bucketed layout
+      migrate(spark.read.parquet(path))
     } else {
       writePartitioned(withBucket, path)
     }
@@ -116,13 +129,7 @@ object Upsert {
     val tmp = path + ".__graft_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(target)
-    }
+    if (target.exists()) graft.util.Fs.deleteRecursively(target)
     new java.io.File(tmp).renameTo(target): Unit
   }
 }

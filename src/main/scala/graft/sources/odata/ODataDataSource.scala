@@ -108,10 +108,16 @@ class ODataScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
   private var readSchema: StructType = fullSchema
 
   /** Consume `SpatialDim = '<v>'` (the one predicate the OData API accepts,
-    * exactly as the reference pushes it); everything else stays for Spark. */
+    * exactly as the reference pushes it); everything else stays for Spark.
+    * The filter is only claimable in OBSERVATION mode (indicatorCodes set),
+    * where the partition grid actually applies it — claiming it in
+    * single-entitySet mode would silently return unfiltered rows. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val observationMode =
+      options.getOrDefault("indicatorCodes", "").split(",").exists(_.trim.nonEmpty)
     val (pushable, rest) = filters.partition {
-      case EqualTo("SpatialDim", v: String) => pushedSpatialDim.isEmpty && { pushedSpatialDim = Some(v); true }
+      case EqualTo("SpatialDim", v: String) if observationMode =>
+        pushedSpatialDim.isEmpty && { pushedSpatialDim = Some(v); true }
       case _ => false
     }
     notPushed = rest

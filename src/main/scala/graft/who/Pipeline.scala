@@ -67,21 +67,24 @@ object Pipeline {
     // re-read with the explicit permissive schema — absent fields become
     // NULL (the ensure-columns contract) and PERMISSIVE mode sends corrupt
     // lines to the dead letter instead of failing the job.
-    def staged(df: org.apache.spark.sql.DataFrame, name: String,
-               schema: org.apache.spark.sql.types.StructType) =
+    // The re-read schema is the STAGED frame's schema (declared columns
+    // plus any extras the API returned), not just the declared base — EP1
+    // and EP2 must keep identical column sets (extra observation columns
+    // survive; SURVEY.md gotcha #4).
+    def staged(df: org.apache.spark.sql.DataFrame, name: String) =
       cfg.stageDir match {
         case Some(stage) =>
           df.write.mode("overwrite").json(s"$stage/$name")
-          spark.read.schema(schema).option("mode", "PERMISSIVE")
+          spark.read.schema(df.schema).option("mode", "PERMISSIVE")
             .json(s"$stage/$name")
         case None => df
       }
     val indDf = staged(ODataClient.toDataFrame(spark, rawInd, Schemas.rawIndicator),
-      "indicators_raw", Schemas.rawIndicator)
+      "indicators_raw")
     val ctyDf = staged(ODataClient.toDataFrame(spark, rawCty, Schemas.rawCountry),
-      "countries_raw", Schemas.rawCountry)
+      "countries_raw")
     val obsDf = staged(ODataClient.toDataFrame(spark, rawObs, Schemas.rawObservation),
-      "observations_raw", Schemas.rawObservation)
+      "observations_raw")
 
     // --- transform + validate (dag:133-165) -------------------------------
     val (indicators, indRej) = ValidateWho.validateIndicators(Transform.transformIndicators(indDf))

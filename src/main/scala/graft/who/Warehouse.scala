@@ -54,11 +54,7 @@ object Warehouse {
       val current = spark.read.parquet(factPath).schema
       if (!current.fieldNames.contains("observation_id")) {
         // legacy schema — drop + recreate (reference etl/load.py:20-24)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(new java.io.File(factPath))
+        graft.util.Fs.deleteRecursively(new java.io.File(factPath))
       }
     }
     tables.foreach { case (name, schema) =>

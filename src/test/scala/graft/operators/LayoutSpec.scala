@@ -54,6 +54,22 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(changed.size === 1, s"expected 1 rewritten bucket, got $changed")
   }
 
+  test("partitioned upsert: bucket-count change triggers safe re-bucket migration") {
+    val path = tempDir("part-rebucket") + "/t"
+    val base = spark.range(100).select($"id".as("k"), lit("v0").as("v"))
+    Upsert.upsertPartitionedTable(spark, path, base, Seq("k"), Seq(col("k")), numBuckets = 8)
+    // same key updated under a DIFFERENT modulus: without migration the old
+    // row would survive in an untouched bucket → duplicate key
+    val upd = Seq((7L, "V7")).toDF("k", "v")
+    Upsert.upsertPartitionedTable(spark, path, upd, Seq("k"), Seq(col("k")), numBuckets = 4)
+    val out = Upsert.readPartitionedTable(spark, path)
+    assert(out.count() === 100)
+    assert(out.filter($"k" === 7L).collect().map(_.getString(1)).toSeq === Seq("V7"))
+    // layout is now 4 buckets
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith(Upsert.BucketCol)) <= 4)
+  }
+
   test("partitioned upsert: new keys create their buckets, re-run idempotent") {
     val path = tempDir("part-upsert2") + "/t"
     val b1 = Seq((1L, "a")).toDF("k", "v")

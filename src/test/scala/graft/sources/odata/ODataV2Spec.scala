@@ -80,6 +80,18 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
     assert(StubFetcherFactory.fetched.forall(!_.contains("%27CAN%27")))
   }
 
+  test("entitySet mode does NOT claim the SpatialDim filter (would be silently wrong)") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "entitySet" -> "Indicator",
+      "columns" -> "IndicatorCode,IndicatorName,Language")
+      .filter(col("IndicatorCode") === "IND_A")
+    // the unclaimed filter must be re-applied by Spark post-scan
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("IND_A"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedSpatialDim=None"), plan)
+  }
+
   test("column pruning reaches the reader schema") {
     StubFetcherFactory.reset()
     val df = read(
