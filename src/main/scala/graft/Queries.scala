@@ -302,6 +302,20 @@ object Queries {
           count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
     }),
 
+    // PIVOT: customer counts per nation, one column per market segment.
+    // The segment domain is declared explicitly — at scale an undeclared
+    // pivot needs a distinct-scan pass first, so production pivots should
+    // always pin the domain.
+    "q49_pivot_segments" -> ((s, dir) => {
+      val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("c_mktsegment", segments)
+        .agg(count(lit(1)))
+        .na.fill(0L, segments)
+    }),
+
     // Set operations: INTERSECT / EXCEPT.
     "q46_set_ops" -> ((s, dir) => {
       val cust = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -585,6 +599,16 @@ object Queries {
                 min(ts) AS session_start, max(ts) AS session_end,
                 count(*) AS n_events, round(sum(value), 4) AS total_value
          FROM sessions GROUP BY user_id, session_seq""",
+
+    "q49_pivot_segments" ->
+      """SELECT n_name,
+         CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS "AUTOMOBILE",
+         CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS "BUILDING",
+         CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS "FURNITURE",
+         CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS "HOUSEHOLD",
+         CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS "MACHINERY"
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
 
     "q46_set_ops" ->
       """SELECT nationkey, 'both' AS op FROM
