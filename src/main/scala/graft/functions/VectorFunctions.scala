@@ -45,7 +45,9 @@ object VectorFunctions {
   /** Native fused-loop cosine ([[graft.plans.CosineSimilarity]]); requires
     * `CosineSimilarity.register(spark)` on the session first. Bit-identical
     * to [[cosineSimilarity]] (same accumulation order), one pass, no
-    * intermediate arrays. */
+    * intermediate arrays. Length-mismatched inputs yield null in both
+    * formulations (`zip_with` null-padding poisons the HOF fold; the native
+    * expression checks lengths explicitly). */
   def cosineSimilarityNative(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "graft_cosine_sim", toDoubleArray(a), toDoubleArray(b))

@@ -38,11 +38,10 @@ object Dedup {
   def exact(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     // min-struct can only express ASCENDING preference; a .asc/.desc
     // SortOrder inside struct() fails analysis. Fail fast with a usable
-    // message instead (invert the column value, or use firstWins).
-    require(!order.exists { c =>
-      val s = c.toString
-      s.contains(" ASC NULLS") || s.contains(" DESC NULLS")
-    }, "Dedup.exact orders ascending only — pass plain columns (invert values " +
+    // message instead (invert the column value, or use firstWins). The check
+    // inspects the column's node tree, not its string rendering.
+    require(!order.exists(org.apache.spark.sql.graft.ColumnInternals.isSortOrder),
+      "Dedup.exact orders ascending only — pass plain columns (invert values " +
       "for descending preference) or use Dedup.firstWins for .asc/.desc ordering")
     val nonKey = df.columns.filterNot(keys.contains)
     // min over a struct ordered by (order..., nonKey...) picks a single

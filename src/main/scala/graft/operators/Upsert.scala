@@ -48,15 +48,23 @@ object Upsert {
     * touches the data it changes. Layout: parquet partitioned by
     * `pmod(hash(keys), numBuckets)`. A batch's keys hash to a set of buckets
     * B; the merge reads ONLY those partitions (partition-pruned scan),
-    * anti-joins, and dynamically overwrites ONLY those partition directories
-    * (`partitionOverwriteMode=dynamic`). I/O is O(|touched buckets| ×
-    * bucket size), independent of total table size. */
+    * anti-joins, writes the merged buckets to a staging dir, then swaps each
+    * touched bucket directory into place. I/O is O(|touched buckets| ×
+    * bucket size), independent of total table size.
+    *
+    * All filesystem ops go through the Hadoop `FileSystem` resolved from the
+    * path (hdfs://, s3a://, file:// all work). Crash recovery under the
+    * single-writer contract: the staging write materializes fully before any
+    * target bucket is replaced, so a crash mid-swap leaves some buckets
+    * updated and some not — re-running the same batch is idempotent and
+    * heals the table (the upsert of an already-applied batch is a no-op
+    * merge). */
   def upsertPartitionedTable(spark: SparkSession, path: String, updates: DataFrame,
                              keys: Seq[String], updatePriority: Seq[Column],
                              numBuckets: Int = 64): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val withBucket = Dedup.firstWins(updates, keys, updatePriority)
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
-    val dir = new java.io.File(path)
     // layout detection is filesystem-level: partition dirs named
     // "__graft_bucket=N". A flat dir (even an empty pre-created table) must
     // be fully migrated — mixing root files with partition dirs is a
@@ -64,20 +72,14 @@ object Upsert {
     // layout was written with lives in a marker file: merging with a
     // different modulus would leave stale same-key rows in un-touched
     // buckets, so a count mismatch forces a full re-bucket migration.
-    val bucketed = dir.exists() && Option(dir.listFiles()).exists(
-      _.exists(f => f.isDirectory && f.getName.startsWith(BucketCol + "=")))
+    val tableExists = graft.util.Fs.exists(path, conf)
+    val bucketed = graft.util.Fs.hasChildDirWithPrefix(path, BucketCol + "=", conf)
     val markerPath = s"$path/$BucketMarker"
-    val layoutBuckets = graft.util.Fs.readMarker(markerPath).map(_.toInt)
+    val layoutBuckets = graft.util.Fs.readMarker(markerPath, conf).map(_.toInt)
 
     def writePartitioned(df: DataFrame, target: String): Unit = {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try df.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(target)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      graft.util.Fs.writeMarker(s"$target/$BucketMarker", numBuckets.toString)
+      df.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(target)
+      graft.util.Fs.writeMarker(s"$target/$BucketMarker", numBuckets.toString, conf)
     }
 
     def migrate(base: DataFrame): Unit = {
@@ -88,8 +90,7 @@ object Upsert {
         rebucketed.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
       val tmp = path + ".__graft_tmp"
       writePartitioned(merged, tmp)
-      graft.util.Fs.deleteRecursively(dir)
-      new java.io.File(tmp).renameTo(dir): Unit
+      graft.util.Fs.swapInto(tmp, path, conf)
     }
 
     if (bucketed && layoutBuckets.contains(numBuckets)) {
@@ -100,11 +101,18 @@ object Upsert {
         .filter(col(BucketCol).isin(buckets: _*)) // partition-pruned
       val merged = withBucket.unionByName(
         base.join(broadcast(withBucket.select(keys.map(col): _*)), keys, "left_anti"))
-      writePartitioned(merged, path)
+      // stage the touched buckets fully, then swap each bucket dir into the
+      // live table — never overwrite a directory while a job reads from it
+      val tmp = path + ".__graft_tmp"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(tmp)
+      graft.util.Fs.childDirsWithPrefix(tmp, BucketCol + "=", conf).foreach { bucketDir =>
+        graft.util.Fs.swapInto(s"$tmp/$bucketDir", s"$path/$bucketDir", conf)
+      }
+      graft.util.Fs.deleteRecursively(tmp, conf)
     } else if (bucketed) {
       // bucket-count change (or pre-marker layout): full re-bucket
       migrate(spark.read.parquet(path).drop(BucketCol))
-    } else if (dir.exists()) {
+    } else if (tableExists) {
       // legacy flat table → bucketed layout
       migrate(spark.read.parquet(path))
     } else {
@@ -122,14 +130,13 @@ object Upsert {
     * (reference etl/load.py:50-51). */
   def upsertTable(spark: SparkSession, path: String, updates: DataFrame,
                   keys: Seq[String], updatePriority: Seq[Column]): Unit = {
-    val fs = new java.io.File(path)
+    val conf = spark.sparkContext.hadoopConfiguration
     val merged =
-      if (fs.exists()) upsert(spark.read.parquet(path), updates, keys, updatePriority)
+      if (graft.util.Fs.exists(path, conf))
+        upsert(spark.read.parquet(path), updates, keys, updatePriority)
       else Dedup.firstWins(updates, keys, updatePriority)
     val tmp = path + ".__graft_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) graft.util.Fs.deleteRecursively(target)
-    new java.io.File(tmp).renameTo(target): Unit
+    graft.util.Fs.swapInto(tmp, path, conf)
   }
 }

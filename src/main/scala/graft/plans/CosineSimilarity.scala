@@ -23,9 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Null elements inside the arrays are not expected (embedding vectors);
   * null array inputs return null via the standard null-safe contract.
+  * Length-mismatched arrays also return null — matching the HOF version,
+  * where `zip_with` null-padding poisons the fold to null — so the two
+  * formulations stay result-identical on malformed input too.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -43,7 +48,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -69,18 +75,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv;
-         |  $na += $xv * $xv;
-         |  $nb += $yv * $yv;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $a.getDouble($i);
+         |    double $yv = $b.getDouble($i);
+         |    $dot += $xv * $yv;
+         |    $na += $xv * $xv;
+         |    $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -30,7 +30,8 @@ class StateRepo(spark: SparkSession, path: String) extends Checkpointable {
   private val enc = Encoders.product[EtlStateRow]
 
   def all(): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path)
+    if (graft.util.Fs.exists(path, spark.sparkContext.hadoopConfiguration))
+      spark.read.parquet(path)
     else spark.createDataset(Seq.empty[EtlStateRow])(enc).toDF()
 
   /** reference EtlStateRepository.get_state (etl/state.py:17-19). */

@@ -1,19 +1,99 @@
 package graft.util
 
-/** Shared local-filesystem helpers (single-writer warehouse utilities). */
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Storage-layer filesystem helpers, expressed against the Hadoop
+  * `FileSystem` API so the warehouse/upsert/state layout code works on any
+  * Spark-reachable scheme (`file://`, `hdfs://`, `s3a://`, ...), not just the
+  * local filesystem. Every helper resolves the filesystem from the path
+  * itself via `Path.getFileSystem(conf)` — the conf should be
+  * `spark.sparkContext.hadoopConfiguration` so scheme credentials/settings
+  * follow the session.
+  *
+  * Single-writer semantics: `swapInto` is delete-then-rename, which is atomic
+  * on HDFS-like filesystems (rename is a metadata op) and best-effort on
+  * object stores; callers rely on the documented single-writer contract
+  * (SURVEY.md ST3) plus idempotent re-runs for crash recovery.
+  */
 object Fs {
-  def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
+
+  def fileSystem(path: String, conf: Configuration): FileSystem =
+    new Path(path).getFileSystem(conf)
+
+  def exists(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(conf).exists(p)
   }
 
-  def writeMarker(path: String, content: String): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), content): Unit
+  /** True when `path` exists and has at least one child entry. */
+  def nonEmptyDir(path: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
 
-  def readMarker(path: String): Option[String] = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p))
-      Some(java.nio.file.Files.readString(p).trim)
-    else None
+  /** True when `path` contains at least one child DIRECTORY whose name starts
+    * with `prefix` (partition-layout detection, e.g. `__graft_bucket=`). */
+  def hasChildDirWithPrefix(path: String, prefix: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith(prefix))
+  }
+
+  /** Names of child directories of `path` starting with `prefix`. */
+  def childDirsWithPrefix(path: String, prefix: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case s if s.isDirectory && s.getPath.getName.startsWith(prefix) => s.getPath.getName
+    }
+  }
+
+  def deleteRecursively(path: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true): Unit
+  }
+
+  /** Replace `target` with `src` (delete-then-rename). The caller must have
+    * fully materialized `src` first. */
+  def swapInto(src: String, target: String, conf: Configuration): Unit = {
+    val s = new Path(src)
+    val t = new Path(target)
+    val fs = s.getFileSystem(conf)
+    if (fs.exists(t)) fs.delete(t, true): Unit
+    val parent = t.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent): Unit
+    if (!fs.rename(s, t))
+      throw new java.io.IOException(s"rename failed: $src -> $target")
+  }
+
+  def writeMarker(path: String, content: String, conf: Configuration): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readMarker(path: String, conf: Configuration): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
   }
 }

@@ -6,10 +6,10 @@ package graft.who
   * fallbacks. */
 object Config {
 
-  /** reference config.py:34: `str(v).strip().lower() in ("1","true","yes","on")`. */
+  /** reference config.py:34: `str(v).strip().lower() in ("1","true","yes","y")`. */
   def parseBool(v: String, default: Boolean = false): Boolean =
     Option(v).map(_.trim.toLowerCase)
-      .map(s => Set("1", "true", "yes", "on").contains(s))
+      .map(s => Set("1", "true", "yes", "y").contains(s))
       .getOrElse(default)
 
   /** reference config.py:40: comma split, trimmed, empties dropped. */

@@ -42,19 +42,18 @@ object Warehouse {
     "fact_observation" -> factObservation,
     "rejected_record" -> rejectedRecord)
 
-  private def exists(path: String): Boolean = {
-    val f = new java.io.File(path)
-    f.exists() && f.listFiles() != null && f.listFiles().nonEmpty
-  }
-
-  /** reference create_schema: idempotent create + the migration rule. */
+  /** reference create_schema: idempotent create + the migration rule.
+    * Existence/listing/delete via the Hadoop FileSystem API so the warehouse
+    * lives on any scheme Spark can reach (file://, hdfs://, s3a://). */
   def createSchema(spark: SparkSession, warehouseDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(path: String): Boolean = graft.util.Fs.nonEmptyDir(path, conf)
     val factPath = s"$warehouseDir/fact_observation"
     if (exists(factPath)) {
       val current = spark.read.parquet(factPath).schema
       if (!current.fieldNames.contains("observation_id")) {
         // legacy schema — drop + recreate (reference etl/load.py:20-24)
-        graft.util.Fs.deleteRecursively(new java.io.File(factPath))
+        graft.util.Fs.deleteRecursively(factPath, conf)
       }
     }
     tables.foreach { case (name, schema) =>

@@ -70,6 +70,35 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       .count(_.getName.startsWith(Upsert.BucketCol)) <= 4)
   }
 
+  test("partitioned upsert works against a scheme-qualified (file://) URI") {
+    // the storage layer must resolve the filesystem from the path scheme
+    // (Hadoop FileSystem API), not assume java.io.File — this is the 100 TB
+    // deployment shape (hdfs:// / s3a://), exercised here via file://
+    val path = "file://" + tempDir("part-upsert-uri") + "/t"
+    val base = spark.range(100).select($"id".as("k"), lit("v0").as("v"))
+    Upsert.upsertPartitionedTable(spark, path, base, Seq("k"), Seq(col("k")), numBuckets = 4)
+    assert(Upsert.readPartitionedTable(spark, path).count() === 100)
+
+    // incremental merge on the URI path must take the anti-join branch, not
+    // silently re-create: the updated key must not be duplicated
+    val upd = Seq((7L, "V7")).toDF("k", "v")
+    Upsert.upsertPartitionedTable(spark, path, upd, Seq("k"), Seq(col("k")), numBuckets = 4)
+    val out = Upsert.readPartitionedTable(spark, path)
+    assert(out.count() === 100)
+    assert(out.filter($"k" === 7L).collect().map(_.getString(1)).toSeq === Seq("V7"))
+  }
+
+  test("flat upsertTable works against a scheme-qualified (file://) URI") {
+    val path = "file://" + tempDir("flat-upsert-uri") + "/t"
+    val b1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    Upsert.upsertTable(spark, path, b1, Seq("k"), Seq(col("k")))
+    val b2 = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    Upsert.upsertTable(spark, path, b2, Seq("k"), Seq(col("k")))
+    val out = spark.read.parquet(path).orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("partitioned upsert: new keys create their buckets, re-run idempotent") {
     val path = tempDir("part-upsert2") + "/t"
     val b1 = Seq((1L, "a")).toDF("k", "v")

@@ -55,4 +55,18 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out === Map(1L -> "a", 2L -> "z"))
   }
+
+  test("dedup exact rejects .asc/.desc sort-order args, accepts plain columns") {
+    val in = Seq((1L, 2, "b"), (1L, 1, "a")).toDF("k", "ord", "v")
+    val eAsc = intercept[IllegalArgumentException] {
+      Dedup.exact(in, Seq("k"), Seq(col("ord").asc))
+    }
+    assert(eAsc.getMessage.contains("ascending only"))
+    val eDesc = intercept[IllegalArgumentException] {
+      Dedup.exact(in, Seq("k"), Seq(col("ord").desc))
+    }
+    assert(eDesc.getMessage.contains("ascending only"))
+    // plain column passes through untouched
+    assert(Dedup.exact(in, Seq("k"), Seq(col("ord"))).count() === 1)
+  }
 }

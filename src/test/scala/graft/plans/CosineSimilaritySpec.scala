@@ -45,4 +45,19 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSpec {
       "SELECT graft_cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS c").head()
     assert(out.isNullAt(0))
   }
+
+  test("length-mismatched arrays yield null, matching the HOF formulation") {
+    CosineSimilarity.register(spark)
+    // codegen path
+    val sqlOut = spark.sql(
+      "SELECT graft_cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS c").head()
+    assert(sqlOut.isNullAt(0))
+    // both formulations side by side on mismatched input
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(
+        VectorFunctions.cosineSimilarity($"a", $"b").as("hof"),
+        VectorFunctions.cosineSimilarityNative($"a", $"b").as("native"))
+      .head()
+    assert(df.isNullAt(0) && df.isNullAt(1))
+  }
 }

@@ -35,7 +35,8 @@ class WarehouseSpec extends AnyFunSuite with SparkSpec {
   test("Config parsing matches the reference's permissive semantics") {
     assert(Config.parseBool(" TRUE "))
     assert(Config.parseBool("1"))
-    assert(Config.parseBool("on"))
+    assert(Config.parseBool("y"))
+    assert(!Config.parseBool("on")) // reference's truthy set is {1,true,yes,y}
     assert(!Config.parseBool("nope"))
     assert(!Config.parseBool(null, default = false))
     assert(Config.parseBool(null, default = true))
