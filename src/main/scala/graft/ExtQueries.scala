@@ -76,12 +76,16 @@ object ExtQueries {
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.3)),
 
     // ANN through the sign-LSH index (no SQL oracle: rows-only check;
-    // recall vs brute force is asserted in SimilaritySpec).
+    // recall vs brute force is asserted in SimilaritySpec). The index is
+    // built ONCE per (table, params) into a parquet dir partitioned by
+    // bucket; the query itself is a partition-pruned probe — build cost
+    // amortizes across queries exactly as the operator docs promise.
     "q25_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
       val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      lsh.topK(lsh.index(emb.filter(col("vec_id") =!= 0)), q, k = 10)
+      val idx = lsh.loadOrBuild(s,
+        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        Similarity.IndexStore.pathFor(dir, "signlsh_8_64"))
+      lsh.topKPruned(idx, queryVector(s, dir), k = 10)
     }),
 
     // Language-ID heuristic (marker-count argmax).
@@ -156,15 +160,26 @@ object ExtQueries {
 
     // IVF ANN (MLlib k-means cells + probed exact re-score). KMeans is
     // deterministic per seed but not reproducible in SQL → rows-only check;
-    // retrieval quality is spec-tested against brute force.
+    // retrieval quality is spec-tested against brute force. Training runs
+    // ONCE per (table, params): the index persists partitioned by
+    // centroid_id and the query probes nProbe pruned cells.
     "q36_ivf_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
       val ivf = Similarity.Ivf(nCentroids = 16, nProbe = 4)
-      val (centers, index) = ivf.build(emb.filter(col("vec_id") =!= 0))
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val (centers, index) = ivf.loadOrBuild(s,
+        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        Similarity.IndexStore.pathFor(dir, "ivf_16_4"))
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       ivf.topK(centers, index, q, k = 10)
     })
   )
+
+  /** The canonical ANN query vector (vec_id = 0), collected once per call —
+    * one row, driver-side by design (probe-set computation is driver work). */
+  private def queryVector(s: SparkSession, dir: String): Array[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Any](0)
+      .map { case f: Float => f.toDouble; case d: Double => d }.toArray
 
   // ------------------------------------------------------------------ oracles
 

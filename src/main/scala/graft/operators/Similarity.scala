@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.hash60
@@ -23,6 +23,27 @@ import graft.functions.VectorFunctions._
   *    cells.
   */
 object Similarity {
+
+  /** Build-once persistence for ANN indexes ("build once, query many").
+    *
+    * An index is a plain parquet directory partitioned by its cell column
+    * (`bucket` for sign-LSH, `centroid_id` for IVF), so a probe is a
+    * statically partition-pruned scan of a handful of cells — the 100 TB
+    * shape. The location is deterministic per (source, index params): the
+    * first query builds, every later query (across JVMs too) just reads.
+    * Completeness is signalled by Spark's `_SUCCESS` marker — a crashed
+    * build leaves no marker and is rebuilt. */
+  object IndexStore {
+    def pathFor(sourceDir: String, indexName: String): String = {
+      val key = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(sourceDir).substring(0, 12)
+      s"${sys.props("java.io.tmpdir")}/graft-index/$key/$indexName"
+    }
+
+    def isBuilt(spark: SparkSession, path: String): Boolean =
+      graft.util.Fs.exists(s"$path/_SUCCESS",
+        spark.sparkContext.hadoopConfiguration)
+  }
 
   /** Exact top-k by cosine against one query vector (given as a 1-row frame
     * with column `qv`). Tiebreak on id keeps the result total-ordered.
@@ -127,6 +148,30 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    /** Build the index ONCE into `path` (index parquet partitioned by
+      * `centroid_id`, plus a tiny `centers` table) and return the persisted
+      * form; later calls — including from other JVMs — skip KMeans training
+      * entirely and read the parquet. `embeddings` is by-name: a load hit
+      * never evaluates it. */
+    def loadOrBuild(spark: SparkSession, embeddings: => DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+        : (Array[Array[Double]], DataFrame) = {
+      // centers are written LAST, so their _SUCCESS implies a complete index
+      if (!IndexStore.isBuilt(spark, s"$path/centers")) {
+        val (centers, index) = build(embeddings, idCol, vecCol)
+        index.write.mode(SaveMode.Overwrite)
+          .partitionBy("centroid_id").parquet(s"$path/index")
+        spark.createDataFrame(centers.toSeq.zipWithIndex
+            .map { case (c, i) => (i, c.toSeq) })
+          .toDF("centroid_id", "center")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/centers")
+      }
+      val centers = spark.read.parquet(s"$path/centers")
+        .orderBy("centroid_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      (centers, spark.read.parquet(s"$path/index"))
+    }
+
     /** (model's cluster centers, index frame (vec_id, v, centroid_id)). */
     def build(embeddings: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): (Array[Array[Double]], DataFrame) = {
@@ -170,6 +215,46 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame =
       withSignBits(normalize(embeddings, idCol, vecCol), "v", dim, nBits)
         .withColumnRenamed("sig", "bucket")
+
+    /** Build the index ONCE into `path` (parquet partitioned by `bucket`)
+      * and return the persisted frame; later calls — across JVMs too — read
+      * the parquet. `embeddings` is by-name: a load hit never evaluates it. */
+    def loadOrBuild(spark: SparkSession, embeddings: => DataFrame, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      if (!IndexStore.isBuilt(spark, path))
+        index(embeddings, idCol, vecCol).write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket").parquet(path)
+      spark.read.parquet(path)
+    }
+
+    /** Sign signature of an (un-normalized) query vector, computed on the
+      * driver — same planes, same left-to-right fold order as the
+      * expression path in [[withSignBits]], so bucket assignment matches. */
+    def signatureOf(qv: Array[Double]): Int = {
+      val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
+      val qn = qv.map(_ / n)
+      (0 until nBits).map { j =>
+        val p = planeVector(j, dim)
+        val dot = qn.zip(p).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+        if (dot >= 0) 1 << j else 0
+      }.sum
+    }
+
+    /** Top-k through a PERSISTED index: the query signature and its probe
+      * set (Hamming ≤ 1, nBits+1 buckets) are computed on the driver, so
+      * the scan is statically partition-pruned to the probe buckets — no
+      * join, no full sweep. */
+    def topKPruned(indexDf: DataFrame, qv: Array[Double], k: Int = 10): DataFrame = {
+      val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
+      val qn = qv.map(_ / n)
+      val sig = signatureOf(qv)
+      val probes = sig +: (0 until nBits).map(j => sig ^ (1 << j))
+      indexDf.filter(col("bucket").isin(probes: _*))
+        .withColumn("cos", dotProduct(col("v"), typedLit(qn.toSeq)))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+    }
 
     /** Top-k through the index: probe the query bucket and all buckets at
       * Hamming distance 1 (nBits+1 buckets), re-score exactly, take k. */

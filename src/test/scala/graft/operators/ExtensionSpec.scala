@@ -90,6 +90,48 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(foundPlanted === 5)
   }
 
+  test("persisted sign-LSH index probes identically to the in-memory join path") {
+    val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+    val corpus = embeddings.filter($"vec_id" =!= 0)
+    val qv = embeddings.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val q = embeddings.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+    val path = tempDir("lsh-index") + "/signlsh_8_64"
+    val persisted = lsh.loadOrBuild(spark, corpus, path)
+    // second call is a pure read — must not rebuild (by-name corpus unused)
+    val again = lsh.loadOrBuild(spark,
+      sys.error("should not be evaluated"): org.apache.spark.sql.DataFrame, path)
+
+    val viaJoin = lsh.topK(lsh.index(corpus), q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaPruned = lsh.topKPruned(persisted, qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaReload = lsh.topKPruned(again, qv, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaPruned === viaJoin)
+    assert(viaReload === viaJoin)
+  }
+
+  test("persisted IVF index returns the trained-index answer without retraining") {
+    val ivf = Similarity.Ivf(nCentroids = 8, nProbe = 2)
+    val corpus = embeddings.filter($"vec_id" =!= 0)
+    val q = embeddings.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+    val path = tempDir("ivf-index") + "/ivf_8_2"
+    val (centers1, idx1) = ivf.loadOrBuild(spark, corpus, path)
+    val (centers2, idx2) = ivf.loadOrBuild(spark,
+      sys.error("should not be evaluated"): org.apache.spark.sql.DataFrame, path)
+    assert(centers1.map(_.toSeq).toSeq === centers2.map(_.toSeq).toSeq)
+
+    val r1 = ivf.topK(centers1, idx1, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val r2 = ivf.topK(centers2, idx2, q, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(r1 === r2)
+    assert(r1.length === 10)
+  }
+
   test("langId is deterministic and covers markers") {
     val in = Seq(
       (1L, "the cat and the dog and the bird"),
