@@ -325,43 +325,28 @@ object Queries {
         .unionByName(supp.except(cust).withColumn("op", lit("supplier_only")))
     }),
 
-    // Fuzzy dedup by edit distance: levenshtein over 80-char prefixes for
-    // candidate pairs blocked on (source, length-bucket) — both join keys
-    // are EQUALITY conditions so the pair space stays a hash join over
-    // small blocks and the quadratic DP runs only on capped prefixes of a
-    // bounded candidate set. (An unblocked same-source join is quadratic in
-    // source size and measured minutes at sf0.1.)
-    "q47_edit_distance_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          floor(col("n_chars") / 10).cast("int").as("len_bucket"),
-          substring(col("text"), 1, 80).as("prefix"))
-      d.as("a").join(d.as("b"),
-          col("a.source") === col("b.source") &&
-            col("a.len_bucket") === col("b.len_bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          levenshtein(col("a.prefix"), col("b.prefix")).as("edit_distance"))
-        .filter(col("edit_distance") <= 40)
-    }),
+    // Fuzzy dedup by edit distance — see operators.TextDedup.editDistancePairs
+    // for the blocking rationale. Non-vacuous behavior (planted same-source
+    // near-identical docs produce the expected pairs) is asserted in
+    // ExtensionSpec; at the oracle SFs the synthetic corpus happens to
+    // produce zero qualifying pairs, which the oracle confirms.
+    "q47_edit_distance_pairs" -> ((s, dir) =>
+      operators.TextDedup.editDistancePairs(t(s, dir, "documents"))),
 
     // Equi + range predicate join (burst detection): same-user event pairs
-    // within 5 minutes, blocked on (user, hour) equality so the join stays
-    // a hash join over hour-sized groups — a per-user equi join alone
+    // within 5 minutes. Blocked on (user, hour-bucket) equality so the join
+    // stays a hash join over hour-sized groups — a per-user equi join alone
     // produces |events-per-user|² rows before the range filter (66M at
-    // sf0.1). Same-hour blocking is the declared semantic (cross-hour
-    // bursts straddle the boundary and are excluded).
-    "q48_range_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), col("ts"),
-          date_trunc("hour", col("ts")).as("hour"))
-      e.as("a").join(e.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.hour") === col("b.hour") &&
-            col("b.ts") > col("a.ts") &&
-            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
-        .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"))
-    }),
+    // sf0.1). Blocking is TWO-SIDED (left side exploded into hour and
+    // hour+1) so boundary-straddling pairs like :59 → :01 are included —
+    // see operators.RangeJoin.
+    "q48_range_join" -> ((s, dir) =>
+      graft.operators.RangeJoin.withinWindowPairs(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        keyCols = Seq("user_id"), tsCol = "ts",
+        window = expr("INTERVAL 5 MINUTES"),
+        outA = Seq("event_id" -> "event_a"),
+        outB = Seq("event_id" -> "event_b"))),
 
     // Conditional aggregation (pivot shape without PIVOT syntax).
     "q34_status_by_year" -> ((s, dir) => {
@@ -633,12 +618,18 @@ object Queries {
          WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40""",
 
     "q48_range_join" ->
-      """SELECT a.event_id AS event_a, b.event_id AS event_b
-         FROM events a JOIN events b
-           ON a.user_id = b.user_id
-          AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
-          AND b.ts > a.ts
-          AND b.ts <= a.ts + INTERVAL 5 MINUTE""",
+      """WITH a2 AS (
+           SELECT event_id, user_id, ts, date_trunc('hour', ts) AS block FROM events
+           UNION ALL
+           SELECT event_id, user_id, ts, date_trunc('hour', ts) + INTERVAL 1 HOUR AS block
+           FROM events),
+         b1 AS (SELECT event_id, user_id, ts, date_trunc('hour', ts) AS block FROM events)
+         SELECT a2.event_id AS event_a, b1.event_id AS event_b
+         FROM a2 JOIN b1
+           ON a2.user_id = b1.user_id
+          AND a2.block = b1.block
+          AND b1.ts > a2.ts
+          AND b1.ts <= a2.ts + INTERVAL 5 MINUTE""",
 
     "q34_status_by_year" ->
       """SELECT year(o_orderdate) AS order_year,

@@ -186,4 +186,27 @@ object TextDedup {
           (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Fuzzy dedup by edit distance: levenshtein over `prefixLen`-char
+    * prefixes for candidate pairs blocked on (`blockCol`, length-bucket) —
+    * both join keys are EQUALITY conditions so the pair space stays a hash
+    * join over small blocks and the quadratic DP runs only on capped
+    * prefixes of a bounded candidate set. (An unblocked same-block join is
+    * quadratic in block size — measured minutes at sf0.1.)
+    * `lenCol` is the document length used for bucketing (bucket = len/10).
+    * Output: (doc_a, doc_b, edit_distance ≤ maxDistance). */
+  def editDistancePairs(docs: DataFrame, maxDistance: Int = 40, prefixLen: Int = 80,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        blockCol: String = "source", lenCol: String = "n_chars"): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
+      floor(col(lenCol) / 10).cast("int").as("len_bucket"),
+      substring(col(textCol), 1, prefixLen).as("prefix"))
+    d.as("a").join(d.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.len_bucket") === col("b.len_bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.prefix"), col("b.prefix")).as("edit_distance"))
+      .filter(col("edit_distance") <= maxDistance)
+  }
 }

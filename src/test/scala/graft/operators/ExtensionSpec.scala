@@ -132,6 +132,42 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(r1.length === 10)
   }
 
+  test("editDistancePairs finds planted same-source near-identical docs") {
+    // q47 returns 0 rows on the synthetic corpus at both oracle SFs — this
+    // plants true near-duplicates so the edit-distance path is verified on
+    // non-empty output (pairs blocked on (source, len/10 bucket)).
+    val base = "x" * 60 + "abcdefghij"
+    val in = Seq(
+      (1L, "web", 70L, base),                        // identical prefix pair with 2
+      (2L, "web", 70L, base.dropRight(2) + "XY"),    // distance 2 from 1
+      (3L, "web", 71L, base + "z"),                  // same bucket (71/10 == 70/10)
+      (4L, "books", 70L, base),                      // different source: never paired
+      (5L, "web", 250L, "y" * 250)                   // different bucket: never paired
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val out = TextDedup.editDistancePairs(in, maxDistance = 40, prefixLen = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((1L, 2L, 2), (1L, 3L, 1), (2L, 3L, 3)))
+  }
+
+  test("RangeJoin two-sided blocking includes boundary-straddling pairs") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = Seq(
+      (1L, 100L, ts("2024-01-01 10:59:30")), // :59 → :01 pair with event 2
+      (2L, 100L, ts("2024-01-01 11:01:00")),
+      (3L, 100L, ts("2024-01-01 11:02:00")), // same-hour pair with 2
+      (4L, 100L, ts("2024-01-01 12:30:00")), // > 5 min from everything
+      (5L, 200L, ts("2024-01-01 11:00:00"))  // different user: never paired
+    ).toDF("event_id", "user_id", "ts")
+    val out = RangeJoin.withinWindowPairs(in,
+        keyCols = Seq("user_id"), tsCol = "ts",
+        window = expr("INTERVAL 5 MINUTES"),
+        outA = Seq("event_id" -> "event_a"), outB = Seq("event_id" -> "event_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) and (1,3) straddle the hour boundary — the pairs one-sided
+    // blocking drops; (2,3) is the plain same-hour pair
+    assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("langId is deterministic and covers markers") {
     val in = Seq(
       (1L, "the cat and the dog and the bird"),
