@@ -52,6 +52,12 @@ object ExtQueries {
     "q20_minhash_lsh_pairs" -> ((s, dir) =>
       TextDedup.minhashLshPairs(t(s, dir, "documents"), k = K, bands = BANDS)),
 
+    // LSH dedup groups: connected components over band-bucket collisions —
+    // the linear-cost answer for dense duplicate clusters (pair
+    // enumeration is quadratic in cluster size; the component is not).
+    "q50_lsh_dedup_groups" -> ((s, dir) =>
+      TextDedup.minhashLshGroups(t(s, dir, "documents"), k = K, bands = BANDS)),
+
     // SimHash near-dups at Hamming ≤ 3.
     "q21_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(t(s, dir, "documents"))),
@@ -196,6 +202,23 @@ object ExtQueries {
         FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id"""
   }
 
+  /** Transitive closure over the LSH candidate graph via a recursive CTE —
+    * tractable at oracle scale; the Spark side computes the same components
+    * by label propagation. */
+  private def lshGroupsOracle: String =
+    s"""WITH RECURSIVE $shingleCte, $minhashSigSql,
+        bands AS ($bandSql),
+        cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM bands a JOIN bands b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id <> b.doc_id),
+        reach(src, dst) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT reach.src, cand.b FROM reach JOIN cand ON reach.dst = cand.a)
+        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src"""
+
   private def simhashOracle: String = {
     val votes = (0 until 60)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
@@ -315,6 +338,7 @@ object ExtQueries {
          min(doc_id) AS canonical_id, count(*) AS n_docs
          FROM documents GROUP BY 1""",
     "q20_minhash_lsh_pairs" -> minhashOracle,
+    "q50_lsh_dedup_groups" -> lshGroupsOracle,
     "q21_simhash_pairs" -> simhashOracle,
     "q22_ngram_jaccard_pairs" -> jaccardOracle,
     "q23_embedding_topk" ->

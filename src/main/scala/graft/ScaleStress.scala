@@ -40,6 +40,7 @@ object ScaleStress {
     }
     time("exactGroups")(TextDedup.exactGroups(docs).count())
     time("winnowFingerprints")(TextDedup.winnowFingerprints(docs).count())
+    time("minhashLshGroups")(TextDedup.minhashLshGroups(docs).count())
     time("minhashLshPairs")(TextDedup.minhashLshPairs(docs).count())
     time("simhashPairs")(TextDedup.simhashPairs(docs).count())
     spark.stop()

@@ -57,37 +57,54 @@ object TextDedup {
         (1 until k).map(j => min(seededMd5(j, col("sh"))).as(s"mh$j")): _*)
   }
 
+  /** (doc_id, band_id, band_key, bks) banded rows: one row per (doc, band)
+    * carrying the doc's full band-key array `bks` so a pair join can detect
+    * earlier-band collisions without a second pass. */
+  private def bandedRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    val keyCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      md5(concat_ws("|", parts: _*)).as(s"bk$b")
+    }
+    sig.select(col("doc_id") +: keyCols: _*)
+      .select(col("doc_id"),
+        array((0 until bands).map(b => col(s"bk$b")): _*).as("bks"))
+      .select(col("doc_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("band_id", "band_key")))
+  }
+
   /** Candidate near-dup pairs from MinHash LSH banding, with the estimated
     * Jaccard (fraction of agreeing minhashes). Output: (doc_a, doc_b,
     * est_jaccard), doc_a < doc_b.
     *
     * Shuffle discipline, learned the hard way at a 100k-doc / dense-cluster
     * stress: the band self-join's fan-out is quadratic in cluster size, so
-    * banded rows must stay MINIMAL (id + band key) — carrying the signature
-    * array through the join multiplied shuffle bytes by the fan-out and was
-    * 5× slower. Instead the signature frame is computed once, persisted, and
-    * joined back only for the DISTINCT surviving pairs. */
+    * the signature frame is computed once, persisted, and joined back only
+    * for the surviving pairs. Each pair is emitted EXACTLY ONCE, at its
+    * first colliding band (the join filters out pairs that already collided
+    * in an earlier band, using the band-key array each row carries) — in a
+    * dense cluster every pair collides in all `bands` bands, so this cuts
+    * the pair stream `bands`-fold and removes the distinct shuffle
+    * entirely. Carrying the small `bks` array (bands × 32-char md5) through
+    * the join is far cheaper than the duplicate pairs it eliminates. */
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val rows = k / bands
     val sig = minhashSignatures(docs, k, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyStructs = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_key"))
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(keyStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val banded = bandedRows(sig, k, bands)
 
+    // no earlier band j < band_id in which the pair also collides
+    val firstCollision = not((0 until bands - 1).map { j =>
+      col("a.band_id") > j && col("a.bks")(j) === col("b.bks")(j)
+    }.reduce(_ || _))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
+      .filter(firstCollision)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
 
     val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
     val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
@@ -96,6 +113,55 @@ object TextDedup {
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(agree.cast("double") / k, 4).as("est_jaccard"))
+  }
+
+  /** LSH dedup GROUPS: connected components over the band-bucket collision
+    * graph — the scale path for dense duplicate clusters, where enumerating
+    * candidate pairs is inherently quadratic in cluster size (a 10k-copy
+    * document is 50M pairs) but the component answer is linear.
+    *
+    * Implementation is min-label propagation over the bipartite doc↔bucket
+    * graph (the DataFrame form of union-find's star-reduce): each round,
+    * every bucket takes the min label of its member docs, every doc takes
+    * the min label of its buckets; repeat until a fixpoint. Rounds needed =
+    * graph diameter in bucket-hops (2-3 for duplicate clusters); each round
+    * is two hash aggregations, never a pair join — candidate-pair volume
+    * NEVER materializes.
+    *
+    * Output: (doc_id, cluster_id) for every input doc, cluster_id = min
+    * doc_id of the component (singletons map to themselves). */
+  def minhashLshGroups(docs: DataFrame, k: Int = 12, bands: Int = 4,
+                       maxIter: Int = 20,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require(k % bands == 0, "k must divide into equal bands")
+    val sig = minhashSignatures(docs, k, idCol, textCol)
+    val membership = bandedRows(sig, k, bands)
+      .select(col("doc_id"),
+        concat_ws("#", col("band_id"), col("band_key")).as("bucket"))
+      .persist(MEMORY_AND_DISK)
+
+    var labels = docs.select(col(idCol).as("doc_id"))
+      .withColumn("label", col("doc_id")).persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val bucketMin = membership.join(labels, "doc_id")
+        .groupBy("bucket").agg(min("label").as("bmin"))
+      val docMin = membership.join(bucketMin, "bucket")
+        .groupBy("doc_id").agg(min("bmin").as("nmin"))
+      val next = labels.join(docMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    membership.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** 60-bit SimHash per doc: token-frequency-weighted bit votes over the

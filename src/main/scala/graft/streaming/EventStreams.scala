@@ -60,10 +60,19 @@ object EventStreams {
   /** Gap-based sessionization with custom state (flatMapGroupsWithState):
     * a session closes when `gapMinutes` pass without an event for the user.
     * This is the KeyValueGroupedDataset custom-state path the built-in
-    * windows can't express. State per user is O(1). */
-  def sessionize(events: Dataset[UserEvent], gapMinutes: Int = 30) = {
+    * windows can't express. State per user is O(1).
+    *
+    * A watermark is applied on `ts` here (EventTimeTimeout REQUIRES one on
+    * a streaming Dataset — the query fails at start otherwise; on a batch
+    * Dataset `withWatermark` is a no-op). Timeout timestamps are clamped
+    * above the current watermark, since `setTimeoutTimestamp` throws for
+    * values at or behind it (a session whose gap already elapsed times out
+    * at the next watermark tick). */
+  def sessionize(events: Dataset[UserEvent], gapMinutes: Int = 30,
+                 watermarkDelay: String = "10 minutes") = {
     val gapMs = gapMinutes * 60 * 1000L
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -83,7 +92,10 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                  // an in-gap event can still be OLDER than the session end
+                  // (allowed-lateness reordering): never move `last` backward
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+                    s.total + e.value))
                 case Some(s) =>
                   closed :+= toSession(s)
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -93,7 +105,11 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp above the watermark: setTimeoutTimestamp throws for
+              // timestamps <= current watermark (getCurrentWatermarkMs is
+              // -1 in batch execution, so the clamp is a no-op there)
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

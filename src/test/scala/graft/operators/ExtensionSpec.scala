@@ -33,6 +33,38 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(pairs.head.getAs[Double]("est_jaccard") > 0.3)
   }
 
+  test("minhashLshGroups assigns one cluster per duplicate group, singletons to themselves") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val in = Seq(
+      (10L, base), (11L, base + " again"), (12L, base), // one near-dup cluster
+      (20L, "completely unrelated text about spark query engines and columnar execution at scale"),
+      (30L, "another standalone document with its own entirely different vocabulary and topic words")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.minhashLshGroups(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(10L) === 10L && out(12L) === 10L) // exact dups share min-id cluster
+    assert(out(11L) === 10L)                     // near-dup joins the cluster
+    assert(out(20L) === 20L && out(30L) === 30L) // singletons
+    // groups agree with the pair graph: every pair's docs share a cluster
+    val pairs = TextDedup.minhashLshPairs(in).collect()
+    pairs.foreach(p => assert(out(p.getLong(0)) === out(p.getLong(1))))
+  }
+
+  test("minhashLshGroups chains transitive clusters across buckets") {
+    // A ~ B and B ~ C but A !~ C directly: the component must still unify
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    val b = a.replace("alpha beta gamma delta", "alpha beta gamma CHANGED")
+    val c = b.replace("omicron pi", "CHANGED2 pi")
+    val in = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = TextDedup.minhashLshPairs(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = TextDedup.minhashLshGroups(in).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // regardless of which pairs LSH surfaces, components must be consistent
+    pairs.foreach(p => assert(out(p._1) === out(p._2)))
+    if (pairs.nonEmpty) info(s"pairs=$pairs clusters=$out")
+  }
+
   test("simhash: identical docs distance 0; near-dups within 3; distinct docs far") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
     val in = Seq((1L, base), (2L, base), (3L, base + " extra"),
