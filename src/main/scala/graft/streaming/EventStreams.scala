@@ -34,7 +34,9 @@ object EventStreams {
       session_end: java.sql.Timestamp,
       n_events: Long,
       total_value: Double)
-  private final case class SessionState(
+  // public: the streaming state store serializes this via a codegen'd
+  // encoder, and Janino cannot reach a private nested constructor
+  final case class SessionState(
       start: Long, last: Long, n: Long, total: Double)
 
   /** Streaming incremental load: each micro-batch upserts into a keyed,
@@ -106,10 +108,12 @@ object EventStreams {
             cur.foreach { s =>
               state.update(s)
               // clamp above the watermark: setTimeoutTimestamp throws for
-              // timestamps <= current watermark (getCurrentWatermarkMs is
-              // -1 in batch execution, so the clamp is a no-op there)
-              state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+              // timestamps <= current watermark. In batch execution no
+              // watermark is ever attached (withWatermark is a no-op on a
+              // batch Dataset) and getCurrentWatermarkMs itself throws, so
+              // fall back to -1 there and the clamp is a no-op.
+              val wmMs = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(-1L)
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wmMs + 1))
             }
             closed.iterator
           }

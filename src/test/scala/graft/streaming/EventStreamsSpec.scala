@@ -36,6 +36,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("sessionize in streaming mode: gap + event-time timeout emit, late events dropped") {
+    import EventStreams.UserEvent
+    import org.apache.spark.sql.Encoders
+    // offset off epoch: the initial watermark is 0, and an event AT the
+    // watermark is dropped as late — ts(0)==epoch would vanish in batch 1
+    def ts(min: Long) = new java.sql.Timestamp((min + 1440) * 60000L)
+    val dir = tempDir("stream-sessions")
+    val in = s"$dir/in"
+    // one parquet part-file per micro-batch (maxFilesPerTrigger=1), staged in
+    // order so the watermark advances between batches
+    def stage(rows: Seq[UserEvent]): Unit = {
+      rows.toDS().coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50) // distinct mod-times → deterministic file order
+    }
+    stage(Seq(UserEvent(1L, ts(0), 1.0), UserEvent(1L, ts(10), 2.0)))
+    // batch 2: in-gap close of session A; u2 far in the future drives the
+    // watermark to 990min so u1's open session B (timeout 90min) times out
+    stage(Seq(UserEvent(1L, ts(60), 5.0), UserEvent(2L, ts(1000), 7.0)))
+    // batch 3: 100min is far behind the 990min watermark → dropped, u3 never appears
+    stage(Seq(UserEvent(3L, ts(100), 9.0)))
+
+    val stream = spark.readStream.schema(Encoders.product[UserEvent].schema)
+      .option("maxFilesPerTrigger", 1).parquet(in).as[UserEvent]
+    val q = EventStreams.sessionize(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("sessions_out").as[EventStreams.UserSession]
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    info(out.mkString("emitted: ", " | ", ""))
+    // session A (2 events) closed by the gap; session B (1 event) closed by
+    // the event-time timeout once the watermark passed it; u2's session is
+    // still open, u3's late event was dropped
+    assert(out.map(_.user_id).toSeq === Seq(1L, 1L))
+    assert(out(0).n_events === 2 && out(0).total_value === 3.0)
+    assert(out(1).n_events === 1 && out(1).total_value === 5.0)
+  }
+
   test("sessionize: gap splits sessions, state emits on timeout") {
     import EventStreams.UserEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
