@@ -1,9 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Prints ONE JSON line:
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * where `queries` carries the per-query MEDIAN of `SPARK_GRAFT_BENCH_RUNS`
+  * (default 3) timed passes and `value` is the sum of medians.
+  *
+  * Methodology (round-3 lesson: min-of-2 could not tell a 47% regression
+  * from VM noise):
+  *  - median-of-N headline — robust to one noisy pass in either direction;
+  *  - `queries_min` / `queries_spread` (max−min) published alongside, so a
+  *    cross-round delta can be judged against the measured same-run spread:
+  *    a delta inside the spread is noise, not a regression;
+  *  - ANN index build is timed SEPARATELY (`ann_build`): the persisted index
+  *    store is wiped first, one untimed-for-the-headline build pass runs,
+  *    and the timed passes measure the steady-state probe — "build once,
+  *    query many" measured as such, instead of the build landing in
+  *    whichever pass ran first.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,11 +35,9 @@ object Bench {
     // Warm the session (JVM JIT, codegen pipeline, FS metadata) so per-query
     // timings reflect steady-state execution rather than first-query startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // min of two timed passes per query: the environment is a shared VM
-    // with visible noisy-neighbor variance, and min-of-N is the standard
-    // steady-state estimator under external interference.
+
     def timeOnce(name: String,
-                 fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+                 fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -34,14 +52,37 @@ object Bench {
       // a failed run must not masquerade as a fast timing: report -1
       if (ok) dt else -1.0
     }
+
+    // ANN queries persist their index; wipe the store and time the first
+    // (building) pass explicitly, so the later timed passes are pure probes.
+    val annQueries = Seq("q25_ann_topk", "q36_ivf_topk")
+      .filter(SparkEntry.queries.contains)
+    graft.util.Fs.deleteRecursively(
+      s"${sys.props("java.io.tmpdir")}/graft-index",
+      spark.sparkContext.hadoopConfiguration)
+    val annBuild = annQueries.map { name =>
+      name -> timeOnce(name, SparkEntry.queries(name))
+    }.toMap
+
+    final case class Timing(median: Double, min: Double, spread: Double)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (a, b) = (timeOnce(name, fn), timeOnce(name, fn))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val passes = Seq.fill(runs)(timeOnce(name, fn))
+      name -> (if (passes.exists(_ < 0)) Timing(-1.0, -1.0, -1.0)
+               else {
+                 val s = passes.sorted
+                 Timing(s(s.length / 2), s.head, s.last - s.head)
+               })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+    val total = results.values.map(_.median).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","queries":${jsonMap(results.map { case (k, t) => k -> t.median })}""" +
+      s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
+      s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
+      s""","ann_build":${jsonMap(annBuild)}""" +
+      s""","runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -90,7 +90,7 @@ object ExtQueries {
       val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
       val idx = lsh.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-        Similarity.IndexStore.pathFor(dir, "signlsh_8_64"))
+        Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "signlsh_8_64"))
       lsh.topKPruned(idx, queryVector(s, dir), k = 10)
     }),
 
@@ -173,7 +173,7 @@ object ExtQueries {
       val ivf = Similarity.Ivf(nCentroids = 16, nProbe = 4)
       val (centers, index) = ivf.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-        Similarity.IndexStore.pathFor(dir, "ivf_16_4"))
+        Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "ivf_16_4"))
       val q = t(s, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       ivf.topK(centers, index, q, k = 10)

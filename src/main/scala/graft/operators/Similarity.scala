@@ -34,10 +34,18 @@ object Similarity {
     * Completeness is signalled by Spark's `_SUCCESS` marker — a crashed
     * build leaves no marker and is rebuilt. */
   object IndexStore {
-    def pathFor(sourceDir: String, indexName: String): String = {
+    /** Index location keyed on (source path, source DATA fingerprint,
+      * params). The fingerprint — [[graft.util.Fs.fingerprint]], the md5 of
+      * the source's recursive (name, size, mtime) listing — folds the data's
+      * identity into the path: rewriting the source table changes the
+      * fingerprint, so the next query builds a fresh index at a new path
+      * instead of silently probing a stale one. Metadata-only, O(files). */
+    def pathFor(spark: SparkSession, sourcePath: String, indexName: String): String = {
       val key = org.apache.commons.codec.digest.DigestUtils
-        .md5Hex(sourceDir).substring(0, 12)
-      s"${sys.props("java.io.tmpdir")}/graft-index/$key/$indexName"
+        .md5Hex(sourcePath).substring(0, 12)
+      val fp = graft.util.Fs.fingerprint(sourcePath,
+        spark.sparkContext.hadoopConfiguration)
+      s"${sys.props("java.io.tmpdir")}/graft-index/$key-$fp/$indexName"
     }
 
     def isBuilt(spark: SparkSession, path: String): Boolean =

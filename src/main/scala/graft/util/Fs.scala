@@ -54,6 +54,28 @@ object Fs {
     }
   }
 
+  /** Cheap content fingerprint of everything under `path`: md5 over the
+    * sorted recursive listing of (relative name, length, mtime). A rewrite
+    * of any file — even same-size — changes the mtime and therefore the
+    * fingerprint, without reading a byte of data. Metadata-only, so it is
+    * O(files) namenode/inode work: fine to evaluate per query even when the
+    * data itself is 100 TB. Missing path → "absent". */
+  def fingerprint(path: String, conf: Configuration): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) "absent"
+    else {
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val s = it.next()
+        entries += s"${s.getPath.toUri.getPath}|${s.getLen}|${s.getModificationTime}"
+      }
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(entries.sorted.mkString("\n")).substring(0, 12)
+    }
+  }
+
   def deleteRecursively(path: String, conf: Configuration): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -145,6 +145,29 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(viaReload === viaJoin)
   }
 
+  test("index path tracks source data: a table rewrite triggers rebuild, not stale serving") {
+    val src = tempDir("stale-src") + "/embeddings.parquet"
+    val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+    embeddings.filter($"vec_id" =!= 0).write.mode("overwrite").parquet(src)
+
+    val p1 = Similarity.IndexStore.pathFor(spark, src, "signlsh_8_64")
+    lsh.loadOrBuild(spark, spark.read.parquet(src), p1)
+    assert(Similarity.IndexStore.isBuilt(spark, p1))
+
+    // overwrite the source table with a shifted id-space — the fingerprint
+    // (names/sizes/mtimes) changes, so the index path must change too
+    embeddings.filter($"vec_id" =!= 0)
+      .withColumn("vec_id", $"vec_id" + 100000L)
+      .write.mode("overwrite").parquet(src)
+    val p2 = Similarity.IndexStore.pathFor(spark, src, "signlsh_8_64")
+    assert(p2 !== p1)
+    assert(!Similarity.IndexStore.isBuilt(spark, p2)) // → next query rebuilds
+
+    val idx2 = lsh.loadOrBuild(spark, spark.read.parquet(src), p2)
+    val ids = idx2.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.forall(_ >= 100000L)) // the rebuilt index serves the NEW data
+  }
+
   test("persisted IVF index returns the trained-index answer without retraining") {
     val ivf = Similarity.Ivf(nCentroids = 8, nProbe = 2)
     val corpus = embeddings.filter($"vec_id" =!= 0)
