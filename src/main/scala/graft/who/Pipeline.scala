@@ -24,7 +24,16 @@ final case class PipelineConfig(
       * re-read before transform (the Airflow-task file handoff,
       * reference dags/who_gho_etl_dag.py:94-129,143-158). When None, data
       * passes in memory (EP2 / local_run shape). */
-    stageDir: Option[String] = None)
+    stageDir: Option[String] = None,
+    /** When set, OBSERVATION extraction runs through the `graft-odata` DSv2
+      * connector — one Spark task per (indicator, country) pair, the
+      * cluster-parallel form of the reference's sequential fetch loops
+      * (reference etl/extract.py:129-151). Names a no-arg
+      * [[graft.sources.odata.PageFetcherFactory]] class loadable on
+      * executors. When None, the driver-side client fetches sequentially —
+      * that path keeps per-page checkpoint/resume ([[graft.sources.StateRepo]]),
+      * which a pure DSv2 batch scan does not carry. */
+    fetcherFactoryClass: Option[String] = None)
 
 /** A1/A2 gates (reference dags/who_gho_etl_dag.py:189-206). */
 final case class DqReport(factRowCount: Long, nullKeyCount: Long) {
@@ -43,6 +52,25 @@ final case class PipelineReport(
 
 object Pipeline {
 
+  /** The connector-backed raw-observation frame: one InputPartition — one
+    * Spark task — per (indicator, country) pair, in the same grid order as
+    * the reference's nested fetch loops, so `monotonically_increasing_id`
+    * ingest order (and therefore first-wins dedup) matches the sequential
+    * path. `devRunLimit` is pushed into the scan (paging stops at the
+    * limit per partition; Spark's CollectLimit enforces it globally). */
+  def observationFrame(spark: SparkSession, cfg: PipelineConfig, factory: String,
+                       indicatorCodes: Seq[String], countryCodes: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val df = spark.read.format("graft-odata")
+      .option("baseUrl", cfg.baseUrl)
+      .option("fetcherClass", factory)
+      .option("pageSize", cfg.pageSize.toString)
+      .option("columns", Schemas.rawObservation.fieldNames.mkString(","))
+      .option("indicatorCodes", indicatorCodes.mkString(","))
+      .option("countryCodes", countryCodes.mkString(","))
+      .load()
+    cfg.devRunLimit.fold(df)(df.limit)
+  }
+
   def run(spark: SparkSession, fetcher: PageFetcher, cfg: PipelineConfig): PipelineReport = {
     val stateRepo = new StateRepo(spark, cfg.stateDir)
     val client = new ODataClient(cfg.baseUrl, fetcher, Some(stateRepo), cfg.skipRequestErrors)
@@ -59,8 +87,20 @@ object Pipeline {
     val countryCodes = rawCty
       .flatMap(r => Option(r.getOrElse("Code", null)))
       .filter(_.nonEmpty)
-    val rawObs = ODataClient.fetchObservations(client, indicatorCodes,
-      countryCodes, cfg.devRunLimit, cfg.pageSize)
+    // observations: parallel DSv2 scan when a factory is configured, else
+    // the sequential (checkpoint-resumable) driver-side client
+    val (obsRawDf, nObsExtracted) = cfg.fetcherFactoryClass match {
+      case Some(factory) =>
+        val df = observationFrame(spark, cfg, factory, indicatorCodes, countryCodes)
+        // pin the extract: each downstream action would otherwise re-fetch
+        // the API (a DSv2 scan is lazy and re-runs per action)
+        val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (pinned, pinned.count().toInt)
+      case None =>
+        val rawObs = ODataClient.fetchObservations(client, indicatorCodes,
+          countryCodes, cfg.devRunLimit, cfg.pageSize)
+        (ODataClient.toDataFrame(spark, rawObs, Schemas.rawObservation), rawObs.size)
+    }
 
     // --- stage as DataFrames ---------------------------------------------
     // Optionally round-trip through JSON stage files (S6/S7): written raw,
@@ -83,8 +123,7 @@ object Pipeline {
       "indicators_raw")
     val ctyDf = staged(ODataClient.toDataFrame(spark, rawCty, Schemas.rawCountry),
       "countries_raw")
-    val obsDf = staged(ODataClient.toDataFrame(spark, rawObs, Schemas.rawObservation),
-      "observations_raw")
+    val obsDf = staged(obsRawDf, "observations_raw")
 
     // --- transform + validate (dag:133-165) -------------------------------
     val (indicators, indRej) = ValidateWho.validateIndicators(Transform.transformIndicators(indDf))
@@ -126,8 +165,9 @@ object Pipeline {
     stateRepo.setLastSuccessfulRunAt("who_gho_etl",
       new java.sql.Timestamp(System.currentTimeMillis()))
 
+    obsRawDf.unpersist()
     PipelineReport(
-      observationsExtracted = rawObs.size,
+      observationsExtracted = nObsExtracted,
       indicatorsExtracted = rawInd.size,
       countriesExtracted = rawCty.size,
       indicatorsLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_indicator").count(),

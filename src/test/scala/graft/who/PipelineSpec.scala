@@ -5,20 +5,20 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkSpec
 import graft.sources.PageFetcher
+import graft.sources.odata.PageFetcherFactory
 
-/** End-to-end pipeline on a stubbed OData API serving the reference fixtures
-  * (numbers served as JSON numbers to exercise the number→string ingest
-  * coercion). EP2 shape: reference etl/local_run.py:34-117. */
-class PipelineSpec extends AnyFunSuite with SparkSpec {
-
-  private val indicatorsBody =
+/** Reference-fixture WHO API stub (numbers served as JSON numbers to
+  * exercise the number→string ingest coercion). Top-level so the DSv2
+  * `fetcherClass` seam can instantiate it reflectively on executors. */
+private[who] object WhoStubData {
+  val indicatorsBody: String =
     """{"value": [
       {"IndicatorCode": "WHOSIS_000001", "IndicatorName": "Life expectancy at birth (years)", "Language": "EN"},
       {"IndicatorCode": "LIFE_EXPECTANCY_0", "IndicatorName": "Life expectancy at age 60 (years)", "Language": "EN"},
       {"IndicatorCode": "WHOSIS_000001", "IndicatorName": "Life expectancy at birth (years)", "Language": "EN"}
     ]}"""
 
-  private val countriesBody =
+  val countriesBody: String =
     """{"value": [
       {"Code": "USA", "Title": "United States of America"},
       {"Code": "CAN", "Title": "Canada"},
@@ -27,28 +27,40 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       {"Code": "GBR", "Title": "United Kingdom"}
     ]}"""
 
-  private def obs(id: Int, ind: String, cty: String, year: String, num: Any, v: Any) =
+  def obs(id: Int, ind: String, cty: String, year: String, num: Any, v: Any): String =
     s"""{"Id": $id, "IndicatorCode": "$ind", "SpatialDim": "$cty", "SpatialDimType": "COUNTRY",
         "TimeDim": "$year", "TimeDimType": "YEAR", "NumericValue": $num, "Value": $v}"""
+}
 
-  private class WhoStub extends PageFetcher {
-    override def fetch(url: String): (Int, String) = {
-      val body =
-        if (url.contains("/Indicator?")) indicatorsBody
-        else if (url.contains("DIMENSION/COUNTRY")) countriesBody
-        else if (url.contains("WHOSIS_000001") && url.contains("%27USA%27"))
-          s"""{"value": [${obs(1, "WHOSIS_000001", "USA", "2019", 78.5, 78.5)},
-                         ${obs(1, "WHOSIS_000001", "USA", "2019", 78.5, 78.5)}]}"""
-        else if (url.contains("WHOSIS_000001") && url.contains("%27CAN%27"))
-          s"""{"value": [${obs(2, "WHOSIS_000001", "CAN", "2019", 82.0, 82.0)}]}"""
-        else if (url.contains("WHOSIS_000001") && url.contains("%27GBR%27"))
-          s"""{"value": [${obs(5, "WHOSIS_000001", "GBR", "2020-2020", 80.4, 80.4)}]}"""
-        else if (url.contains("LIFE_EXPECTANCY_0") && url.contains("%27MEX%27"))
-          s"""{"value": [${obs(3, "LIFE_EXPECTANCY_0", "MEX", "2018", 75.0, 75.0)}]}"""
-        else """{"value": []}"""
-      (200, body)
-    }
+private[who] class WhoStub extends PageFetcher {
+  import WhoStubData._
+  override def fetch(url: String): (Int, String) = {
+    val body =
+      if (url.contains("/Indicator?")) indicatorsBody
+      else if (url.contains("DIMENSION/COUNTRY")) countriesBody
+      else if (url.contains("WHOSIS_000001") && url.contains("%27USA%27"))
+        s"""{"value": [${obs(1, "WHOSIS_000001", "USA", "2019", 78.5, 78.5)},
+                       ${obs(1, "WHOSIS_000001", "USA", "2019", 78.5, 78.5)}]}"""
+      else if (url.contains("WHOSIS_000001") && url.contains("%27CAN%27"))
+        s"""{"value": [${obs(2, "WHOSIS_000001", "CAN", "2019", 82.0, 82.0)}]}"""
+      else if (url.contains("WHOSIS_000001") && url.contains("%27GBR%27"))
+        s"""{"value": [${obs(5, "WHOSIS_000001", "GBR", "2020-2020", 80.4, 80.4)}]}"""
+      else if (url.contains("LIFE_EXPECTANCY_0") && url.contains("%27MEX%27"))
+        s"""{"value": [${obs(3, "LIFE_EXPECTANCY_0", "MEX", "2018", 75.0, 75.0)}]}"""
+      else """{"value": []}"""
+    (200, body)
   }
+}
+
+/** No-arg factory for the DSv2 connector path (reflective instantiation). */
+class WhoStubFactory extends PageFetcherFactory {
+  override def create(): PageFetcher = new WhoStub
+}
+
+/** End-to-end pipeline on a stubbed OData API serving the reference fixtures.
+  * EP2 shape: reference etl/local_run.py:34-117. */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+  import WhoStubData.obs
 
   test("pipeline end-to-end: extract → transform → validate → upsert → DQ") {
     val wh = tempDir("graft-wh")
@@ -95,6 +107,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // watermark was written
     val state = new graft.sources.StateRepo(spark, cfg.stateDir)
     assert(state.get("who_gho_etl").flatMap(_.last_successful_run_at).isDefined)
+  }
+
+  test("connector mode: DSv2 extraction fans out per (indicator,country), identical results") {
+    val wh = tempDir("graft-wh-dsv2")
+    val cfg = PipelineConfig(
+      baseUrl = "http://who/api",
+      warehouseDir = s"$wh/warehouse",
+      stateDir = s"$wh/state",
+      fetcherFactoryClass = Some(classOf[WhoStubFactory].getName))
+
+    // one InputPartition — one Spark task — per (indicator, country) pair:
+    // 2 indicators × 5 raw country codes (USA duplicated, as the reference
+    // builds the list from the raw extract) = 10 scan partitions
+    val grid = Pipeline.observationFrame(spark, cfg,
+      classOf[WhoStubFactory].getName,
+      Seq("WHOSIS_000001", "LIFE_EXPECTANCY_0"),
+      Seq("USA", "CAN", "MEX", "USA", "GBR"))
+    assert(grid.rdd.getNumPartitions === 10)
+
+    val report = Pipeline.run(spark, new WhoStub, cfg)
+    // byte-for-byte the sequential path's numbers
+    assert(report.observationsExtracted === 7)
+    assert(report.indicatorsLoaded === 2)
+    assert(report.countriesLoaded === 4)
+    assert(report.observationsLoaded === 4)
+    assert(report.rejectedRecords === 0)
+    assert(report.dq.passed)
+
+    // warehouse content identical to the sequential path, including the
+    // first-wins survivor of the duplicated Id=1 observation
+    val fact = graft.operators.Upsert.readPartitionedTable(
+      spark, s"${cfg.warehouseDir}/fact_observation")
+    assert(fact.filter(col("spatial_dim") === "GBR")
+      .head().getAs[Int]("time_dim") === 2020)
+    assert(fact.filter(col("observation_id") === 1L)
+      .head().getAs[Double]("numeric_value") === 78.5)
   }
 
   test("staged mode (EP1): JSON file handoff produces identical results") {
