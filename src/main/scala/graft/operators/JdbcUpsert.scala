@@ -1,0 +1,134 @@
+package graft.operators
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert into a JDBC warehouse — SURVEY.md S8 option (b), the
+  * reference's actual sink (Postgres `INSERT … ON CONFLICT DO UPDATE`,
+  * reference etl/load.py:30-52).
+  *
+  * Spark-first split of the work:
+  *  - the DATA path is distributed: the batch is deduped last-writer-wins
+  *    (same contract as [[Upsert]]) and written `df.write.jdbc` into a
+  *    staging table — one connection per partition, cluster-parallel;
+  *  - the MERGE is one driver-side set-based statement inside a single
+  *    transaction (staging → target), so concurrent readers never observe a
+  *    half-applied batch and a crashed run leaves the target untouched.
+  *
+  * The SQL dialect is pluggable: [[PostgresOnConflict]] emits the
+  * reference's `ON CONFLICT` form (requires a unique index on the keys,
+  * exactly as the reference's schema.sql declares); [[AnsiMerge]] emits
+  * standard `MERGE INTO` (Derby/DB2/SQL Server/Oracle — and what the
+  * embedded round-trip spec runs against).
+  */
+object JdbcUpsert {
+
+  trait Dialect extends Serializable {
+    def upsertSql(target: String, staging: String,
+                  cols: Seq[String], keys: Seq[String]): String
+    /** Spark's JDBC writer creates staging columns QUOTED (lower case as
+      * written); unquoted identifiers would case-fold past them in both
+      * Derby (upper) and Postgres (lower), so the generated SQL quotes
+      * every column reference. */
+    protected def q(id: String): String = "\"" + id + "\""
+  }
+
+  /** Postgres `INSERT … ON CONFLICT (keys) DO UPDATE` (etl/load.py:39-47).
+    * Requires a unique constraint/index on the key columns. */
+  object PostgresOnConflict extends Dialect {
+    override def upsertSql(target: String, staging: String,
+                           cols: Seq[String], keys: Seq[String]): String = {
+      val nonKeys = cols.filterNot(keys.contains)
+      val conflictAction =
+        if (nonKeys.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " + nonKeys.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      s"""INSERT INTO $target (${cols.map(q).mkString(", ")})
+         |SELECT ${cols.map(q).mkString(", ")} FROM $staging
+         |ON CONFLICT (${keys.map(q).mkString(", ")}) $conflictAction""".stripMargin
+    }
+  }
+
+  /** ANSI `MERGE INTO` — needs no declared constraint on the target. */
+  object AnsiMerge extends Dialect {
+    override def upsertSql(target: String, staging: String,
+                           cols: Seq[String], keys: Seq[String]): String = {
+      val nonKeys = cols.filterNot(keys.contains)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val matched =
+        if (nonKeys.isEmpty) ""
+        else "WHEN MATCHED THEN UPDATE SET " +
+          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + "\n"
+      s"""MERGE INTO $target t
+         |USING $staging s
+         |ON $on
+         |${matched}WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
+         |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+    }
+  }
+
+  /** Upsert `batch` into JDBC table `target` keyed on `keys`.
+    *
+    * `orderBy` breaks ties WITHIN the batch (last writer wins, descending
+    * preference first — same contract as [[Upsert.upsert]]); rows already in
+    * the target always lose to the batch (the reference's DO UPDATE).
+    * `stagingOptions` is passed to the staging `df.write.jdbc` (e.g.
+    * `createTableColumnTypes` to get VARCHAR keys instead of the dialect's
+    * default CLOB/TEXT, which some databases refuse to compare in a MERGE). */
+  def upsert(batch: DataFrame, url: String, target: String, keys: Seq[String],
+             orderBy: Seq[Column] = Nil,
+             dialect: Dialect = PostgresOnConflict,
+             props: Properties = new Properties(),
+             stagingOptions: Map[String, String] = Map.empty): Unit = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val cols = batch.columns.toSeq
+    require(keys.forall(cols.contains), s"keys $keys must be columns of the batch")
+
+    // batch-level last-writer-wins dedup (load.py dedupes before INSERT —
+    // Postgres rejects two conflicting rows in one statement otherwise)
+    val ordering = (if (orderBy.nonEmpty) orderBy else Seq(lit(1))) :+
+      monotonically_increasing_id().desc
+    val deduped = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val staging = s"${target}_staging"
+    val writer = deduped.write.mode(SaveMode.Overwrite)
+    stagingOptions.foreach { case (k, v) => writer.option(k, v) }
+    writer.jdbc(url, staging, props)
+
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      if (!tableExists(conn, target))
+        execute(conn, s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA")
+      execute(conn, dialect.upsertSql(target, staging, cols, keys))
+      execute(conn, s"DROP TABLE $staging")
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
+
+  private def execute(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.execute(sql): Unit
+    finally st.close()
+  }
+
+  /** Case-insensitive existence check via JDBC metadata (Derby folds
+    * unquoted identifiers to upper case, Postgres to lower). */
+  private def tableExists(conn: Connection, table: String): Boolean = {
+    def probe(name: String): Boolean = {
+      val rs = conn.getMetaData.getTables(null, null, name, Array("TABLE"))
+      try rs.next() finally rs.close()
+    }
+    probe(table.toUpperCase) || probe(table.toLowerCase) || probe(table)
+  }
+}

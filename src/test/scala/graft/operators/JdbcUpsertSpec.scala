@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-trip for the JDBC upsert sink (SURVEY S8 option (b)) against
+  * embedded Derby — the in-container stand-in for the reference's Postgres
+  * warehouse (reference etl/load.py:30-52). Derby speaks ANSI MERGE; the
+  * Postgres dialect's SQL shape is asserted textually. */
+class JdbcUpsertSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val props = new java.util.Properties()
+  private val varcharName = Map("createTableColumnTypes" -> "name VARCHAR(64)")
+
+  test("embedded round-trip: insert, within-batch dedup, conflicting re-upsert") {
+    val url = s"jdbc:derby:${tempDir("derby")}/wh;create=true"
+    // batch 1 carries an internal conflict on id=2: the later row must win
+    // (last-writer-wins, the Upsert.upsert contract)
+    val batch1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "b2", 21.0))
+      .toDF("id", "name", "v")
+    JdbcUpsert.upsert(batch1, url, "items", Seq("id"),
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+
+    def table() = spark.read.jdbc(url, "items", props).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val t1 = table()
+    assert(t1.size === 2)
+    assert(t1(1L) === (("a", 10.0)))
+    assert(t1(2L) === (("b2", 21.0)))
+
+    // batch 2: conflicting update for id=2, fresh insert id=3
+    val batch2 = Seq((2L, "bb", 22.0), (3L, "c", 30.0)).toDF("id", "name", "v")
+    JdbcUpsert.upsert(batch2, url, "items", Seq("id"),
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+    val t2 = table()
+    assert(t2.size === 3)
+    assert(t2(1L) === (("a", 10.0)))   // untouched key survives
+    assert(t2(2L) === (("bb", 22.0)))  // conflict → batch wins
+    assert(t2(3L) === (("c", 30.0)))   // new key inserted
+
+    // idempotent re-run: same batch, no growth, same content
+    JdbcUpsert.upsert(batch2, url, "items", Seq("id"),
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+    assert(table() === t2)
+  }
+
+  test("explicit orderBy overrides arrival order for within-batch conflicts") {
+    val url = s"jdbc:derby:${tempDir("derby-ord")}/wh;create=true"
+    val batch = Seq((1L, "old", 2024L), (1L, "new", 2025L), (1L, "mid", 2020L))
+      .toDF("id", "name", "version")
+    JdbcUpsert.upsert(batch, url, "versioned", Seq("id"),
+      orderBy = Seq(org.apache.spark.sql.functions.col("version").desc),
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+    val rows = spark.read.jdbc(url, "versioned", props).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(1) === "new") // highest version, not last row
+  }
+
+  test("PostgresOnConflict emits the reference's ON CONFLICT DO UPDATE form") {
+    val sql = JdbcUpsert.PostgresOnConflict
+      .upsertSql("fact", "fact_staging", Seq("k1", "k2", "a", "b"), Seq("k1", "k2"))
+    assert(sql.contains("""INSERT INTO fact ("k1", "k2", "a", "b")"""))
+    assert(sql.contains("""SELECT "k1", "k2", "a", "b" FROM fact_staging"""))
+    assert(sql.contains(
+      """ON CONFLICT ("k1", "k2") DO UPDATE SET "a" = EXCLUDED."a", "b" = EXCLUDED."b""""))
+    // all-key table degrades to DO NOTHING (nothing to update)
+    val keysOnly = JdbcUpsert.PostgresOnConflict
+      .upsertSql("t", "t_staging", Seq("k"), Seq("k"))
+    assert(keysOnly.contains("""ON CONFLICT ("k") DO NOTHING"""))
+  }
+}
