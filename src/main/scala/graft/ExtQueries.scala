@@ -141,7 +141,11 @@ object ExtQueries {
     // whole-document similarity. Fingerprints with df > 50 are pruned
     // (fan-out control, same rationale as the Jaccard shingle cap).
     "q44_containment_pairs" -> ((s, dir) => {
+      // fp feeds three plan branches (the df aggregation and both join
+      // arms): persist once so winnowing computes once, same discipline as
+      // the LSH signature frames
       val fp = TextDedup.winnowFingerprints(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rare = fp.join(
         fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 50)).select("fingerprint"),

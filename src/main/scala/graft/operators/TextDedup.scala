@@ -150,10 +150,17 @@ object TextDedup {
         .groupBy("bucket").agg(min("label").as("bmin"))
       val docMin = membership.join(bucketMin, "bucket")
         .groupBy("doc_id").agg(min("bmin").as("nmin"))
-      val next = labels.join(docMin, Seq("doc_id"), "left")
+      val next0 = labels.join(docMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK)
+      // persist truncates recomputation but not the LOGICAL plan: without a
+      // checkpoint a 20-round propagation hands Catalyst a 40-join tree
+      // (analysis/optimization time compounds per round). localCheckpoint
+      // every 4 rounds bounds plan depth; eager=true materializes before
+      // the previous round's cache is dropped below.
+      val next =
+        if ((iter + 1) % 4 == 0) next0.localCheckpoint(true)
+        else next0.persist(MEMORY_AND_DISK)
       converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") < col("prev")).isEmpty
       labels.unpersist()

@@ -43,12 +43,20 @@ object Transform {
     cols.foldLeft(df)((d, c) =>
       if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
 
-  /** Attach the ingest-order tiebreaker. Monotonic per partition and ordered
-    * across partitions by partition index, so for any source that preserves
-    * file/batch order (our staged reads do) it reproduces pandas row order. */
+  /** Attach the ingest-order tiebreaker: (source file path, per-partition
+    * monotonic id), compared lexicographically. Spark packs FILE-scan
+    * partitions by SIZE (largest first), not file order, so the
+    * partition-index component of `monotonically_increasing_id` alone does
+    * NOT reproduce ingest order across a multi-file staged read; the file
+    * path (part-00000, part-00001, … for staged writes — name order IS
+    * write order) restores it, and within a file/split rows stream in file
+    * order. For non-file sources `input_file_name()` is empty and the
+    * monotonic id alone orders (in-memory batches are single-partition; the
+    * DSv2 scan's partition index follows the (indicator, country) grid). */
   def withIngestOrder(df: DataFrame): DataFrame =
     if (df.columns.contains(IngestOrder)) df
-    else df.withColumn(IngestOrder, monotonically_increasing_id())
+    else df.withColumn(IngestOrder,
+      struct(input_file_name().as("src_file"), monotonically_increasing_id().as("row_seq")))
 
   /** reference transform_observations (etl/transform.py:10-51). Extra
     * (unexpected) columns survive — the reference never projects observations

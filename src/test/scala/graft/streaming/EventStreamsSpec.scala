@@ -36,6 +36,49 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("append mode: windows emit exactly once, late rows dropped, state bounded by open windows") {
+    // The 100 TB contract complete mode can't give: append + watermark emits
+    // each closed window once and EVICTS it from state, so state is O(open
+    // windows), not O(stream length).
+    val dir = tempDir("stream-append")
+    val in = s"$dir/in"
+    def ts(min: Long) = new java.sql.Timestamp((min + 1440) * 60000L)
+    def stage(rows: Seq[(java.sql.Timestamp, String, Double)]): Unit = {
+      rows.toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    stage(Seq((ts(10), "a", 1.0), (ts(20), "a", 2.0), (ts(70), "a", 4.0))) // windows H0, H1
+    stage(Seq((ts(10000), "a", 8.0))) // watermark jumps → H0/H1 close + emit
+    stage(Seq((ts(15), "a", 100.0))) // late into already-emitted H0 → dropped
+
+    val schema = spark.read.parquet(in).schema
+    val q = EventStreams.hourlyWindowedCounts(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("append_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("append_out").collect()
+      .map(r => r.getTimestamp(0).getTime / 60000 - 1440 ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // exactly the two closed windows, each emitted once (map build would
+    // mask dupes — assert raw row count too)
+    assert(spark.table("append_out").count() === 2)
+    assert(out(0L) === ((2L, 3.0)))  // late 100.0 NOT folded in
+    assert(out(60L) === ((1L, 4.0)))
+    // the far-future window is still open: withheld from output, in state
+    assert(!out.contains(9960L))
+    // bounded state: exactly the open window(s), not every window ever seen
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).lastOption
+      .map(_.numRowsTotal).getOrElse(-1L)
+    info(s"state rows at termination: $stateRows")
+    assert(stateRows === 1L)
+  }
+
   test("sessionize in streaming mode: gap + event-time timeout emit, late events dropped") {
     import EventStreams.UserEvent
     import org.apache.spark.sql.Encoders

@@ -69,4 +69,37 @@ class TransformSpec extends AnyFunSuite with SparkSpec {
     val out = Transform.transformCountries(df(WhoFixtures.ctySchema, WhoFixtures.rawCountries))
     assert(out.count() === 3)
   }
+
+  test("first-wins survivor is pandas-identical on a multi-file staged read") {
+    // Spark packs file-scan partitions by SIZE (largest first): the big
+    // later file would claim partition 0, and a bare
+    // monotonically_increasing_id would crown ITS duplicate the "first".
+    // The (file, id) ingest order must keep the survivor from the file
+    // written first — pandas keep='first' on the concatenated stage.
+    val dir = tempDir("staged-order")
+    def row(code: String, name: String) =
+      s"""{"IndicatorCode": "$code", "IndicatorName": "$name", "Language": "EN"}"""
+    // part-00000: 1 row — the TRUE first occurrence of DUP
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-00000.json"),
+      row("DUP", "FIRST").getBytes)
+    // part-00001: much larger, carries a conflicting DUP occurrence
+    val filler = (1 to 50).map(i => row(s"IND_$i", s"Indicator number $i"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-00001.json"),
+      (row("DUP", "SECOND") +: filler).mkString("\n").getBytes)
+
+    val raw = spark.read.schema(Schemas.rawIndicator).json(dir)
+    // precondition that makes the test non-vacuous: the big file really is
+    // scheduled before the small one (size-ordered partitions)
+    val firstPartFile = raw
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .head().getString(0)
+    assert(firstPartFile.contains("part-00001"),
+      s"expected size-ordered scan to lead with part-00001, led with $firstPartFile")
+
+    val out = Transform.transformIndicators(raw)
+      .filter(org.apache.spark.sql.functions.col("IndicatorCode") === "DUP")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("IndicatorName") === "FIRST")
+  }
 }
