@@ -65,7 +65,11 @@ object Bench {
     }.toMap
 
     final case class Timing(median: Double, min: Double, spread: Double)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional focus list for local iteration: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
+    val results = selected.map { case (name, fn) =>
       val passes = Seq.fill(runs)(timeOnce(name, fn))
       name -> (if (passes.exists(_ < 0)) Timing(-1.0, -1.0, -1.0)
                else {

@@ -117,15 +117,15 @@ object ExtQueries {
     // so the q14 oracle applies verbatim.
     "q35_streaming_hourly" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val stage = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
-      t(s, dir, "events").write.mode("overwrite").parquet(s"$stage/in")
-      val schema = s.read.parquet(s"$stage/in").schema
+      // stream straight off the source table — no staging copy in the
+      // timed path; only the checkpoint lives in a temp dir
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
       val name = "graft_q35_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.EventStreams
-        .hourlyWindowedCounts(s.readStream.schema(schema).parquet(s"$stage/in"))
+        .hourlyWindowedCounts(graft.Tables.loadStream(s, dir, "events"))
         .writeStream.outputMode("complete")
         .format("memory").queryName(name)
-        .option("checkpointLocation", s"$stage/ckpt")
+        .option("checkpointLocation", s"$ckpt/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(300000)

@@ -21,6 +21,19 @@ object Tables {
     normalizeNanoTimestamps(df)
   }
 
+  /** Streaming read of a testdata table — same path and nano-ts
+    * normalization as [[load]], no staging copy: the table directory IS the
+    * file-stream source (the schema comes from a driver-side footer read). */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
+    // the testdata tables are single FILES and a file-stream source wants a
+    // directory: monitor the parent, globbed down to this one table
+    normalizeNanoTimestamps(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet")
+        .parquet(dir))
+  }
+
   /** The `events` table stores TIMESTAMP(NANOS) which Spark's TimestampType
     * (microseconds) cannot represent; sessions set
     * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
