@@ -167,7 +167,9 @@ object Similarity {
       // centers are written LAST, so their _SUCCESS implies a complete index
       if (!IndexStore.isBuilt(spark, s"$path/centers")) {
         val (centers, index) = build(embeddings, idCol, vecCol)
-        index.write.mode(SaveMode.Overwrite)
+        // cluster by cell before the partitioned write (same write-
+        // amplification control as the sign-LSH index)
+        index.repartition(col("centroid_id")).write.mode(SaveMode.Overwrite)
           .partitionBy("centroid_id").parquet(s"$path/index")
         spark.createDataFrame(centers.toSeq.zipWithIndex
             .map { case (c, i) => (i, c.toSeq) })
@@ -230,7 +232,13 @@ object Similarity {
     def loadOrBuild(spark: SparkSession, embeddings: => DataFrame, path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
       if (!IndexStore.isBuilt(spark, path))
-        index(embeddings, idCol, vecCol).write.mode(SaveMode.Overwrite)
+        // cluster by bucket before the partitioned write: without it every
+        // writing task opens a file in every bucket dir it touches (tasks ×
+        // buckets tiny files — write amplification that also slows every
+        // later partition-pruned probe); with it each bucket is written by
+        // one task as one file
+        index(embeddings, idCol, vecCol).repartition(col("bucket"))
+          .write.mode(SaveMode.Overwrite)
           .partitionBy("bucket").parquet(path)
       spark.read.parquet(path)
     }
