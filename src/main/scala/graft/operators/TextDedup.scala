@@ -241,11 +241,14 @@ object TextDedup {
     val sh = shingleRows(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // rare feeds BOTH join arms: persist it too, or the df aggregation and
+    // its filter-join execute twice (one extra full shuffle each)
     val rare = sh.join(
       sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxShingleDf && col("df") >= 2)
         .select(col("sh")),
       "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = rare.as("a")
       .join(rare.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
