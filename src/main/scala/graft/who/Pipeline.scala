@@ -33,7 +33,22 @@ final case class PipelineConfig(
       * executors. When None, the driver-side client fetches sequentially —
       * that path keeps per-page checkpoint/resume ([[graft.sources.StateRepo]]),
       * which a pure DSv2 batch scan does not carry. */
-    fetcherFactoryClass: Option[String] = None)
+    fetcherFactoryClass: Option[String] = None,
+    /** When set, the LOAD phase targets a transactional JDBC warehouse —
+      * the reference's actual destination (Postgres; etl/load.py) — via
+      * [[graft.operators.JdbcUpsert]]: dims + fact upserted, rejects
+      * appended, DQ gates read back over JDBC. When None, the load targets
+      * the parquet warehouse layout. */
+    jdbcWarehouse: Option[JdbcWarehouse] = None)
+
+/** JDBC warehouse target. `stringType` is the SQL type given to string
+  * columns of auto-created tables — Spark's default CLOB/TEXT mappings
+  * can't be merge keys on some databases. */
+final case class JdbcWarehouse(
+    url: String,
+    dialect: graft.operators.JdbcUpsert.Dialect = graft.operators.JdbcUpsert.PostgresOnConflict,
+    props: java.util.Properties = new java.util.Properties(),
+    stringType: String = "VARCHAR(1024)")
 
 /** A1/A2 gates (reference dags/who_gho_etl_dag.py:189-206). */
 final case class DqReport(factRowCount: Long, nullKeyCount: Long) {
@@ -132,26 +147,55 @@ object Pipeline {
 
     // --- load: DDL + migration check, then keyed upsert per table
     // (dag:168-187, etl/load.py:17-52) -------------------------------------
-    Warehouse.createSchema(spark, cfg.warehouseDir)
-    // dims: tiny keyed tables → simple whole-table upsert.
-    Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_indicator",
-      indicators.toDF(), Seq("indicator_code"), Seq(col("indicator_code")))
-    Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_country",
-      countries.toDF(), Seq("country_code"), Seq(col("country_code")))
-    // fact: the table that is 100 TB at scale → hash-bucket-partitioned
-    // layout; an incremental batch rewrites only the buckets it touches.
-    Upsert.upsertPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation",
-      observations.toDF(), Seq("observation_id"), Seq(col("observation_id")),
-      numBuckets = cfg.factBuckets)
+    cfg.jdbcWarehouse match {
+      case Some(wh) =>
+        // the reference's destination shape: each table upserted through
+        // the staging-write + one-transaction merge sink
+        def stringTypes(df: org.apache.spark.sql.DataFrame): Map[String, String] = {
+          val decl = df.schema.fields
+            .collect { case f if f.dataType == org.apache.spark.sql.types.StringType =>
+              s"${f.name} ${wh.stringType}" }
+          if (decl.isEmpty) Map.empty
+          else Map("createTableColumnTypes" -> decl.mkString(", "))
+        }
+        def up(df: org.apache.spark.sql.DataFrame, table: String, keys: Seq[String]): Unit =
+          graft.operators.JdbcUpsert.upsert(df, wh.url, table, keys,
+            dialect = wh.dialect, props = wh.props, stagingOptions = stringTypes(df))
+        up(indicators.toDF(), "dim_indicator", Seq("indicator_code"))
+        up(countries.toDF(), "dim_country", Seq("country_code"))
+        up(observations.toDF(), "fact_observation", Seq("observation_id"))
+      case None =>
+        Warehouse.createSchema(spark, cfg.warehouseDir)
+        // dims: tiny keyed tables → simple whole-table upsert.
+        Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_indicator",
+          indicators.toDF(), Seq("indicator_code"), Seq(col("indicator_code")))
+        Upsert.upsertTable(spark, s"${cfg.warehouseDir}/dim_country",
+          countries.toDF(), Seq("country_code"), Seq(col("country_code")))
+        // fact: the table that is 100 TB at scale → hash-bucket-partitioned
+        // layout; an incremental batch rewrites only the buckets it touches.
+        Upsert.upsertPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation",
+          observations.toDF(), Seq("observation_id"), Seq(col("observation_id")),
+          numBuckets = cfg.factBuckets)
+    }
 
     // --- dead letter: always persisted (etl/load.py:55-71) ----------------
     val rejects = indRej.unionByName(ctyRej).unionByName(obsRej)
     val nRejected = rejects.count()
-    if (nRejected > 0)
-      rejects.write.mode("append").parquet(s"${cfg.warehouseDir}/rejected_record")
+    if (nRejected > 0) cfg.jdbcWarehouse match {
+      case Some(wh) =>
+        rejects.write.mode("append").jdbc(wh.url, "rejected_record", wh.props)
+      case None =>
+        rejects.write.mode("append").parquet(s"${cfg.warehouseDir}/rejected_record")
+    }
 
     // --- DQ gates over the *loaded* table (dag:189-206), one pass ---------
-    val fact = Upsert.readPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation")
+    def loadedTable(jdbcName: String, parquetRead: => org.apache.spark.sql.DataFrame) =
+      cfg.jdbcWarehouse match {
+        case Some(wh) => spark.read.jdbc(wh.url, jdbcName, wh.props)
+        case None => parquetRead
+      }
+    val fact = loadedTable("fact_observation",
+      Upsert.readPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation"))
     val dqRow = fact.agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
       org.apache.spark.sql.functions.coalesce(
@@ -170,8 +214,10 @@ object Pipeline {
       observationsExtracted = nObsExtracted,
       indicatorsExtracted = rawInd.size,
       countriesExtracted = rawCty.size,
-      indicatorsLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_indicator").count(),
-      countriesLoaded = spark.read.parquet(s"${cfg.warehouseDir}/dim_country").count(),
+      indicatorsLoaded = loadedTable("dim_indicator",
+        spark.read.parquet(s"${cfg.warehouseDir}/dim_indicator")).count(),
+      countriesLoaded = loadedTable("dim_country",
+        spark.read.parquet(s"${cfg.warehouseDir}/dim_country")).count(),
       observationsLoaded = dq.factRowCount,
       rejectedRecords = nRejected,
       dq = dq)

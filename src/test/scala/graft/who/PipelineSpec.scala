@@ -145,6 +145,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .head().getAs[Double]("numeric_value") === 78.5)
   }
 
+  test("JDBC warehouse: pipeline loads dims+fact into the database, LWW across runs, dead letter") {
+    val wh = tempDir("graft-wh-jdbc")
+    val url = s"jdbc:derby:$wh/db;create=true"
+    val props = new java.util.Properties()
+    val cfg = PipelineConfig("http://who/api", s"$wh/warehouse", s"$wh/state",
+      jdbcWarehouse = Some(JdbcWarehouse(url,
+        dialect = graft.operators.JdbcUpsert.AnsiMerge)))
+
+    val report = Pipeline.run(spark, new WhoStub, cfg)
+    assert(report.indicatorsLoaded === 2)
+    assert(report.countriesLoaded === 4)
+    assert(report.observationsLoaded === 4)
+    assert(report.dq.passed)
+    // nothing was written to the parquet warehouse — the load went to JDBC
+    assert(!new java.io.File(s"${cfg.warehouseDir}/fact_observation").exists())
+
+    // last-writer-wins across runs, straight from the database
+    val stub2 = new WhoStub {
+      override def fetch(u: String): (Int, String) =
+        if (u.contains("WHOSIS_000001") && u.contains("%27CAN%27"))
+          (200, s"""{"value": [${obs(2, "WHOSIS_000001", "CAN", "2019", 83.3, 83.3)}]}""")
+        else super.fetch(u)
+    }
+    val report2 = Pipeline.run(spark, stub2, cfg)
+    assert(report2.observationsLoaded === 4) // same keys, no growth
+    val fact = spark.read.jdbc(url, "fact_observation", props)
+    assert(fact.filter(col("spatial_dim") === "CAN")
+      .head().getAs[Double]("numeric_value") === 83.3)
+
+    // dead letter lands in the database too
+    val stub3 = new WhoStub {
+      override def fetch(u: String): (Int, String) =
+        if (u.contains("LIFE_EXPECTANCY_0") && u.contains("%27MEX%27"))
+          (200, """{"value": [{"Id": null, "IndicatorCode": "LIFE_EXPECTANCY_0",
+            "SpatialDim": "MEX", "SpatialDimType": "COUNTRY", "TimeDim": "2018",
+            "TimeDimType": "YEAR", "NumericValue": 75.0, "Value": 75.0}]}""")
+        else super.fetch(u)
+    }
+    val report3 = Pipeline.run(spark, stub3, cfg)
+    assert(report3.rejectedRecords === 1)
+    val rej = spark.read.jdbc(url, "rejected_record", props).collect()
+    assert(rej.length === 1)
+    assert(rej.head.getAs[String]("error_details").contains("observation_id is required"))
+  }
+
   test("staged mode (EP1): JSON file handoff produces identical results") {
     val wh = tempDir("graft-wh-staged")
     val cfg = PipelineConfig("http://who/api", s"$wh/warehouse", s"$wh/state",
