@@ -59,6 +59,27 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming incremental load into a TRANSACTIONAL JDBC warehouse: each
+    * micro-batch runs through [[graft.operators.JdbcUpsert]] (parallel
+    * staging write + one-transaction merge), so at-least-once micro-batch
+    * delivery composes into idempotent per-key state — the streaming form
+    * of the reference's ON CONFLICT load, against its actual storage shape. */
+  def upsertStreamJdbc(events: org.apache.spark.sql.DataFrame, url: String, table: String,
+                       checkpointDir: String, keys: Seq[String],
+                       dialect: graft.operators.JdbcUpsert.Dialect =
+                         graft.operators.JdbcUpsert.PostgresOnConflict,
+                       props: java.util.Properties = new java.util.Properties(),
+                       stagingOptions: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.JdbcUpsert.upsert(batch, url, table, keys,
+          dialect = dialect, props = props, stagingOptions = stagingOptions)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Gap-based sessionization with custom state (flatMapGroupsWithState):
     * a session closes when `gapMinutes` pass without an event for the user.
     * This is the KeyValueGroupedDataset custom-state path the built-in

@@ -36,6 +36,37 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("streaming JDBC upsert: micro-batches compose into idempotent keyed state") {
+    val dir = tempDir("stream-jdbc")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val in = s"$dir/in"
+    def stage(rows: Seq[(Long, String, Double)]): Unit = {
+      rows.toDF("id", "name", "v").coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    stage(Seq((1L, "a", 1.0), (2L, "b", 1.0)))
+    stage(Seq((2L, "b", 2.0), (3L, "c", 1.0))) // batch 2 revises id=2
+
+    val schema = spark.read.parquet(in).schema
+    def run(ckpt: String) = {
+      val q = EventStreams.upsertStreamJdbc(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        url, "kv", s"$dir/$ckpt", Seq("id"),
+        dialect = graft.operators.JdbcUpsert.AnsiMerge,
+        stagingOptions = Map("createTableColumnTypes" -> "name VARCHAR(64)"))
+      q.awaitTermination(120000)
+    }
+    run("ckpt1")
+    def table() = spark.read.jdbc(url, "kv", new java.util.Properties)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(table() === Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
+
+    // full reprocessing (fresh checkpoint = every batch redelivered):
+    // at-least-once delivery + keyed upsert = same final state
+    run("ckpt2")
+    assert(table() === Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
+  }
+
   test("append mode: windows emit exactly once, late rows dropped, state bounded by open windows") {
     // The 100 TB contract complete mode can't give: append + watermark emits
     // each closed window once and EVICTS it from state, so state is O(open
