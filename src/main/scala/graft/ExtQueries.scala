@@ -62,6 +62,11 @@ object ExtQueries {
     "q21_simhash_pairs" -> ((s, dir) =>
       TextDedup.simhashPairs(t(s, dir, "documents"))),
 
+    // Gopher-style repetition quality rule (top-bigram share / distinct
+    // ratio) — flags boilerplate and looped text.
+    "q51_repetition_stats" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+
     // Exact n-gram Jaccard over shared-shingle candidates.
     "q22_ngram_jaccard_pairs" -> ((s, dir) =>
       TextDedup.ngramJaccardPairs(t(s, dir, "documents"), minJaccard = 0.5)),
@@ -344,6 +349,19 @@ object ExtQueries {
     "q20_minhash_lsh_pairs" -> minhashOracle,
     "q50_lsh_dedup_groups" -> lshGroupsOracle,
     "q21_simhash_pairs" -> simhashOracle,
+    "q51_repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+                 FROM toks),
+          cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+          SELECT doc_id,
+            CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+            CAST(count(*) AS BIGINT) AS distinct_bigrams,
+            round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_share,
+            round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS repetition
+          FROM cnts GROUP BY doc_id""",
     "q22_ngram_jaccard_pairs" -> jaccardOracle,
     "q23_embedding_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

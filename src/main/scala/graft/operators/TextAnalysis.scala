@@ -87,4 +87,31 @@ object TextAnalysis {
       round(length(col(textCol)).cast("double") /
         greatest(size(bpe), lit(1)).cast("double"), 4).as("chars_per_bpe_token"))
   }
+
+  /** Gopher-style repetition signals over word bigrams:
+    * (doc_id, n_bigrams, distinct_bigrams, top_bigram_share, repetition).
+    * `top_bigram_share` (most frequent bigram / all bigrams) and
+    * `repetition` (1 − distinct/total) flag boilerplate, template and
+    * looped text that length/stopword ratios miss — a standard pretraining
+    * quality rule alongside [[qualityScore]]. One explode + two hash
+    * aggregations; docs with fewer than two tokens have no bigrams and
+    * drop out (the oracle mirrors this). */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    // tokens materialized into a column BEFORE the shingle lambda consumes
+    // them (the re-evaluation trap documented on shinglesFromTokens)
+    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    toked
+      .select(col("doc_id"),
+        explode(positionalShinglesFromTokens(col("__toks"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        max("cnt").as("__top"))
+      .select(col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        round(col("__top").cast("double") / col("n_bigrams"), 4).as("top_bigram_share"),
+        round(lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"), 4)
+          .as("repetition"))
+  }
 }

@@ -233,6 +233,21 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
   }
 
+  test("repetitionStats flags looped text, passes diverse text") {
+    val looped = Seq.fill(50)("spam ham").mkString(" ") // 99 bigrams, 2 distinct
+    val diverse = (1 to 100).map(i => s"w$i").mkString(" ") // all bigrams unique
+    val in = Seq((1L, looped), (2L, diverse), (3L, "single")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(in).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L)) // <2 tokens → no bigrams → dropped
+    assert(out(1L).getAs[Long]("n_bigrams") === 99L)
+    assert(out(1L).getAs[Long]("distinct_bigrams") === 2L)
+    assert(out(1L).getAs[Double]("top_bigram_share") === 0.5051) // 50/99
+    assert(out(1L).getAs[Double]("repetition") === 0.9798)       // 1 - 2/99
+    assert(out(2L).getAs[Double]("repetition") === 0.0)
+    assert(out(2L).getAs[Double]("top_bigram_share") < 0.02)
+  }
+
   test("qualityScore is bounded [0,1] on real docs") {
     val scores = TextAnalysis.qualityScore(docs).select("quality_score")
       .collect().map(_.getDouble(0))
