@@ -21,11 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * order, so results are bit-identical and the DuckDB oracle parity carries
   * over unchanged.
   *
-  * Null elements inside the arrays are not expected (embedding vectors);
-  * null array inputs return null via the standard null-safe contract.
-  * Length-mismatched arrays also return null — matching the HOF version,
-  * where `zip_with` null-padding poisons the fold to null — so the two
-  * formulations stay result-identical on malformed input too.
+  * Result-identical to the HOF version on ALL inputs, including malformed
+  * ones: null array inputs return null (standard null-safe contract);
+  * length-mismatched arrays return null (zip_with null-padding poisons the
+  * HOF fold); a null ELEMENT in either array returns null (a null product
+  * poisons the HOF fold). This total equivalence is what lets
+  * [[RewriteHofCosine]] substitute this expression unconditionally.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -55,6 +56,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getDouble(i)
       val yv = y.getDouble(i)
       dot += xv * yv
@@ -74,6 +76,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -82,14 +85,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0;
          |  double $na = 0.0;
          |  double $nb = 0.0;
+         |  boolean $hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
          |    double $xv = $a.getDouble($i);
          |    double $yv = $b.getDouble($i);
          |    $dot += $xv * $yv;
          |    $na += $xv * $xv;
          |    $nb += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($hasNull) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

@@ -20,5 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    // declarative HOF cosine → fused native kernel, chosen by the optimizer
+    ext.injectOptimizerRule(_ => RewriteHofCosine)
   }
 }

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Optimizer rule: rewrite the declarative higher-order-function cosine
+  * pattern to the fused single-pass [[CosineSimilarity]] expression.
+  *
+  * Users (and this engine's own operators) write cosine the composable way —
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0d, (s,v) => s+v)` over the two
+  * self-dots — which materializes three intermediate arrays per row and
+  * folds each. This rule recognizes exactly that shape,
+  *
+  * {{{ dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) }}}
+  *
+  * and substitutes the native expression: one fused loop, no intermediate
+  * ArrayData, same WholeStageCodegen stage. The substitution is
+  * unconditional because [[CosineSimilarity]] is result-identical on every
+  * input class (null arrays, null elements, length mismatch — see its
+  * Scaladoc). The declarative form stays the API; the optimizer owns the
+  * physical choice — the Catalyst-native way to ship a kernel.
+  *
+  * Activated via [[GraftExtensions]] (`spark.sql.extensions`) or
+  * `spark.experimental.extraOptimizations`. */
+object RewriteHofCosine extends Rule[LogicalPlan] {
+
+  /** Matches `aggregate(zip_with(l, r, (x,y) => x*y), 0.0, (s,v) => s+v)`
+    * (with the identity finish lambda the `aggregate` API supplies) and
+    * yields the two zipped array expressions. */
+  private object Dot {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(l, r,
+              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(_: NamedLambdaVariable, _, _)) =>
+        Some((l, r))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Divide(Dot(a, b),
+                  Multiply(Sqrt(Dot(a1, a2)), Sqrt(Dot(b1, b2)), _), _)
+          if a.semanticEquals(a1) && a.semanticEquals(a2) &&
+             b.semanticEquals(b1) && b.semanticEquals(b2) =>
+        CosineSimilarity(a, b)
+    }
+}

@@ -46,6 +46,43 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("null ELEMENT yields null in both formulations (rewrite-safety contract)") {
+    CosineSimilarity.register(spark)
+    val row = spark.sql(
+        "SELECT array(1.0d, CAST(NULL AS DOUBLE)) AS a, array(1.0d, 2.0d) AS b")
+      .select(
+        VectorFunctions.cosineSimilarity($"a", $"b").as("hof"),
+        VectorFunctions.cosineSimilarityNative($"a", $"b").as("native"))
+      .head()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
+  test("RewriteHofCosine: the declarative HOF pattern optimizes to the fused kernel") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteHofCosine
+    try {
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val df = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select($"vec_id",
+          VectorFunctions.cosineSimilarity($"embedding", $"qv").as("cos"))
+      // the optimizer replaced the aggregate/zip_with trees with the kernel
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_cosine_sim"), optimized)
+      assert(!optimized.contains("aggregate("), optimized)
+
+      // and the rewritten plan computes the HOF answer bit-for-bit
+      spark.experimental.extraOptimizations = prev // HOF plan for comparison
+      val hof = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      spark.experimental.extraOptimizations = prev :+ RewriteHofCosine
+      val rewritten = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rewritten.keySet === hof.keySet)
+      rewritten.foreach { case (id, v) =>
+        assert(java.lang.Double.doubleToLongBits(v) ===
+          java.lang.Double.doubleToLongBits(hof(id)), s"vec_id=$id")
+      }
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("length-mismatched arrays yield null, matching the HOF formulation") {
     CosineSimilarity.register(spark)
     // codegen path
