@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -102,30 +102,35 @@ class ODataScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
     with SupportsPushDownLimit
     with SupportsPushDownRequiredColumns {
 
-  private var pushedSpatialDim: Option[String] = None
-  private var notPushed: Array[Filter] = Array.empty
+  private var pushedSpatialDims: Option[Seq[String]] = None
+  private var claimed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var readSchema: StructType = fullSchema
 
-  /** Consume `SpatialDim = '<v>'` (the one predicate the OData API accepts,
-    * exactly as the reference pushes it); everything else stays for Spark.
-    * The filter is only claimable in OBSERVATION mode (indicatorCodes set),
-    * where the partition grid actually applies it — claiming it in
-    * single-entitySet mode would silently return unfiltered rows. */
+  /** Consume `SpatialDim = '<v>'` or `SpatialDim IN (...)` (the country
+    * predicates the partition grid can apply, the first as the reference
+    * pushes it server-side); everything else stays for Spark. Only
+    * claimable in OBSERVATION mode (indicatorCodes set), where the grid
+    * actually applies it — claiming it in single-entitySet mode would
+    * silently return unfiltered rows. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val observationMode =
       options.getOrDefault("indicatorCodes", "").split(",").exists(_.trim.nonEmpty)
     val (pushable, rest) = filters.partition {
-      case EqualTo("SpatialDim", v: String) if observationMode =>
-        pushedSpatialDim.isEmpty && { pushedSpatialDim = Some(v); true }
+      case EqualTo("SpatialDim", v: String)
+          if observationMode && pushedSpatialDims.isEmpty =>
+        pushedSpatialDims = Some(Seq(v)); true
+      case In("SpatialDim", vs)
+          if observationMode && pushedSpatialDims.isEmpty &&
+            vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        pushedSpatialDims = Some(vs.toSeq.map(_.asInstanceOf[String])); true
       case _ => false
     }
-    notPushed = rest
+    claimed = pushable
     rest // Spark re-applies only these
   }
 
-  override def pushedFilters(): Array[Filter] =
-    pushedSpatialDim.map(v => EqualTo("SpatialDim", v): Filter).toArray
+  override def pushedFilters(): Array[Filter] = claimed
 
   override def pushLimit(l: Int): Boolean = {
     limit = Some(l)
@@ -136,11 +141,11 @@ class ODataScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
     readSchema = requiredSchema
 
   override def build(): Scan =
-    new ODataScan(readSchema, options, pushedSpatialDim, limit)
+    new ODataScan(readSchema, options, pushedSpatialDims, limit)
 }
 
 class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
-                pushedSpatialDim: Option[String], limit: Option[Int])
+                pushedSpatialDims: Option[Seq[String]], limit: Option[Int])
   extends Scan with Batch {
 
   override def readSchema(): StructType = readSchema
@@ -148,15 +153,17 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-odata pushedSpatialDim=$pushedSpatialDim limit=$limit"
+    s"graft-odata pushedSpatialDims=" +
+      s"${pushedSpatialDims.map(_.mkString(",")).getOrElse("none")} limit=$limit"
 
   private def opt(k: String, d: String) = options.getOrDefault(k, d)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val indicators = opt("indicatorCodes", "").split(",").map(_.trim).filter(_.nonEmpty)
     val countries0 = opt("countryCodes", "").split(",").map(_.trim).filter(_.nonEmpty)
-    // server-side filter: restrict the partition grid to the pushed country
-    val countries = pushedSpatialDim.map(c => countries0.filter(_ == c)).getOrElse(countries0)
+    // server-side filter: restrict the partition grid to the pushed countries
+    val countries = pushedSpatialDims
+      .map(cs => countries0.filter(cs.toSet)).getOrElse(countries0)
     if (indicators.nonEmpty) {
       for (i <- indicators; c <- countries) yield
         ODataInputPartition(entitySetFor(i, c), s"${i}_$c"): InputPartition

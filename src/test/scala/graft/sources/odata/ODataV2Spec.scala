@@ -74,10 +74,25 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
       "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
       .filter(col("SpatialDim") === "USA")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushedSpatialDim=Some(USA)"), s"plan was:\n$plan")
+    assert(plan.contains("pushedSpatialDims=USA"), s"plan was:\n$plan")
     assert(df.count() === 2)
     // the CAN partition was pruned away — its URL never requested
     assert(StubFetcherFactory.fetched.forall(!_.contains("%27CAN%27")))
+  }
+
+  test("SpatialDim IN-list prunes the partition grid to the listed countries") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA,CAN,MEX",
+      "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+      .filter(col("SpatialDim").isin("USA", "CAN"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedSpatialDims=USA,CAN") ||
+      plan.contains("pushedSpatialDims=CAN,USA"), s"plan was:\n$plan")
+    assert(df.count() === 3) // USA 2 rows + CAN 1
+    // MEX partition pruned — never fetched
+    assert(StubFetcherFactory.fetched.forall(!_.contains("%27MEX%27")))
   }
 
   test("entitySet mode does NOT claim the SpatialDim filter (would be silently wrong)") {
@@ -89,7 +104,7 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
     // the unclaimed filter must be re-applied by Spark post-scan
     assert(df.collect().map(_.getString(0)).toSeq === Seq("IND_A"))
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushedSpatialDim=None"), plan)
+    assert(plan.contains("pushedSpatialDims=none"), plan)
   }
 
   test("column pruning reaches the reader schema") {
