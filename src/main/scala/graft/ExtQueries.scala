@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{ColumnStats, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Extension query surface: the LLM-training-data operators (dedup family,
   * similarity search, text analysis, multimodal) declared over the
@@ -66,6 +66,13 @@ object ExtQueries {
     // ratio) — flags boilerplate and looped text.
     "q51_repetition_stats" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents"))),
+
+    // Per-column stats profile (ANALYZE analog): one pass, one row per
+    // column. Exact distincts here for oracle parity; the approx (HLL)
+    // variant is the 100 TB path.
+    "q52_column_profile" -> ((s, dir) =>
+      ColumnStats.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"))),
 
     // Exact n-gram Jaccard over shared-shingle candidates.
     "q22_ngram_jaccard_pairs" -> ((s, dir) =>
@@ -249,6 +256,24 @@ object ExtQueries {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
   }
 
+  /** DuckDB twin of ColumnStats.profile over the q52 column set: typed
+    * min/max then stringified (floats via DECIMAL(28,6) — double→VARCHAR
+    * scientific notation is not engine-portable). */
+  private def profileOracle: String = {
+    def one(c: String, isFloat: Boolean): String = {
+      def mm(f: String) =
+        if (isFloat) s"CAST(CAST($f($c) AS DECIMAL(28,6)) AS VARCHAR)"
+        else s"CAST($f($c) AS VARCHAR)"
+      s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+          ${mm("min")} AS min_value, ${mm("max")} AS max_value FROM orders"""
+    }
+    Seq("o_orderkey" -> false, "o_orderstatus" -> false,
+        "o_orderdate" -> false, "o_totalprice" -> true)
+      .map { case (c, f) => one(c, f) }.mkString("\nUNION ALL\n")
+  }
+
   private def jaccardOracle: String =
     s"""WITH $shingleCte,
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -362,6 +387,7 @@ object ExtQueries {
             round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_bigram_share,
             round(1.0 - CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS repetition
           FROM cnts GROUP BY doc_id""",
+    "q52_column_profile" -> profileOracle,
     "q22_ngram_jaccard_pairs" -> jaccardOracle,
     "q23_embedding_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

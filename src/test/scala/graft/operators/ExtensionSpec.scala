@@ -233,6 +233,28 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map(1L -> "en", 2L -> "de", 3L -> "unknown"))
   }
 
+  test("ColumnStats.profile: typed min/max, null counts, exact vs approx distinct") {
+    val in = Seq(
+      (9L, Some(2.5), "b"), (10L, None, "a"), (100L, Some(104.75), "a"))
+      .toDF("k", "v", "s")
+    val p = ColumnStats.profile(in, Seq("k", "v", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getAs[Long]("n_rows") === 3L)
+    assert(p("k").getAs[Long]("n_nulls") === 0L)
+    assert(p("k").getAs[Long]("n_distinct") === 3L)
+    // typed ordering: 9 < 100 numerically (lexicographic would say "100" < "9")
+    assert(p("k").getAs[String]("min_value") === "9")
+    assert(p("k").getAs[String]("max_value") === "100")
+    assert(p("v").getAs[Long]("n_nulls") === 1L)
+    assert(p("v").getAs[Long]("n_distinct") === 2L) // distinct ignores nulls
+    assert(p("v").getAs[String]("max_value") === "104.750000") // decimal(28,6) text
+    assert(p("s").getAs[String]("min_value") === "a")
+    // HLL variant (the 100 TB path) agrees on this tiny input
+    val approx = ColumnStats.profile(in, Seq("k"), exactDistinct = false)
+      .head().getAs[Long]("n_distinct")
+    assert(approx === 3L)
+  }
+
   test("repetitionStats flags looped text, passes diverse text") {
     val looped = Seq.fill(50)("spam ham").mkString(" ") // 99 bigrams, 2 distinct
     val diverse = (1 to 100).map(i => s"w$i").mkString(" ") // all bigrams unique
