@@ -36,6 +36,21 @@ object Bench {
     // timings reflect steady-state execution rather than first-query startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // Fixed calibration workload (same every round, data-independent): the
+    // VM is shared and noisy-neighbor windows inflate EVERY timing for
+    // minutes at a stretch — identical code has measured 29.7s..40.1s
+    // totals an hour apart. start/end calibration numbers let a reader
+    // normalize a round's total by how slow the VM was in that window
+    // before calling a cross-round delta a regression.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the calibration path itself
+    val calStart = calibrate()
+
     def timeOnce(name: String,
                  fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -78,6 +93,8 @@ object Bench {
                })
     }
 
+    val calEnd = calibrate()
+
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = results.values.map(_.median).sum
@@ -86,6 +103,7 @@ object Bench {
       s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
       s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
       s""","ann_build":${jsonMap(annBuild)}""" +
+      f""","calibration_start":$calStart%.4f,"calibration_end":$calEnd%.4f""" +
       s""","runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }

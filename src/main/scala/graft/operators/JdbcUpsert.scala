@@ -96,7 +96,10 @@ object JdbcUpsert {
         Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val staging = s"${target}_staging"
+    // unique staging name: concurrent upserts into the SAME target must not
+    // share (or clobber) a staging table
+    val staging = s"${target}_staging_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
     val writer = deduped.write.mode(SaveMode.Overwrite)
     stagingOptions.foreach { case (k, v) => writer.option(k, v) }
     writer.jdbc(url, staging, props)
@@ -112,6 +115,10 @@ object JdbcUpsert {
     } catch {
       case e: Throwable =>
         try conn.rollback() catch { case _: Throwable => () }
+        // the staging write committed outside this transaction: drop it so
+        // a failed merge doesn't strand an orphan table
+        try { conn.setAutoCommit(true); execute(conn, s"DROP TABLE $staging") }
+        catch { case _: Throwable => () }
         throw e
     } finally conn.close()
   }
