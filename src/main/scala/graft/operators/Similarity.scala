@@ -55,18 +55,24 @@ object Similarity {
 
   /** Exact top-k by cosine against one query vector (given as a 1-row frame
     * with column `qv`). Tiebreak on id keeps the result total-ordered.
-    * `scorer` defaults to the higher-order-function cosine; pass
-    * [[VectorFunctions.cosineSimilarityNative]] (after registering
-    * [[graft.plans.CosineSimilarity]]) for the fused single-pass codegen —
-    * the two are bit-identical. */
+    * `scorer` defaults to the fused native kernel (registered on demand);
+    * the HOF [[VectorFunctions.cosineSimilarity]] is bit-identical and
+    * remains the declarative baseline. */
   def bruteForceTopK(embeddings: DataFrame, query: DataFrame, k: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     scorer: (Column, Column) => Column = cosineSimilarity): DataFrame =
+                     scorer: (Column, Column) => Column = null): DataFrame = {
+    val score: (Column, Column) => Column =
+      if (scorer != null) scorer
+      else {
+        graft.plans.CosineSimilarity.register(embeddings.sparkSession)
+        cosineSimilarityNative
+      }
     embeddings.crossJoin(broadcast(query))
-      .withColumn("cos", scorer(col(vecCol), col("qv")))
+      .withColumn("cos", score(col(vecCol), col("qv")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("cos"), 6).as("cosine"))
+  }
 
   /** All pairs with cosine ≥ `threshold` (embedding near-dup dedup).
     * Pre-normalizes once (norm computed into its own column, not per
