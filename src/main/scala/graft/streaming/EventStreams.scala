@@ -59,6 +59,19 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup: drop rows whose `keyCols` were already seen
+    * within the watermark horizon — the streaming form of the exact-dedup
+    * family (D1/q19), with state BOUNDED by the watermark delay instead of
+    * growing with the stream (`dropDuplicates` on a stream never evicts).
+    * At-least-once sources (file streams, Kafka replays) become
+    * effectively-once for any consumer keyed on `keyCols`. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Streaming incremental load into a TRANSACTIONAL JDBC warehouse: each
     * micro-batch runs through [[graft.operators.JdbcUpsert]] (parallel
     * staging write + one-transaction merge), so at-least-once micro-batch

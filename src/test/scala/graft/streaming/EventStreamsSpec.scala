@@ -36,6 +36,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(streamed.except(batch).count() === 0)
   }
 
+  test("streaming dedup within watermark: cross-batch duplicates dropped, state bounded") {
+    val dir = tempDir("stream-dedup")
+    val in = s"$dir/in"
+    def ts(min: Long) = new java.sql.Timestamp((min + 1440) * 60000L)
+    def stage(rows: Seq[(Long, java.sql.Timestamp, Double)]): Unit = {
+      rows.toDF("event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    stage(Seq((1L, ts(0), 1.0), (2L, ts(5), 2.0), (1L, ts(1), 9.0))) // in-batch dup of 1
+    stage(Seq((2L, ts(6), 9.0), (3L, ts(8), 3.0))) // cross-batch dup of 2 (within watermark)
+    stage(Seq((4L, ts(10000), 4.0))) // advances watermark far past ids 1-3
+
+    val schema = spark.read.parquet(in).schema
+    val q = EventStreams.dedupStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        keyCols = Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("dedup_out").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(spark.table("dedup_out").count() === 4) // one row per distinct id
+    assert(out === Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0)) // first occurrence kept
+    // bounded state: ids 1-3 fell behind the watermark and were evicted;
+    // only id 4 (inside the horizon) remains
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).lastOption
+      .map(_.numRowsTotal).getOrElse(-1L)
+    info(s"dedup state rows at termination: $stateRows")
+    assert(stateRows === 1L)
+  }
+
   test("streaming JDBC upsert: micro-batches compose into idempotent keyed state") {
     val dir = tempDir("stream-jdbc")
     val url = s"jdbc:derby:$dir/db;create=true"
