@@ -58,6 +58,33 @@ class JdbcUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(rows.head.getString(1) === "new") // highest version, not last row
   }
 
+  test("JDBC and parquet upsert sinks converge to identical keyed state") {
+    import org.apache.spark.sql.functions.col
+    val url = s"jdbc:derby:${tempDir("derby-parity")}/wh;create=true"
+    val pq = tempDir("parity-pq") + "/table"
+    // overlapping keys across batches + an in-batch conflict (id=2, three
+    // versions); priority: highest version wins
+    val batches = Seq(
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      Seq((2L, "b2", 3L), (4L, "d", 1L), (2L, "bx", 2L)),
+      Seq((1L, "a2", 2L), (5L, "e", 1L)))
+    batches.foreach { b =>
+      val df = b.toDF("id", "name", "version")
+      Upsert.upsertTable(spark, pq, df, Seq("id"), Seq(col("version").desc))
+      JdbcUpsert.upsert(df, url, "parity", Seq("id"),
+        orderBy = Seq(col("version").desc),
+        dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "name", "version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val viaParquet = rows(spark.read.parquet(pq))
+    val viaJdbc = rows(spark.read.jdbc(url, "parity", props))
+    assert(viaParquet === viaJdbc)
+    assert(viaParquet === Seq((1L, "a2", 2L), (2L, "b2", 3L), (3L, "c", 1L),
+      (4L, "d", 1L), (5L, "e", 1L)))
+  }
+
   test("PostgresOnConflict emits the reference's ON CONFLICT DO UPDATE form") {
     val sql = JdbcUpsert.PostgresOnConflict
       .upsertSql("fact", "fact_staging", Seq("k1", "k2", "a", "b"), Seq("k1", "k2"))
