@@ -68,22 +68,26 @@ object Bench {
       if (ok) dt else -1.0
     }
 
+    // optional focus list for local iteration: comma-separated query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
+
     // ANN queries persist their index; wipe the store and time the first
     // (building) pass explicitly, so the later timed passes are pure probes.
+    // Honors the focus filter — a focused non-ANN run must not wipe (and
+    // rebuild) the persisted indexes it never measures.
     val annQueries = Seq("q25_ann_topk", "q36_ivf_topk")
-      .filter(SparkEntry.queries.contains)
-    graft.util.Fs.deleteRecursively(
-      s"${sys.props("java.io.tmpdir")}/graft-index",
-      spark.sparkContext.hadoopConfiguration)
+      .filter(selected.contains)
+    if (annQueries.nonEmpty)
+      graft.util.Fs.deleteRecursively(
+        s"${sys.props("java.io.tmpdir")}/graft-index",
+        spark.sparkContext.hadoopConfiguration)
     val annBuild = annQueries.map { name =>
       name -> timeOnce(name, SparkEntry.queries(name))
     }.toMap
 
     final case class Timing(median: Double, min: Double, spread: Double)
-    // optional focus list for local iteration: comma-separated query names
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
     val results = selected.map { case (name, fn) =>
       val passes = Seq.fill(runs)(timeOnce(name, fn))
       name -> (if (passes.exists(_ < 0)) Timing(-1.0, -1.0, -1.0)
@@ -95,15 +99,18 @@ object Bench {
 
     val calEnd = calibrate()
 
+    // Locale.ROOT: the f interpolator honors the JVM default locale, and a
+    // comma-decimal locale would emit malformed JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
     def jsonMap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.values.map(_.median).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":${jsonMap(results.map { case (k, t) => k -> t.median })}""" +
       s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
       s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
       s""","ann_build":${jsonMap(annBuild)}""" +
-      f""","calibration_start":$calStart%.4f,"calibration_end":$calEnd%.4f""" +
+      s""","calibration_start":${num(calStart)},"calibration_end":${num(calEnd)}""" +
       s""","runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -30,9 +30,19 @@ object ColumnStats {
     require(cols.nonEmpty, "profile requires at least one column")
     val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
     // stringify AFTER the typed aggregation — min/max must use the column's
-    // own ordering, not the lexicographic ordering of its text form
+    // own ordering, not the lexicographic ordering of its text form.
+    // Floats go through DECIMAL(28,6) for engine-portable text, EXCEPT
+    // NaN/±Inf/overflow, which the decimal cast rejects (ANSI error) —
+    // profiling must survive exactly the messy columns it exists for, so
+    // those fall back to the plain double rendering.
     def asText(e: Column, c: String): Column = fieldType(c) match {
-      case DoubleType | FloatType => e.cast("decimal(28,6)").cast("string")
+      case DoubleType | FloatType =>
+        val d = e.cast("double")
+        when(d.isNull, lit(null).cast("string"))
+          .when(isnan(d) || d === lit(Double.PositiveInfinity) ||
+            d === lit(Double.NegativeInfinity) || abs(d) >= lit(1e22),
+            d.cast("string"))
+          .otherwise(d.cast("decimal(28,6)").cast("string"))
       case _ => e.cast("string")
     }
     def nDistinct(c: String): Column =

@@ -107,8 +107,15 @@ object JdbcUpsert {
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
-      if (!tableExists(conn, target))
+      if (!tableExists(conn, target)) {
         execute(conn, s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA")
+        // ON CONFLICT resolves against a unique constraint — without one the
+        // Postgres dialect fails on every fresh auto-created table (42P10).
+        // Key uniqueness is the table's invariant under this operator, so
+        // declare it for every dialect.
+        val quoted = keys.map(k => "\"" + k + "\"").mkString(", ")
+        execute(conn, s"CREATE UNIQUE INDEX ${target}_key_ux ON $target ($quoted)")
+      }
       execute(conn, dialect.upsertSql(target, staging, cols, keys))
       execute(conn, s"DROP TABLE $staging")
       conn.commit()

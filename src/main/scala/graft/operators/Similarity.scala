@@ -282,7 +282,10 @@ object Similarity {
       * sorted `bucket` min/max stats. */
     private val grpShift: Int = math.max(0, nBits - 5)
 
-    private[operators] def groupOf(bucket: Int): Int = bucket >> grpShift
+    // >>> to match shiftrightunsigned in the persisted layout — arithmetic
+    // >> would compute a different (negative) group for sign-bit-set
+    // buckets at nBits = 32 and silently miss their partitions
+    private[operators] def groupOf(bucket: Int): Int = bucket >>> grpShift
 
     /** Index frame: (vec_id, v normalized double, bucket). Persist / bucket
       * by `bucket` for partition-pruned probes at scale. */

@@ -28,15 +28,34 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
 
   /** Matches `aggregate(zip_with(l, r, (x,y) => x*y), 0.0, (s,v) => s+v)`
     * (with the identity finish lambda the `aggregate` API supplies) and
-    * yields the two zipped array expressions. */
+    * yields the two zipped array expressions.
+    *
+    * Each binary op's operands are pinned BY exprId to the enclosing
+    * lambda's own two parameters, in order: `(x, y) => x * x`,
+    * `(s, v) => v + v`, or a multiply referencing an outer lambda's
+    * variable are all genuinely different folds and must NOT match —
+    * `_: NamedLambdaVariable` wildcards alone would rewrite them into a
+    * cosine and silently change results. */
   private object Dot {
+    private def isParams(a: Expression, b: Expression,
+                         args: Seq[NamedLambdaVariable]): Boolean =
+      args.length == 2 && ((a, b) match {
+        case (x: NamedLambdaVariable, y: NamedLambdaVariable) =>
+          x.exprId == args.head.exprId && y.exprId == args(1).exprId
+        case _ => false
+      })
+
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(l, r,
-              LambdaFunction(Multiply(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(mx, my, _), zipArgs, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
-            LambdaFunction(_: NamedLambdaVariable, _, _)) =>
+            LambdaFunction(Add(ax, ay, _), aggArgs, _),
+            LambdaFunction(fin: NamedLambdaVariable, finArgs, _))
+          if isParams(mx, my, zipArgs.collect { case v: NamedLambdaVariable => v }) &&
+             isParams(ax, ay, aggArgs.collect { case v: NamedLambdaVariable => v }) &&
+             finArgs.collect { case v: NamedLambdaVariable => v }
+               .headOption.exists(_.exprId == fin.exprId) =>
         Some((l, r))
       case _ => None
     }

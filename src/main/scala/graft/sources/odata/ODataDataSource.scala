@@ -180,14 +180,16 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
   override def createReaderFactory(): PartitionReaderFactory =
     ODataReaderFactory(readSchema, opt("baseUrl", ""),
       opt("fetcherClass", classOf[HttpPageFetcherFactory].getName),
-      opt("pageSize", "100").toInt, limit)
+      opt("pageSize", "100").toInt, limit,
+      opt("skipRequestErrors", "true").toBoolean)
 }
 
 final case class ODataInputPartition(entitySet: String, label: String) extends InputPartition
 
 final case class ODataReaderFactory(schema: StructType, baseUrl: String,
                                     fetcherClass: String, pageSize: Int,
-                                    limit: Option[Int])
+                                    limit: Option[Int],
+                                    skipRequestErrors: Boolean = true)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -195,7 +197,8 @@ final case class ODataReaderFactory(schema: StructType, baseUrl: String,
     val fetcher = Class.forName(fetcherClass)
       .getDeclaredConstructor().newInstance()
       .asInstanceOf[PageFetcherFactory].create()
-    val client = new ODataClient(baseUrl, fetcher)
+    val client = new ODataClient(baseUrl, fetcher,
+      skipRequestErrors = skipRequestErrors)
     // limit is per-partition here (a global limit needs a coordinated
     // CollectLimit above, which Spark adds anyway since pushLimit → false)
     val records = client.getAllData(p.entitySet, s"dsv2_${p.label}", limit, pageSize)

@@ -79,6 +79,7 @@ object Pipeline {
       .option("baseUrl", cfg.baseUrl)
       .option("fetcherClass", factory)
       .option("pageSize", cfg.pageSize.toString)
+      .option("skipRequestErrors", cfg.skipRequestErrors.toString)
       .option("columns", Schemas.rawObservation.fieldNames.mkString(","))
       .option("indicatorCodes", indicatorCodes.mkString(","))
       .option("countryCodes", countryCodes.mkString(","))

@@ -56,7 +56,12 @@ object Transform {
   def withIngestOrder(df: DataFrame): DataFrame =
     if (df.columns.contains(IngestOrder)) df
     else df.withColumn(IngestOrder,
-      struct(input_file_name().as("src_file"), monotonically_increasing_id().as("row_seq")))
+      // length precedes the path: part file numbering grows digits past
+      // part-99999, and plain lexicographic order would put part-100000
+      // before part-20000
+      struct(length(input_file_name()).as("src_len"),
+        input_file_name().as("src_file"),
+        monotonically_increasing_id().as("row_seq")))
 
   /** reference transform_observations (etl/transform.py:10-51). Extra
     * (unexpected) columns survive — the reference never projects observations

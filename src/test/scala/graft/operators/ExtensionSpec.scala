@@ -255,6 +255,16 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(approx === 3L)
   }
 
+  test("ColumnStats.profile survives NaN/Infinity/huge doubles (no ANSI crash)") {
+    val messy = Seq(Double.NaN, Double.PositiveInfinity, 1e30, -1.5)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+    val row = ColumnStats.profile(messy, Seq("v")).head()
+    assert(row.getAs[Long]("n_rows") === 4L)
+    // NaN sorts greatest in Spark: max is NaN, min is -1.5 (decimal form)
+    assert(row.getAs[String]("max_value") === "NaN")
+    assert(row.getAs[String]("min_value") === "-1.500000")
+  }
+
   test("repetitionStats flags looped text, passes diverse text") {
     val looped = Seq.fill(50)("spam ham").mkString(" ") // 99 bigrams, 2 distinct
     val diverse = (1 to 100).map(i => s"w$i").mkString(" ") // all bigrams unique

@@ -83,6 +83,27 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("RewriteHofCosine does NOT fire on near-miss folds (x*x numerator)") {
+    import org.apache.spark.sql.Column
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RewriteHofCosine
+    try {
+      // same tree shape but the zip lambda squares its FIRST param — a
+      // genuinely different computation that must survive unrewritten
+      def dotXX(a: Column, b: Column) = aggregate(
+        zip_with(VectorFunctions.toDoubleArray(a),
+          VectorFunctions.toDoubleArray(b), (x, _) => x * x),
+        lit(0.0), (acc, v) => acc + v)
+      val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val df = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+        .select((dotXX($"embedding", $"qv") /
+          (sqrt(dotXX($"embedding", $"embedding")) * sqrt(dotXX($"qv", $"qv"))))
+          .as("not_cos"))
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("graft_cosine_sim"), optimized)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("length-mismatched arrays yield null, matching the HOF formulation") {
     CosineSimilarity.register(spark)
     // codegen path

@@ -39,6 +39,14 @@ object StubFetcherFactory {
   def fetched: Seq[String] = urls.keys.toSeq
 }
 
+/** Transport always down — for the error-mode forwarding test. */
+class DownFetcherFactory extends PageFetcherFactory {
+  override def create(): PageFetcher = new PageFetcher {
+    override def fetch(url: String): (Int, String) =
+      throw new graft.sources.TransportException("connection refused")
+  }
+}
+
 class ODataV2Spec extends AnyFunSuite with SparkSpec {
 
   private def read(extra: (String, String)*) = {
@@ -118,6 +126,21 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("ReadSchema: struct<Id:string,TimeDim:string>") ||
       df.schema.fieldNames.toSeq == Seq("Id", "TimeDim"))
     assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("2019", "2020"))
+  }
+
+  test("skipRequestErrors is honored by the scan: skip → empty, strict → fail") {
+    def down(skip: String) = spark.read.format("graft-odata")
+      .option("baseUrl", "http://t/api")
+      .option("fetcherClass", classOf[DownFetcherFactory].getName)
+      .option("indicatorCodes", "IND_A")
+      .option("countryCodes", "USA")
+      .option("columns", "Id,SpatialDim")
+      .option("skipRequestErrors", skip)
+      .load()
+    assert(down("true").count() === 0) // transport error → empty page, run continues
+    val e = intercept[org.apache.spark.SparkException] { down("false").count() }
+    assert(e.getMessage.contains("connection refused") ||
+      Option(e.getCause).exists(_.getMessage.contains("connection refused")))
   }
 
   test("limit pushdown stops paging at the source") {
