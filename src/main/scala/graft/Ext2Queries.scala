@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+import graft.operators.Merge.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+
+/** Round-5 query surface: warehouse-mutation (MERGE), join pruning, schema
+  * evolution, and the training-data curation operators (sampling, packing,
+  * scrubbing) — each with a DuckDB oracle expressing the same relational
+  * semantics. */
+object Ext2Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Three-clause MERGE (delete / update / insert), run relationally and
+    // returned as the merged table state. The source batch derives
+    // deterministically from orders: every 7th key updates (status 'U',
+    // price ×1.1), every 11th key re-enters under a shifted key (insert).
+    // Matched rows whose new price tops 300k are deleted instead.
+    "q53_merge_clauses" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      val updates = orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          round(col("o_totalprice") * 1.1, 4).as("o_totalprice"))
+      val inserts = orders.filter(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          round(col("o_totalprice"), 4).as("o_totalprice"))
+      Merge.merge(base, updates.unionByName(inserts), Seq("o_orderkey"),
+        matched = Seq(
+          MatchedDelete(Some(Merge.src("o_totalprice") > 300000.0)),
+          MatchedUpdate(Map(
+            "o_orderstatus" -> Merge.src("o_orderstatus"),
+            "o_totalprice" -> Merge.src("o_totalprice")))),
+        notMatched = Some(NotMatchedInsert()),
+        sourcePriority = Seq(col("o_orderkey")))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q53_merge_clauses" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus,
+                    round(o_totalprice, 4) AS o_totalprice FROM orders),
+          u AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                round(o_totalprice * 1.1, 4) AS o_totalprice
+                FROM orders WHERE o_orderkey % 7 = 0),
+          i AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+                'N' AS o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+                FROM orders WHERE o_orderkey % 11 = 0),
+          s AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+          SELECT coalesce(b.o_orderkey, s.o_orderkey) AS o_orderkey,
+            CASE WHEN b.o_orderkey IS NULL OR s.o_orderkey IS NOT NULL
+                 THEN s.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+            CASE WHEN b.o_orderkey IS NULL OR s.o_orderkey IS NOT NULL
+                 THEN s.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+          FROM b FULL OUTER JOIN s ON b.o_orderkey = s.o_orderkey
+          WHERE NOT (b.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                     AND s.o_totalprice > 300000.0)"""
+  )
+}

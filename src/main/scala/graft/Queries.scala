@@ -639,6 +639,8 @@ object Queries {
          FROM orders GROUP BY 1"""
   )
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = core ++ ExtQueries.queries
-  def oracles: Map[String, String] = coreOracles ++ ExtQueries.oracles
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    core ++ ExtQueries.queries ++ Ext2Queries.queries
+  def oracles: Map[String, String] =
+    coreOracles ++ ExtQueries.oracles ++ Ext2Queries.oracles
 }
