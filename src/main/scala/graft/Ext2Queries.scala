@@ -41,6 +41,22 @@ object Ext2Queries {
             "o_totalprice" -> Merge.src("o_totalprice")))),
         notMatched = Some(NotMatchedInsert()),
         sourcePriority = Seq(col("o_orderkey")))
+    }),
+
+    // Bloom-pruned fact⋈dim join: the selective order subset builds a
+    // bloom sketch; lineitem is pruned by it BEFORE the join shuffle. The
+    // exact join removes false positives, so the result is exactly the
+    // plain join — the bloom only cuts shuffled bytes (the 100 TB pattern
+    // for joins the optimizer can't prove prunable).
+    "q54_bloom_pruned_join" -> ((s, dir) => {
+      val sel = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.BloomJoin.prunedJoin(t(s, dir, "lineitem"), sel, Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
     })
   )
 
@@ -63,6 +79,14 @@ object Ext2Queries {
                  THEN s.o_totalprice ELSE b.o_totalprice END AS o_totalprice
           FROM b FULL OUTER JOIN s ON b.o_orderkey = s.o_orderkey
           WHERE NOT (b.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
-                     AND s.o_totalprice > 300000.0)"""
+                     AND s.o_totalprice > 300000.0)""",
+
+    "q54_bloom_pruned_join" ->
+      """SELECT o_orderpriority,
+            round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+            count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F' AND o_totalprice > 250000.0
+         GROUP BY 1"""
   )
 }

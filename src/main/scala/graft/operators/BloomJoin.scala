@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter join pruning — the explicit form of Spark's runtime
+  * semi-join reduction (`InjectRuntimeFilter`), for when the optimizer
+  * cannot prove it profitable but the caller can.
+  *
+  * Shape: ONE pass over the small/filtered build side produces a bloom
+  * sketch (distributed partial aggregation; only the sketch bytes — KBs to
+  * a few MB — reach the driver, the standard runtime-filter contract). The
+  * sketch is then a foldable literal in a codegen'd `might_contain`
+  * predicate on the probe side, evaluated at the scan BEFORE the shuffle:
+  * rows that cannot join never get hashed, serialized, or shuffled. The
+  * subsequent exact join removes the bloom's false positives, so the result
+  * is EXACTLY the plain join — the bloom only changes bytes moved.
+  *
+  * At 100 TB this is the difference between shuffling the full fact table
+  * and shuffling the ~matching fraction: for a 1% selective dim filter, a
+  * 1% false-positive bloom cuts probe-side shuffle volume ~50×.
+  *
+  * Uses Spark's own aggregate/scalar bloom expressions
+  * (`BloomFilterAggregate` / `BloomFilterMightContain`, the pair behind
+  * `spark.sql.optimizer.runtime.bloomFilter.*`) registered as session
+  * functions — codegen'd, no UDF, identical hashing (XxHash64) on both
+  * sides.
+  */
+object BloomJoin {
+
+  /** Register the bloom aggregate + predicate in the session's function
+    * registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)),
+      "built-in")
+  }
+
+  /** Build a bloom sketch of `keys` over `build` (one distributed pass).
+    * Returns the serialized sketch. `expectedItems` should bound the build
+    * side's distinct key count; `fpp` trades sketch size for probe-side
+    * shuffle volume. */
+  def keyBloom(build: DataFrame, keys: Seq[String],
+               expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    register(build.sparkSession)
+    val numBits = BloomFilter.create(expectedItems, fpp).bitSize()
+    build.select(
+      call_function("graft_bloom_agg",
+        xxhash64(keys.map(col): _*), lit(expectedItems), lit(numBits)))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership predicate against a sketch from [[keyBloom]].
+    * The key columns must be listed in the same order as at build time
+    * (both sides hash with XxHash64 over the column tuple). */
+  def mightContain(spark: SparkSession, bloom: Array[Byte], keys: Seq[Column]): Column = {
+    register(spark)
+    call_function("graft_bloom_contains", lit(bloom), xxhash64(keys: _*))
+  }
+
+  /** Equi-join with probe-side bloom pruning: result == `probe.join(build,
+    * usingKeys)` exactly, with the probe side filtered before the shuffle.
+    * `expectedItems` defaults to the build side's count (an extra cheap
+    * pass); pass it explicitly when known to skip that. */
+  def prunedJoin(probe: DataFrame, build: DataFrame, usingKeys: Seq[String],
+                 expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
+    val n = expectedItems.getOrElse(build.select(usingKeys.map(col): _*).distinct().count())
+    val bloom = keyBloom(build.select(usingKeys.map(col): _*), usingKeys, math.max(n, 1L), fpp)
+    val pruned = probe.filter(
+      mightContain(probe.sparkSession, bloom, usingKeys.map(col)))
+    pruned.join(build, usingKeys)
+  }
+}
