@@ -57,6 +57,23 @@ object Ext2Queries {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
                .as("revenue"),
              count(lit(1)).as("n_items"))
+    }),
+
+    // Schema-evolution union: "v1 files" carry a narrow legacy schema
+    // (floored integer price, no priority column), "v2 files" the evolved
+    // one; the union reconciles under the widened schema with null-filled
+    // added columns. floor() not cast() for the legacy narrowing — Spark
+    // truncates double→int where DuckDB rounds, floor agrees everywhere.
+    "q55_schema_evolution_union" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice")).as("o_totalprice"))
+      val v2 = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      graft.operators.SchemaEvolution.unionEvolved(Seq(v1, v2))
+        .withColumn("o_totalprice", round(col("o_totalprice"), 4))
     })
   )
 
@@ -87,6 +104,15 @@ object Ext2Queries {
             count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderstatus = 'F' AND o_totalprice > 250000.0
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q55_schema_evolution_union" ->
+      """SELECT o_orderkey, o_orderstatus,
+            round(CAST(floor(o_totalprice) AS DOUBLE), 4) AS o_totalprice,
+            CAST(NULL AS VARCHAR) AS o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4), o_orderpriority
+         FROM orders WHERE o_orderkey % 2 = 1"""
   )
 }
