@@ -74,7 +74,24 @@ object Ext2Queries {
           col("o_totalprice"), col("o_orderpriority"))
       graft.operators.SchemaEvolution.unionEvolved(Seq(v1, v2))
         .withColumn("o_totalprice", round(col("o_totalprice"), 4))
-    })
+    }),
+
+    // Deterministic stratified sample: exactly 50 docs per language,
+    // chosen by md5 hash order — reproducible across runs AND engines
+    // (that's what makes it oracle-checkable; rand() is neither).
+    "q56_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedQuota(
+        t(s, dir, "documents"), col("lang"), col("doc_id"), quota = 50)
+        .select(col("doc_id"), col("lang"))),
+
+    // Domain-mixture downsample: per-language Bernoulli fractions decided
+    // by a deterministic hash threshold — a pure filter, NO shuffle; the
+    // shape that samples 100 TB in one codegen'd scan.
+    "q57_weighted_mix" -> ((s, dir) =>
+      graft.operators.Sampling.weightedMix(
+        t(s, dir, "documents"), col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
+        .select(col("doc_id"), col("lang")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,6 +130,19 @@ object Ext2Queries {
          FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL
          SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4), o_orderpriority
-         FROM orders WHERE o_orderkey % 2 = 1"""
+         FROM orders WHERE o_orderkey % 2 = 1""",
+
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('graft|'||doc_id), doc_id) AS rn
+           FROM documents) WHERE rn <= 50""",
+
+    "q57_weighted_mix" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE (('0x'||substr(md5('graft|'||doc_id),1,8))::BIGINT % 1000000)
+               / 1000000.0
+             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END"""
   )
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class SamplingSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 2000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+
+  test("hashSample: deterministic, shuffle-free, near the target fraction") {
+    val a = Sampling.hashSample(docs, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, col("id"), 0.3).collect().map(_.getLong(0)).toSet
+    assert(a === b)                         // reproducible
+    assert(math.abs(a.size - 600) < 120)    // Bernoulli, ±20% at n=2000
+    val plan = Sampling.hashSample(docs, col("id"), 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))      // pure filter
+  }
+
+  test("hashSample: nested samples — smaller fraction is a subset") {
+    val big = Sampling.hashSample(docs, col("id"), 0.5).collect().map(_.getLong(0)).toSet
+    val small = Sampling.hashSample(docs, col("id"), 0.2).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big)) // same hash, lower threshold
+  }
+
+  test("weightedMix: per-stratum fractions with default") {
+    val out = Sampling.weightedMix(docs, col("src"), col("id"),
+      Map("s0" -> 1.0, "s1" -> 0.0), default = 0.5)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") === 500)             // fraction 1.0 keeps all
+    assert(!bySrc.contains("s1"))           // fraction 0.0 keeps none
+    assert(bySrc("s2") > 150 && bySrc("s2") < 350) // default 0.5 of 500
+  }
+
+  test("stratifiedQuota: exact per-stratum sizes, deterministic choice") {
+    val out = Sampling.stratifiedQuota(docs, col("src"), col("id"), quota = 7)
+    val counts = out.groupBy("src").count().collect().map(_.getLong(1))
+    assert(counts.toSeq === Seq.fill(4)(7L))
+    val again = Sampling.stratifiedQuota(docs, col("src"), col("id"), quota = 7)
+    assert(out.collect().map(_.getLong(0)).toSet ===
+           again.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratifiedQuota: quota larger than stratum keeps whole stratum") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "src")
+    val out = Sampling.stratifiedQuota(tiny, col("src"), col("id"), quota = 10)
+    assert(out.count() === 3)
+  }
+}
