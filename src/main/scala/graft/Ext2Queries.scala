@@ -91,7 +91,20 @@ object Ext2Queries {
       graft.operators.Sampling.weightedMix(
         t(s, dir, "documents"), col("lang"), col("doc_id"),
         Map("en" -> 0.5, "de" -> 0.25), default = 0.1)
-        .select(col("doc_id"), col("lang")))
+        .select(col("doc_id"), col("lang"))),
+
+    // Sequence packing (concatenate-and-chunk): per-language token streams
+    // cut into 2048-token context windows; each doc reports the window it
+    // starts in and its offset there. Window arithmetic only — the
+    // no-split variant (packNextFit) is spec-tested (not SQL-expressible).
+    "q58_sequence_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Packing.packChunked(docs, col("doc_id"),
+          size(split(trim(col("text")), "\\s+")), capacity = 2048,
+          group = Seq(col("lang")))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("pack_id"), col("begin_offset"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +156,19 @@ object Ext2Queries {
       """SELECT doc_id, lang FROM documents
          WHERE (('0x'||substr(md5('graft|'||doc_id),1,8))::BIGINT % 1000000)
                / 1000000.0
-             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END"""
+             < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+
+    "q58_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+              CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents),
+          c AS (SELECT doc_id, lang, n_tokens,
+              sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d)
+          SELECT doc_id, lang, n_tokens,
+            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+            CAST((cum - n_tokens) % 2048 AS BIGINT) AS begin_offset
+          FROM c"""
   )
 }
