@@ -104,6 +104,26 @@ object Ext2Queries {
           group = Seq(col("lang")))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("pack_id"), col("begin_offset"))
+    }),
+
+    // PII scrub: the synthetic docs carry no PII, so the query first
+    // injects deterministic emails/URLs/phones (identically in the oracle)
+    // and then redacts them — scrub itself is one codegen'd projection.
+    // Output keeps md5(clean_text) instead of the text to stay compact.
+    "q59_pii_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact: user"), (col("doc_id") % 100).cast("string"),
+          lit("@example.com via https://ex.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" or +1 555-0"), (col("doc_id") % 900 + 100).cast("string")))
+            .otherwise(lit(""))))
+      graft.operators.TextClean.scrubPii(injected, col("text"))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_urls").cast("long").as("n_urls"),
+          col("n_phones").cast("long").as("n_phones"),
+          md5(col("clean_text")).as("clean_md5"))
     })
   )
 
@@ -169,6 +189,26 @@ object Ext2Queries {
           SELECT doc_id, lang, n_tokens,
             CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
             CAST((cum - n_tokens) % 2048 AS BIGINT) AS begin_offset
-          FROM c"""
+          FROM c""",
+
+    "q59_pii_scrub" ->
+      """WITH injected AS (SELECT doc_id,
+            text || ' contact: user' || (doc_id % 100)
+                 || '@example.com via https://ex.com/p/' || doc_id
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' or +1 555-0' || (doc_id % 900 + 100)
+                         ELSE '' END AS text
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+            CAST(len(regexp_extract_all(text,
+              '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+            md5(regexp_replace(regexp_replace(regexp_replace(text,
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+          FROM injected"""
   )
 }

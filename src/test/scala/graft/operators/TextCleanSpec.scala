@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class TextCleanSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  test("scrubPii redacts emails, urls, phones and counts them") {
+    val in = Seq(
+      (1L, "mail a.b+c@ex-ample.org or see https://x.io/p?q=1 call +1 555-0123"),
+      (2L, "no pii here"),
+      (3L, "two mails: a@b.co c@d.io")
+    ).toDF("id", "text")
+    val out = TextClean.scrubPii(in, col("text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getAs[String]("clean_text") ===
+      "mail <EMAIL> or see <URL> call <PHONE>")
+    assert(r1.getAs[Int]("n_emails") === 1)
+    assert(r1.getAs[Int]("n_urls") === 1)
+    assert(r1.getAs[Int]("n_phones") === 1)
+
+    assert(out(2L).getAs[String]("clean_text") === "no pii here")
+    assert(out(2L).getAs[Int]("n_emails") === 0)
+
+    assert(out(3L).getAs[String]("clean_text") === "two mails: <EMAIL> <EMAIL>")
+    assert(out(3L).getAs[Int]("n_emails") === 2)
+  }
+
+  test("an email inside a URL is swallowed by the URL placeholder") {
+    val in = Seq((1L, "link https://x.io/login?user=a@b.co end")).toDF("id", "text")
+    val out = TextClean.scrubPii(in, col("text")).head()
+    assert(out.getAs[String]("clean_text") === "link <URL> end")
+    // counts are measured independently on the raw text
+    assert(out.getAs[Int]("n_emails") === 1)
+    assert(out.getAs[Int]("n_urls") === 1)
+  }
+}
