@@ -140,12 +140,21 @@ class ODataScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
 
-  override def build(): Scan =
-    new ODataScan(readSchema, options, pushedSpatialDims, limit)
+  override def build(): Scan = {
+    // pruned scan → OData `$select`: the server stops SENDING the dropped
+    // fields instead of the reader dropping them at parse time
+    val selectCols =
+      if (readSchema.fields.nonEmpty &&
+          readSchema.fieldNames.toSeq != fullSchema.fieldNames.toSeq)
+        Some(readSchema.fieldNames.mkString(","))
+      else None
+    new ODataScan(readSchema, options, pushedSpatialDims, limit, selectCols)
+  }
 }
 
 class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
-                pushedSpatialDims: Option[Seq[String]], limit: Option[Int])
+                pushedSpatialDims: Option[Seq[String]], limit: Option[Int],
+                selectCols: Option[String] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = readSchema
@@ -154,7 +163,8 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
 
   override def description(): String =
     s"graft-odata pushedSpatialDims=" +
-      s"${pushedSpatialDims.map(_.mkString(",")).getOrElse("none")} limit=$limit"
+      s"${pushedSpatialDims.map(_.mkString(",")).getOrElse("none")} limit=$limit" +
+      s" select=${selectCols.getOrElse("all")}"
 
   private def opt(k: String, d: String) = options.getOrDefault(k, d)
 
@@ -166,15 +176,24 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
       .map(cs => countries0.filter(cs.toSet)).getOrElse(countries0)
     if (indicators.nonEmpty) {
       for (i <- indicators; c <- countries) yield
-        ODataInputPartition(entitySetFor(i, c), s"${i}_$c"): InputPartition
+        ODataInputPartition(withSelect(entitySetFor(i, c)), s"${i}_$c"): InputPartition
     } else {
-      Array(ODataInputPartition(opt("entitySet", "Indicator"), "single"): InputPartition)
+      Array(ODataInputPartition(withSelect(opt("entitySet", "Indicator")),
+        "single"): InputPartition)
     }
   }
 
   private def entitySetFor(indicator: String, country: String): String = {
     val query = ODataClient.encodeObservationQuery(country)
     s"$indicator?$query"
+  }
+
+  /** Append the pushed `$select` to the entity-set query (encoded like the
+    * other OData params; paging-param rewriting preserves it per page). */
+  private def withSelect(entitySet: String): String = selectCols.fold(entitySet) { cols =>
+    val sep = if (entitySet.contains("?")) "&" else "?"
+    entitySet + sep +
+      ODataClient.percentEncode("$select") + "=" + ODataClient.percentEncode(cols)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -128,6 +128,30 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
     assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("2019", "2020"))
   }
 
+  test("column pruning pushes $select into the request URL") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA",
+      "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+      .select("Id", "TimeDim")
+    assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("2019", "2020"))
+    val urls = StubFetcherFactory.fetched
+    assert(urls.nonEmpty)
+    assert(urls.forall(_.contains("%24select=Id%2CTimeDim")),
+      s"expected pushed \\$$select in every URL, got:\n${urls.mkString("\n")}")
+  }
+
+  test("unpruned scan sends no $select") {
+    StubFetcherFactory.reset()
+    val df = read(
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA",
+      "columns" -> "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+    assert(df.count() === 2)
+    assert(StubFetcherFactory.fetched.forall(!_.contains("select")))
+  }
+
   test("skipRequestErrors is honored by the scan: skip → empty, strict → fail") {
     def down(skip: String) = spark.read.format("graft-odata")
       .option("baseUrl", "http://t/api")
