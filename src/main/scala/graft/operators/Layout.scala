@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Physical-layout helpers: bucketed tables for co-located joins.
+/** Physical-layout helpers: bucketed tables for co-located joins, and
+  * Z-order clustering for multi-dimensional file skipping.
   *
   * A join between two tables bucketed by the same key into the same bucket
   * count needs NO shuffle — each task reads matching buckets from both
@@ -10,7 +12,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (a full shuffle of both sides) into a local merge per bucket; the price
   * is paid once at write time. Bucketing requires the session catalog
   * (`saveAsTable`), which works against the default in-memory catalog +
-  * `spark.sql.warehouse.dir` with no Hive metastore. */
+  * `spark.sql.warehouse.dir` with no Hive metastore.
+  *
+  * Z-ordering serves the other scan axis: parquet keeps min/max stats per
+  * file and row group, and a scan with a predicate skips units whose range
+  * doesn't overlap — but sorting by ONE column leaves every other column's
+  * ranges spanning the whole table. Interleaving the bits of N scaled
+  * columns (a Morton curve) keeps each file's bounding box tight in ALL N
+  * dimensions, so selective predicates on any of them skip most files. */
 object Layout {
 
   /** Write `df` as a bucketed (and optionally sorted) managed table. */
@@ -29,4 +38,50 @@ object Layout {
     !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Morton z-value of already-scaled non-negative integer columns (each in
+    * `[0, 2^bits)`): bit `i` of column `j` lands at interleaved position
+    * `i*N + j`. Pure bit arithmetic — codegen'd, no UDF. */
+  def interleaveBits(scaled: Seq[Column], bits: Int): Column = {
+    val n = scaled.length
+    val parts = for {
+      i <- 0 until bits
+      (c, j) <- scaled.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * n + j)
+    parts.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-value over numeric columns, min/max-scaled to `bits` bits each.
+    * `ranges` supplies (min, max) per column — compute once per write via
+    * an `agg(min, max)` pass (two scalars per column reach the driver).
+    * Nulls scale to 0 (sort first, like a NULLS FIRST cluster). */
+  def zValue(cols: Seq[Column], ranges: Seq[(Double, Double)], bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.length == ranges.length)
+    require(bits * cols.length <= 60, "z-value must fit a long")
+    val maxV = (1L << bits) - 1
+    val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      coalesce(
+        floor((c.cast("double") - lo) / span * maxV).cast("long"), lit(0L))
+        .bitwiseAND(lit(maxV)) // clamp values at hi to the top code
+    }
+    interleaveBits(scaled, bits)
+  }
+
+  /** Rewrite `df` as parquet z-ordered on `cols`: range-partition by the
+    * z-value into `numFiles` tight Morton segments, sort within each, drop
+    * the helper column, write. One write-time shuffle buys min/max file
+    * skipping on every clustered column for all later scans. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+                  numFiles: Int, bits: Int = 16): Unit = {
+    val exprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mm = df.agg(exprs.head, exprs.tail: _*).head()
+    val ranges = cols.indices.map(i => (mm.getDouble(2 * i), mm.getDouble(2 * i + 1)))
+    df.withColumn("__graft_z", zValue(cols.map(col), ranges, bits))
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }
