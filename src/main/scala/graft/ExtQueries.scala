@@ -158,6 +158,10 @@ object ExtQueries {
       // the LSH signature frames
       val fp = TextDedup.winnowFingerprints(t(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the cache BEFORE fanning out into three consumers:
+      // lazily-persisted branches race to fill it and can compute the
+      // winnowing repeatedly (measured as multi-second timing spread)
+      fp.count()
       val rare = fp.join(
         fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
           .filter(col("df").between(2, 50)).select("fingerprint"),

@@ -240,6 +240,9 @@ object TextDedup {
     // ~shingle-count × ~40B, evicted LRU, disk-spillable
     val sh = shingleRows(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before the four consumers fan out — lazily-persisted
+    // branches race to fill the cache and can re-tokenize repeatedly
+    sh.count()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // rare feeds BOTH join arms: persist it too, or the df aggregation and
     // its filter-join execute twice (one extra full shuffle each)
