@@ -124,7 +124,60 @@ object Ext2Queries {
           col("n_urls").cast("long").as("n_urls"),
           col("n_phones").cast("long").as("n_phones"),
           md5(col("clean_text")).as("clean_md5"))
-    })
+    }),
+
+    // Incremental aggregate maintenance: the events table arrives as two
+    // batches; each is partially aggregated and MERGEd into the rollup —
+    // history raw rows are never re-read. Final state must equal the
+    // direct aggregation over everything (the oracle).
+    "q60_incremental_agg" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val keys = Seq("user_id", "event_type")
+      val sums = Map("total_value" -> col("value"))
+      val afterB1 = graft.operators.IncrementalAgg.init(
+        ev.filter(col("event_id") % 2 === 0), keys, sums)
+      graft.operators.IncrementalAgg.update(
+          afterB1, ev.filter(col("event_id") % 2 === 1), keys, sums)
+        .select(col("user_id"), col("event_type"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+    }),
+
+    // SCD2 dimension versioning: version 1 loads every customer; version 2
+    // changes acctbal for every third customer — those close (valid_to=2)
+    // and re-open at v2, unchanged customers keep their single open row.
+    "q61_scd2" -> ((s, dir) => {
+      val b1 = t(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+      val b2 = b1.withColumn("acctbal",
+        when(col("c_custkey") % 3 === 0, round(col("acctbal") + 100, 4))
+          .otherwise(col("acctbal")))
+      val v1 = graft.operators.Scd2.apply(None, b1, Seq("c_custkey"), Seq("acctbal"), 1L)
+      graft.operators.Scd2.apply(Some(v1), b2, Seq("c_custkey"), Seq("acctbal"), 2L)
+    }),
+
+    // Unpivot (wide metrics → long form) via the native unpivot operator.
+    "q62_unpivot" -> ((s, dir) => {
+      val agg = t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(round(sum("o_totalprice"), 4).as("total_price"),
+          round(avg("o_totalprice"), 4).as("avg_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+      agg.unpivot(Array(col("o_orderstatus")),
+        Array(col("total_price"), col("avg_price"), col("n_orders")),
+        "metric", "value")
+    }),
+
+    // Ordered funnel over the event stream: stage k counts only events
+    // strictly after the user's stage-k−1 time.
+    "q63_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))),
+
+    // Cohort retention by first-activity day.
+    "q64_cohort" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(t(s, dir, "events"),
+          col("user_id"), col("ts"), "day")
+        .withColumn("cohort_period", col("cohort_period").cast("date")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -209,6 +262,56 @@ object Ext2Queries {
                   'https?://[^\s]+', '<URL>', 'g'),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
-          FROM injected"""
+          FROM injected""",
+
+    "q60_incremental_agg" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+            round(sum(value), 4) AS total_value
+         FROM events GROUP BY 1, 2""",
+
+    "q61_scd2" ->
+      """SELECT c_custkey, round(c_acctbal, 4) AS acctbal,
+            CAST(1 AS BIGINT) AS valid_from,
+            CASE WHEN c_custkey % 3 = 0 THEN CAST(2 AS BIGINT) END AS valid_to,
+            c_custkey % 3 <> 0 AS is_current
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, round(round(c_acctbal, 4) + 100, 4),
+            CAST(2 AS BIGINT), NULL, true
+         FROM customer WHERE c_custkey % 3 = 0""",
+
+    "q62_unpivot" ->
+      """WITH a AS (SELECT o_orderstatus,
+              round(sum(o_totalprice), 4) AS total_price,
+              round(avg(o_totalprice), 4) AS avg_price,
+              CAST(count(*) AS DOUBLE) AS n_orders
+            FROM orders GROUP BY 1)
+         SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM a
+         UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM a
+         UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM a""",
+
+    "q63_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+                JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+          SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage_name,
+                 (SELECT count(*) FROM v) AS n_users
+          UNION ALL SELECT 1, 'click', (SELECT count(*) FROM c)
+          UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM p)""",
+
+    "q64_cohort" ->
+      """WITH b AS (SELECT user_id, date_trunc('day', ts) AS p FROM events),
+          f AS (SELECT user_id, min(p) AS cohort_period FROM b GROUP BY 1),
+          a AS (SELECT DISTINCT user_id, p FROM b)
+          SELECT CAST(cohort_period AS DATE) AS cohort_period,
+            CAST(date_diff('day', CAST(cohort_period AS DATE), CAST(p AS DATE))
+                 AS BIGINT) AS period_offset,
+            count(*) AS n_users
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2"""
   )
 }
