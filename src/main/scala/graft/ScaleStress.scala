@@ -43,6 +43,46 @@ object ScaleStress {
     time("minhashLshGroups")(TextDedup.minhashLshGroups(docs).count())
     time("minhashLshPairs")(TextDedup.minhashLshPairs(docs).count())
     time("simhashPairs")(TextDedup.simhashPairs(docs).count())
+
+    // round-5 curation operators at the same corpus size
+    import graft.operators.{Packing, Sampling, TextClean}
+    time("hashSample 30%")(
+      Sampling.hashSample(docs, col("doc_id"), 0.3).count())
+    time("stratifiedQuota 1k/stratum")(
+      Sampling.stratifiedQuota(docs.withColumn("s", col("doc_id") % 16),
+        col("s"), col("doc_id"), 1000).count())
+    time("packChunked")(
+      Packing.packChunked(docs.withColumn("s", col("doc_id") % 16),
+        col("doc_id"), size(split(trim(col("text")), "\\s+")), 2048,
+        Seq(col("s"))).count())
+    time("packNextFit")(
+      Packing.packNextFit(
+        docs.withColumn("s", col("doc_id") % 16)
+          .withColumn("n", size(split(trim(col("text")), "\\s+"))),
+        "doc_id", "n", 2048, Seq("s")).count())
+    time("scrubPii")(
+      TextClean.scrubPii(docs, col("text"))
+        .agg(sum(col("n_emails") + col("n_urls") + col("n_phones"))).head().get(0))
+
+    // MERGE at fact-table scale: 600k-row base, 10k-row three-clause batch
+    // against the bucketed layout (I/O bounded by touched buckets)
+    val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val layout = java.nio.file.Files.createTempDirectory("stress-merge").toString + "/t"
+    import graft.operators.{Merge, Upsert}
+    time("upsertPartitionedTable build")(
+      Upsert.upsertPartitionedTable(spark, layout, orders,
+        Seq("o_orderkey"), Seq(col("o_orderkey")), numBuckets = 64))
+    val batch = orders.filter(col("o_orderkey") % 15 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    time(s"mergePartitionedTable (${batch.count()} keys)")(
+      Merge.mergePartitionedTable(spark, layout, batch, Seq("o_orderkey"),
+        matched = Seq(Merge.MatchedUpdate(Map(
+          "o_totalprice" -> Merge.src("o_totalprice")))),
+        notMatched = Some(Merge.NotMatchedInsert()),
+        sourcePriority = Seq(col("o_orderkey"))))
+    time("merged table count")(
+      Upsert.readPartitionedTable(spark, layout).count())
     spark.stop()
   }
 }
