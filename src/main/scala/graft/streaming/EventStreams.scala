@@ -93,6 +93,49 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming materialized rollup: maintain a keyed `(count, sums…)`
+    * aggregate table under a stream via [[graft.operators.IncrementalAgg]]
+    * partials MERGEd into the bucketed parquet layout — the streaming form
+    * of incremental view maintenance. Unlike the upsert sinks, the merge
+    * ADDS partials on matched keys, so a replayed micro-batch would
+    * double-count: exactly-once comes from recording the last applied
+    * batch id in a marker and skipping replays (the standard foreachBatch
+    * idempotence recipe for non-idempotent effects). */
+  def rollupStream(events: org.apache.spark.sql.DataFrame, tablePath: String,
+                   checkpointDir: String, keys: Seq[String],
+                   sums: Map[String, String], numBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val marker = s"$tablePath/_graft_last_batch"
+        val applied = graft.util.Fs.readMarker(marker, conf).map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          val sumCols = sums.map { case (n, c) => n -> col(c) }
+          val partial = graft.operators.IncrementalAgg
+            .aggregateBatch(batch, keys, sumCols)
+          if (graft.util.Fs.readMarker(
+              s"$tablePath/${graft.operators.Upsert.BucketMarker}", conf).isEmpty) {
+            graft.operators.Upsert.upsertPartitionedTable(spark, tablePath,
+              partial, keys, keys.map(col), numBuckets)
+          } else {
+            val addCols = ("n_events" :: sums.keys.toList).map { c =>
+              c -> (graft.operators.Merge.base(c) + graft.operators.Merge.src(c))
+            }.toMap
+            graft.operators.Merge.mergePartitionedTable(spark, tablePath,
+              partial, keys,
+              matched = Seq(graft.operators.Merge.MatchedUpdate(addCols)),
+              notMatched = Some(graft.operators.Merge.NotMatchedInsert()),
+              sourcePriority = keys.map(col))
+          }
+          graft.util.Fs.writeMarker(marker, batchId.toString, conf)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Gap-based sessionization with custom state (flatMapGroupsWithState):
     * a session closes when `gapMinutes` pass without an event for the user.
     * This is the KeyValueGroupedDataset custom-state path the built-in
