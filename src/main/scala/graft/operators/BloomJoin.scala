@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter join pruning — the explicit form of Spark's runtime
   * semi-join reduction (`InjectRuntimeFilter`), for when the optimizer
@@ -51,7 +50,23 @@ object BloomJoin {
   def keyBloom(build: DataFrame, keys: Seq[String],
                expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     register(build.sparkSession)
-    val numBits = BloomFilter.create(expectedItems, fpp).bitSize()
+    // optimal bit count WITHOUT allocating a driver-side filter:
+    // n * ln(fpp) / ln(2)^2 (the standard Bloom sizing formula)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY clamps against the runtime-filter conf
+    // limits — a clamped sketch keeps "working" with fpp→1 and prunes
+    // nothing. Fail loudly and tell the caller which knob to raise.
+    val sqlConf = build.sparkSession.sessionState.conf
+    val maxItems = sqlConf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = sqlConf.getConfString(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom for $expectedItems items / $numBits bits exceeds the session caps " +
+        s"($maxItems items / $maxBits bits) and would be silently degraded — raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits, or " +
+        "pre-filter the build side")
     build.select(
       call_function("graft_bloom_agg",
         xxhash64(keys.map(col): _*), lit(expectedItems), lit(numBits)))

@@ -25,16 +25,28 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("n_events"),
         sums.toSeq.map { case (n, c) => sum(c).as(n) }: _*)
 
+  /** The merge clause set that folds a partial into the table: matched
+    * keys ADD the partials, new keys insert. With `replayGuard` (a version
+    * column carried on both sides), a matched row only folds when the
+    * incoming version is NEWER — a replayed partial becomes a per-key
+    * no-op, which is what makes the additive merge safe under
+    * at-least-once delivery and partial bucket swaps. */
+  def mergeClauses(sumCols: Iterable[String], replayGuard: Option[String] = None)
+      : (Seq[Merge.MatchedAction], Option[Merge.NotMatchedInsert]) = {
+    val add = ("n_events" :: sumCols.toList).map { c =>
+      c -> (Merge.base(c) + Merge.src(c))
+    }.toMap
+    val set = replayGuard.fold(add)(g => add + (g -> Merge.src(g)))
+    val cond = replayGuard.map(g => Merge.src(g) > Merge.base(g))
+    (Seq(Merge.MatchedUpdate(set, cond)), Some(Merge.NotMatchedInsert()))
+  }
+
   /** Fold a batch's partial aggregate into the running table. */
   def update(table: DataFrame, batch: DataFrame, keys: Seq[String],
              sums: Map[String, Column]): DataFrame = {
     val partial = aggregateBatch(batch, keys, sums)
-    val addCols = ("n_events" :: sums.keys.toList).map { c =>
-      c -> (Merge.base(c) + Merge.src(c))
-    }.toMap
-    Merge.merge(table, partial, keys,
-      matched = Seq(Merge.MatchedUpdate(addCols)),
-      notMatched = Some(Merge.NotMatchedInsert()),
+    val (matched, notMatched) = mergeClauses(sums.keys)
+    Merge.merge(table, partial, keys, matched, notMatched,
       sourcePriority = keys.map(col))
   }
 

@@ -61,9 +61,15 @@ object Layout {
     val maxV = (1L << bits) - 1
     val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      coalesce(
-        floor((c.cast("double") - lo) / span * maxV).cast("long"), lit(0L))
-        .bitwiseAND(lit(maxV)) // clamp values at hi to the top code
+      // CLAMP out-of-range values (callers reuse ranges across incremental
+      // writes, so rows beyond [lo,hi] are legal) — a bitmask would WRAP
+      // them to the opposite end of the curve and wreck the file boxes
+      least(
+        greatest(
+          coalesce(floor((c.cast("double") - lo) / span * maxV).cast("long"),
+            lit(0L)),
+          lit(0L)),
+        lit(maxV))
     }
     interleaveBits(scaled, bits)
   }
@@ -77,7 +83,12 @@ object Layout {
     val exprs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val mm = df.agg(exprs.head, exprs.tail: _*).head()
-    val ranges = cols.indices.map(i => (mm.getDouble(2 * i), mm.getDouble(2 * i + 1)))
+    // empty input / all-null column → null min/max: degrade to a unit
+    // range (every such row z-scales to 0) instead of an opaque NPE
+    val ranges = cols.indices.map { i =>
+      if (mm.isNullAt(2 * i) || mm.isNullAt(2 * i + 1)) (0.0, 1.0)
+      else (mm.getDouble(2 * i), mm.getDouble(2 * i + 1))
+    }
     df.withColumn("__graft_z", zValue(cols.map(col), ranges, bits))
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")

@@ -61,14 +61,30 @@ object Merge {
   def merge(base: DataFrame, source: DataFrame, keys: Seq[String],
             matched: Seq[MatchedAction],
             notMatched: Option[NotMatchedInsert],
-            sourcePriority: Seq[Column]): DataFrame = {
+            sourcePriority: Seq[Column]): DataFrame =
+    mergePreDeduped(base, Dedup.firstWins(source, keys, sourcePriority),
+      keys, matched, notMatched)
+
+  /** [[merge]] for a source already deduped by key — skips the defensive
+    * window pass (callers on hot paths dedup once and reuse the frame). */
+  private[graft] def mergePreDeduped(base: DataFrame, batch: DataFrame,
+            keys: Seq[String],
+            matched: Seq[MatchedAction],
+            notMatched: Option[NotMatchedInsert]): DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
     val outCols = base.columns.toSeq
-    val batch = Dedup.firstWins(source, keys, sourcePriority)
 
-    val b = base.select(struct(outCols.map(col): _*).as(BaseStruct) +: keys.map(col): _*)
-    val s = batch.select(struct(batch.columns.map(col).toSeq: _*).as(SrcStruct) +: keys.map(col): _*)
-    val joined = b.join(s, keys, "full_outer")
+    // null-SAFE key join (<=>): a null-keyed base row must match the
+    // null-keyed source partial, or every merge would append a fresh
+    // null-key row instead of folding it (rollups over nullable group
+    // columns hit this with e.g. anonymous-user groups)
+    val bKeys = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__graft_bk$i") }
+    val sKeys = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__graft_sk$i") }
+    val b = base.select(struct(outCols.map(col): _*).as(BaseStruct) +: bKeys: _*)
+    val s = batch.select(struct(batch.columns.map(col).toSeq: _*).as(SrcStruct) +: sKeys: _*)
+    val joinCond = keys.indices
+      .map(i => col(s"__graft_bk$i") <=> col(s"__graft_sk$i")).reduce(_ && _)
+    val joined = b.join(s, joinCond, "full_outer")
 
     val isMatched = col(BaseStruct).isNotNull && col(SrcStruct).isNotNull
     val srcOnly = col(BaseStruct).isNull
@@ -137,32 +153,37 @@ object Merge {
       .getOrElse(throw new IllegalStateException(
         s"$path is not a graft bucketed layout (missing ${Upsert.BucketMarker})"))
 
+    // dedup ONCE (mergePreDeduped skips the second defensive window pass)
+    // and persist: the batch feeds the touched-bucket collect AND the merge
     val batch = Dedup.firstWins(source, keys, sourcePriority)
       .withColumn(Upsert.BucketCol,
         pmod(hash(keys.map(col): _*), lit(markerBuckets)))
-    val touched = batch.select(Upsert.BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = batch.select(Upsert.BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (touched.isEmpty) return
 
-    val baseTouched = spark.read.parquet(path)
-      .filter(col(Upsert.BucketCol).isin(touched: _*)) // partition-pruned
-      .drop(Upsert.BucketCol)
-    val merged = merge(baseTouched, batch.drop(Upsert.BucketCol), keys,
-        matched, notMatched, sourcePriority)
-      .withColumn(Upsert.BucketCol,
-        pmod(hash(keys.map(col): _*), lit(markerBuckets)))
+      val baseTouched = spark.read.parquet(path)
+        .filter(col(Upsert.BucketCol).isin(touched: _*)) // partition-pruned
+        .drop(Upsert.BucketCol)
+      val merged = mergePreDeduped(baseTouched, batch.drop(Upsert.BucketCol),
+          keys, matched, notMatched)
+        .withColumn(Upsert.BucketCol,
+          pmod(hash(keys.map(col): _*), lit(markerBuckets)))
 
-    // stage fully, then swap each touched bucket dir (same crash contract
-    // as upsertPartitionedTable: idempotent re-run heals a partial swap)
-    val tmp = path + ".__graft_tmp"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(Upsert.BucketCol).parquet(tmp)
-    touched.foreach { bkt =>
-      val dir = s"${Upsert.BucketCol}=$bkt"
-      if (graft.util.Fs.exists(s"$tmp/$dir", conf))
-        graft.util.Fs.swapInto(s"$tmp/$dir", s"$path/$dir", conf)
-      else // every row of the bucket was deleted
-        graft.util.Fs.deleteRecursively(s"$path/$dir", conf)
-    }
-    graft.util.Fs.deleteRecursively(tmp, conf)
+      // stage fully, then swap each touched bucket dir (same crash contract
+      // as upsertPartitionedTable: idempotent re-run heals a partial swap)
+      val tmp = path + ".__graft_tmp"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(Upsert.BucketCol).parquet(tmp)
+      touched.foreach { bkt =>
+        val dir = s"${Upsert.BucketCol}=$bkt"
+        if (graft.util.Fs.exists(s"$tmp/$dir", conf))
+          graft.util.Fs.swapInto(s"$tmp/$dir", s"$path/$dir", conf)
+        else // every row of the bucket was deleted
+          graft.util.Fs.deleteRecursively(s"$path/$dir", conf)
+      }
+      graft.util.Fs.deleteRecursively(tmp, conf)
+    } finally batch.unpersist()
   }
 }

@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
 object Scd2 {
 
   /** Evolve `dim` (an SCD2 table, possibly empty/None) with `batch`
-    * (key + attribute columns, one row per key) at `version`. Attribute
-    * comparison is null-safe on `attrs`. */
-  def apply(dim: Option[DataFrame], batch: DataFrame, keys: Seq[String],
-            attrs: Seq[String], version: Long): DataFrame = {
+    * (key + attribute columns) at `version`. Attribute comparison is
+    * null-safe on `attrs`. Duplicate batch keys collapse deterministically
+    * (first in `batchPriority` order wins, like [[Merge]]) — two open
+    * versions of one key would silently fan out every later as-of join. */
+  def apply(dim: Option[DataFrame], batch0: DataFrame, keys: Seq[String],
+            attrs: Seq[String], version: Long,
+            batchPriority: Option[Seq[Column]] = None): DataFrame = {
+    val batch = Dedup.firstWins(batch0, keys,
+      batchPriority.getOrElse(keys.map(col)))
     val opened = batch.select((keys ++ attrs).map(col): _*)
       .withColumn("valid_from", lit(version))
       .withColumn("valid_to", lit(null).cast("long"))

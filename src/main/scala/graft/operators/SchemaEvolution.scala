@@ -40,10 +40,20 @@ object SchemaEvolution {
     if (a == b) a
     else if (a == NullType) b
     else if (b == NullType) a
-    else (numericLadder.indexOf(a), numericLadder.indexOf(b)) match {
-      case (i, j) if i >= 0 && j >= 0 => numericLadder(math.max(i, j))
-      case _ => throw new IllegalArgumentException(
-        s"incompatible schema evolution: ${a.simpleString} vs ${b.simpleString}")
+    else (a, b) match {
+      // decimal precision/scale growth (money columns widened over time):
+      // keep max integral digits and max scale — lossless for both sides
+      case (da: DecimalType, db: DecimalType) =>
+        val (p1, s1, p2, s2) = (da.precision, da.scale, db.precision, db.scale)
+        val scale = math.max(s1, s2)
+        val integral = math.max(p1 - s1, p2 - s2)
+        DecimalType(math.min(integral + scale, DecimalType.MAX_PRECISION), scale)
+      case _ =>
+        (numericLadder.indexOf(a), numericLadder.indexOf(b)) match {
+          case (i, j) if i >= 0 && j >= 0 => numericLadder(math.max(i, j))
+          case _ => throw new IllegalArgumentException(
+            s"incompatible schema evolution: ${a.simpleString} vs ${b.simpleString}")
+        }
     }
 
   /** Evolved schema over all versions: first-seen column order, widened

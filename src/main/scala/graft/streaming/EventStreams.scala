@@ -96,11 +96,18 @@ object EventStreams {
   /** Streaming materialized rollup: maintain a keyed `(count, sums…)`
     * aggregate table under a stream via [[graft.operators.IncrementalAgg]]
     * partials MERGEd into the bucketed parquet layout — the streaming form
-    * of incremental view maintenance. Unlike the upsert sinks, the merge
-    * ADDS partials on matched keys, so a replayed micro-batch would
-    * double-count: exactly-once comes from recording the last applied
-    * batch id in a marker and skipping replays (the standard foreachBatch
-    * idempotence recipe for non-idempotent effects). */
+    * of incremental view maintenance.
+    *
+    * Unlike the upsert sinks, the merge ADDS partials on matched keys, so
+    * replay safety cannot come from overwriting: every row carries
+    * `__graft_last_batch`, and the matched clause folds a partial ONLY
+    * when its batch id is newer than the row's (IncrementalAgg
+    * `replayGuard`). A crashed run that swapped some buckets and not
+    * others replays the batch; already-swapped keys no-op on the guard,
+    * unswapped keys fold — per-key exactly-once without an atomic
+    * multi-bucket commit. The `_graft_last_batch` marker is only a cheap
+    * whole-batch skip (and parsed tolerantly: a torn marker means "don't
+    * skip", never a crash loop). */
   def rollupStream(events: org.apache.spark.sql.DataFrame, tablePath: String,
                    checkpointDir: String, keys: Seq[String],
                    sums: Map[String, String], numBuckets: Int = 16)
@@ -111,23 +118,21 @@ object EventStreams {
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val marker = s"$tablePath/_graft_last_batch"
-        val applied = graft.util.Fs.readMarker(marker, conf).map(_.toLong)
+        val applied = graft.util.Fs.readMarker(marker, conf).flatMap(_.toLongOption)
         if (!applied.exists(_ >= batchId)) {
           val sumCols = sums.map { case (n, c) => n -> col(c) }
           val partial = graft.operators.IncrementalAgg
             .aggregateBatch(batch, keys, sumCols)
+            .withColumn("__graft_last_batch", lit(batchId))
           if (graft.util.Fs.readMarker(
               s"$tablePath/${graft.operators.Upsert.BucketMarker}", conf).isEmpty) {
             graft.operators.Upsert.upsertPartitionedTable(spark, tablePath,
               partial, keys, keys.map(col), numBuckets)
           } else {
-            val addCols = ("n_events" :: sums.keys.toList).map { c =>
-              c -> (graft.operators.Merge.base(c) + graft.operators.Merge.src(c))
-            }.toMap
+            val (matched, notMatched) = graft.operators.IncrementalAgg
+              .mergeClauses(sums.keys, replayGuard = Some("__graft_last_batch"))
             graft.operators.Merge.mergePartitionedTable(spark, tablePath,
-              partial, keys,
-              matched = Seq(graft.operators.Merge.MatchedUpdate(addCols)),
-              notMatched = Some(graft.operators.Merge.NotMatchedInsert()),
+              partial, keys, matched, notMatched,
               sourcePriority = keys.map(col))
           }
           graft.util.Fs.writeMarker(marker, batchId.toString, conf)

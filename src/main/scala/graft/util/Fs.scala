@@ -95,12 +95,20 @@ object Fs {
       throw new java.io.IOException(s"rename failed: $src -> $target")
   }
 
+  /** Write a marker file atomically-enough: content lands in a temp file
+    * first, then renames over the target — a crash mid-write can leave a
+    * stale marker but never a torn/empty one (readers parse markers to
+    * drive skip/layout decisions; a torn marker would wedge them). */
   def writeMarker(path: String, content: String, conf: Configuration): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
+    val tmp = new Path(path + ".__graft_tmp")
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false): Unit
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"marker rename failed: $tmp -> $path")
   }
 
   def readMarker(path: String, conf: Configuration): Option[String] = {

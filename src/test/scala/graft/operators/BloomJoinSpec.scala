@@ -38,6 +38,13 @@ class BloomJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plain > 0)
   }
 
+  test("a bloom exceeding the session caps fails loudly instead of degrading") {
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.keyBloom(build, Seq("k"), expectedItems = 50000000L)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("the bloom filter sits below the join in the physical plan") {
     // parquet-backed probe: ConvertToLocalRelation would eagerly evaluate
     // the filter over an in-memory relation and hide it from the plan

@@ -70,6 +70,36 @@ class MergeSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === "first")
   }
 
+  test("merge: null keys match null-safely instead of always inserting") {
+    val base = Seq((Option(1L), "a", 1.0), (Option.empty[Long], "n", 2.0))
+      .toDF("k", "v", "x")
+    val source = Seq((Option.empty[Long], "N2", 9.0)).toDF("k", "v", "x")
+    val out = Merge.merge(base, source, Seq("k"),
+      matched = Seq(MatchedUpdate(Map("v" -> Merge.src("v")))),
+      notMatched = Some(NotMatchedInsert()),
+      sourcePriority = Seq(col("v"))
+    ).collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toMap
+    // the null-key source row UPDATES the null-key base row (one row out)
+    assert(out === Map(Some(1L) -> "a", None -> "N2"))
+  }
+
+  test("replay-guarded additive clauses: stale partials are per-key no-ops") {
+    val table = Seq((1L, 2L, 10.0, 7L), (2L, 1L, 5.0, 6L))
+      .toDF("k", "n_events", "total", "__graft_last_batch")
+    val partial = Seq((1L, 1L, 4.0, 7L), (2L, 1L, 3.0, 7L))
+      .toDF("k", "n_events", "total", "__graft_last_batch")
+    val (matched, notMatched) =
+      IncrementalAgg.mergeClauses(Seq("total"), replayGuard = Some("__graft_last_batch"))
+    val out = Merge.merge(table, partial, Seq("k"), matched, notMatched, Seq(col("k")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // k=1 already at batch 7 → untouched; k=2 at 6 → folds and advances
+    assert(out === Map(
+      1L -> ((2L, 10.0, 7L)),
+      2L -> ((2L, 8.0, 7L))))
+  }
+
   test("mergePartitionedTable: bucket-pruned merge, idempotent re-run") {
     val path = tempDir("merge-part") + "/t"
     val base = (1L to 100L).map(i => (i, s"v$i", i.toDouble)).toDF("k", "v", "x")

@@ -59,6 +59,15 @@ class Scd2Spec extends AnyFunSuite with SparkSpec {
     assert(v3.count() === 2) // null → 'x' IS a change
   }
 
+  test("duplicate batch keys collapse deterministically — never two open versions") {
+    val v1 = Scd2.apply(None,
+      Seq((1L, "zzz"), (1L, "aaa")).toDF("k", "city"), // dup key
+      Seq("k"), Seq("city"), 1L,
+      batchPriority = Some(Seq(org.apache.spark.sql.functions.col("city").asc)))
+    assert(collectDim(v1) === Set((1L, "aaa", 1L, None, true)))
+    assert(v1.filter(org.apache.spark.sql.functions.col("is_current")).count() === 1)
+  }
+
   test("keys absent from the batch stay current untouched") {
     val v1 = Scd2.apply(None, Seq((1L, "a"), (2L, "b")).toDF("k", "city"),
       Seq("k"), Seq("city"), 1L)

@@ -33,6 +33,13 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("widen: decimal precision/scale growth is lossless") {
+    assert(SchemaEvolution.widen(DecimalType(10, 2), DecimalType(12, 2)) ===
+      DecimalType(12, 2))
+    assert(SchemaEvolution.widen(DecimalType(10, 2), DecimalType(10, 4)) ===
+      DecimalType(12, 4)) // 8 integral digits + 4 scale
+  }
+
   test("unionEvolved: rows from every version under the evolved schema") {
     val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v") // int ids, no score
     val v2 = Seq((3L, "c", 0.5)).toDF("id", "v", "score")

@@ -27,6 +27,24 @@ class ZorderSpec extends AnyFunSuite with SparkSpec {
     assert(out(2) === 15L)  // max clamps to 2^4-1
   }
 
+  test("zValue clamps out-of-range values instead of wrapping them") {
+    val df = Seq(-50.0, 150.0).toDF("v") // beyond the declared [0,100] range
+    val out = df.select(Layout.zValue(Seq(col("v")), Seq((0.0, 100.0)), bits = 4).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(0L, 15L)) // below→bottom code, above→top code
+  }
+
+  test("zorderWrite degrades gracefully on empty input and all-null columns") {
+    val dir = tempDir("zorder-edge")
+    Layout.zorderWrite(Seq.empty[(Int, Int)].toDF("a", "b"), Seq("a", "b"),
+      s"$dir/empty", numFiles = 2)
+    assert(spark.read.parquet(s"$dir/empty").count() === 0)
+    Layout.zorderWrite(
+      Seq((Option.empty[Int], 1), (Option.empty[Int], 2)).toDF("a", "b"),
+      Seq("a", "b"), s"$dir/nulls", numFiles = 2)
+    assert(spark.read.parquet(s"$dir/nulls").count() === 2)
+  }
+
   test("z-ordered files have tight bounding boxes on BOTH dimensions") {
     // grid data: x,y uniform over [0,100) — linear x-sort leaves every
     // file's y-range spanning the full domain; z-order must not
