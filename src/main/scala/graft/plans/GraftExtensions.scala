@@ -16,10 +16,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * by other code (e.g. the driver harness). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    def fn(name: String, clazz: Class[_])(builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder))
+    fn("graft_cosine_sim", classOf[CosineSimilarity])(
+      exprs => CosineSimilarity(exprs.head, exprs(1)))
+    fn("graft_l2_normalize", classOf[NormalizeVector])(
+      exprs => NormalizeVector(exprs.head))
+    fn("graft_sign_lsh_bits", classOf[SignLshBits])(SignLshBits.builder)
+    fn("graft_nearest_centroid", classOf[NearestCentroid])(NearestCentroid.builder)
+    // bloom pruning pair (SQL users get the same codegen'd predicates the
+    // BloomJoin operator uses)
+    fn("graft_bloom_agg",
+       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate])(
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)))
+    fn("graft_bloom_contains",
+       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])(
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs.head, exprs(1)))
     // declarative HOF cosine → fused native kernel, chosen by the optimizer
     ext.injectOptimizerRule(_ => RewriteHofCosine)
   }

@@ -94,15 +94,19 @@ object NearestCentroid {
   /** Register `graft_nearest_centroid(v, centersLiteral)` — the second
     * argument must be a foldable array<array<double>> literal, decoded into
     * the plan-time matrix at expression-build time. Idempotent. */
+  /** Function-registry builder (shared by [[register]] and
+    * [[GraftExtensions]]): decodes the foldable center-matrix argument at
+    * expression-build time. */
+  def builder(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): NearestCentroid = {
+    require(exprs(1).foldable, "centers must be a literal matrix")
+    val ad = exprs(1).eval().asInstanceOf[ArrayData]
+    val m = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    NearestCentroid(exprs.head, m)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nearest_centroid",
-      exprs => {
-        require(exprs(1).foldable, "centers must be a literal matrix")
-        val ad = exprs(1).eval().asInstanceOf[ArrayData]
-        val m = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
-        NearestCentroid(exprs.head, m)
-      }, "built-in")
+      "graft_nearest_centroid", builder, "built-in")
 
   /** Column form: nearest-centroid id of `v` against `centers`. */
   def assign(v: org.apache.spark.sql.Column,

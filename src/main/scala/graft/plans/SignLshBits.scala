@@ -87,15 +87,19 @@ case class SignLshBits(child: Expression, planes: Array[Array[Double]])
 object SignLshBits {
   /** Register `graft_sign_lsh_bits(v, planesLiteral)` — the second argument
     * must be a foldable array<array<double>> literal. Idempotent. */
+  /** Function-registry builder (shared by [[register]] and
+    * [[GraftExtensions]]): decodes the foldable plane-matrix argument at
+    * expression-build time. */
+  def builder(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): SignLshBits = {
+    require(exprs(1).foldable, "planes must be a literal matrix")
+    val ad = exprs(1).eval().asInstanceOf[ArrayData]
+    val m = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+    SignLshBits(exprs.head, m)
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sign_lsh_bits",
-      exprs => {
-        require(exprs(1).foldable, "planes must be a literal matrix")
-        val ad = exprs(1).eval().asInstanceOf[ArrayData]
-        val m = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
-        SignLshBits(exprs.head, m)
-      }, "built-in")
+      "graft_sign_lsh_bits", builder, "built-in")
 
   /** Column form: signature of `v` against `planes`. */
   def assign(v: org.apache.spark.sql.Column,
