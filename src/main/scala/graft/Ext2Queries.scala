@@ -177,7 +177,28 @@ object Ext2Queries {
     "q64_cohort" -> ((s, dir) =>
       graft.operators.EventAnalytics.cohortRetention(t(s, dir, "events"),
           col("user_id"), col("ts"), "day")
-        .withColumn("cohort_period", col("cohort_period").cast("date")))
+        .withColumn("cohort_period", col("cohort_period").cast("date"))),
+
+    // Sliding-window chunking (RAG/embedding ingest): 64-token chunks
+    // every 48 tokens; chunk text md5'd to keep the dump compact.
+    "q65_chunking" -> ((s, dir) =>
+      graft.operators.TextAnalysis.chunkTokens(
+          t(s, dir, "documents"), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"),
+          md5(col("chunk_text")).as("chunk_md5"), col("n_tokens"))),
+
+    // Train/test contamination report: winnowed-fingerprint overlap
+    // between the (deterministic) even/odd split — the pre-training check
+    // that eval data didn't leak into the corpus.
+    "q66_contamination" -> ((s, dir) => {
+      val fp = graft.operators.TextDedup.winnowFingerprints(t(s, dir, "documents"))
+      val train = fp.filter(col("doc_id") % 2 === 0)
+        .select(col("fingerprint")).distinct()
+      fp.filter(col("doc_id") % 2 === 1)
+        .join(train, "fingerprint")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("fingerprint")).as("n_shared"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -312,6 +333,39 @@ object Ext2Queries {
             CAST(date_diff('day', CAST(cohort_period AS DATE), CAST(p AS DATE))
                  AS BIGINT) AS period_offset,
             count(*) AS n_users
-          FROM a JOIN f USING (user_id) GROUP BY 1, 2"""
+          FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
+
+    "q65_chunking" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+          lims AS (SELECT doc_id, t,
+              greatest(CAST(ceil(CAST(greatest(len(t) - 64, 0) AS DOUBLE) / 48)
+                       AS INTEGER), 0) AS m
+            FROM toks),
+          idx AS (SELECT doc_id, t, unnest(range(0, m + 1)) AS i FROM lims)
+          SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+            md5(array_to_string(t[i*48+1 : i*48+64], ' ')) AS chunk_md5,
+            CAST(len(t[i*48+1 : i*48+64]) AS BIGINT) AS n_tokens
+          FROM idx""",
+
+    "q66_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+                       FROM documents),
+          shp AS (SELECT doc_id,
+                   [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))] AS sh
+                  FROM toks),
+          hashes AS (SELECT doc_id, [substr(md5(s),1,8) for s in sh] AS hs FROM shp),
+          win AS (SELECT doc_id,
+                   CASE WHEN len(hs) >= 4
+                        THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-2)])
+                        WHEN len(hs) > 0 THEN [list_min(hs)]
+                        ELSE [] END AS fps
+                  FROM hashes),
+          fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM win),
+          tr AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0)
+          SELECT fp.doc_id, CAST(count(DISTINCT fp.fingerprint) AS BIGINT) AS n_shared
+          FROM fp JOIN tr USING (fingerprint)
+          WHERE fp.doc_id % 2 = 1
+          GROUP BY 1"""
   )
 }

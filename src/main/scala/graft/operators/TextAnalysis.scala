@@ -114,4 +114,29 @@ object TextAnalysis {
         round(lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"), 4)
           .as("repetition"))
   }
+
+  /** Sliding-window token chunking (the RAG/embedding-ingest shape): each
+    * document becomes overlapping chunks of `window` tokens starting every
+    * `stride` tokens. `(doc_id, chunk_id, chunk_text, n_tokens)`; a doc
+    * shorter than one window yields exactly one (possibly short) chunk.
+    * Pure explode projection — no shuffle, codegen'd; chunking 100 TB is
+    * one scan. */
+  def chunkTokens(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    // tokens into a column first: a lambda consuming an unprojected split()
+    // re-evaluates it per element (no CSE inside HOF lambdas)
+    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val lastStart = greatest(
+      ceil((size(col("__toks")) - lit(window)).cast("double") / stride).cast("int"),
+      lit(0))
+    toked
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lastStart),
+          i => slice(col("__toks"), i * stride + 1, lit(window)))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
 }

@@ -15,6 +15,28 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("chunkTokens: overlapping windows cover every token, short docs one chunk") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"w$i").mkString(" ")), // 150 tokens → 3 chunks
+      (2L, "just a few tokens")                        // short → 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, window = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    assert(d1(0)._4 === 64L && d1(1)._4 === 64L && d1(2)._4 === 54L) // 150-96
+    assert(d1(0)._3.startsWith("w1 ") && d1(1)._3.startsWith("w49 ")
+      && d1(2)._3.startsWith("w97 "))
+    // stride < window → consecutive chunks overlap by window-stride tokens
+    assert(d1(0)._3.split(" ").drop(48).toSeq === d1(1)._3.split(" ").take(16).toSeq)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length === 1 && d2.head._4 === 4L)
+    // every token of doc 1 appears in some chunk
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert((1 to 150).forall(i => covered.contains(s"w$i")))
+  }
+
   test("exactGroups collapses literal duplicates") {
     val in = Seq((1L, "hello   world"), (2L, "Hello world"), (3L, "different")).toDF("doc_id", "text")
     val out = TextDedup.exactGroups(in).collect()
