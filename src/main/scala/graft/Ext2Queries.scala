@@ -198,7 +198,32 @@ object Ext2Queries {
         .join(train, "fingerprint")
         .groupBy(col("doc_id"))
         .agg(count_distinct(col("fingerprint")).as("n_shared"))
-    })
+    }),
+
+    // Built-in session_window (gap-merge semantics, end = last event +
+    // gap, end-EXCLUSIVE boundary) — cross-checks the custom-state
+    // sessionization (q43) and the flatMapGroupsWithState path with
+    // Spark's native operator.
+    "q67_session_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"), col("total_value"))),
+
+    // CUBE over (status, year) with grouping_id — all four aggregation
+    // granularities in one pass (Expand), the OLAP completeness piece
+    // alongside q30's ROLLUP and q49's PIVOT.
+    "q68_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .cube(col("o_orderstatus"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total_price"),
+          grouping_id().as("gid")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -366,6 +391,30 @@ object Ext2Queries {
           SELECT fp.doc_id, CAST(count(DISTINCT fp.fingerprint) AS BIGINT) AS n_shared
           FROM fp JOIN tr USING (fingerprint)
           WHERE fp.doc_id % 2 = 1
-          GROUP BY 1"""
+          GROUP BY 1""",
+
+    "q67_session_window" ->
+      """WITH o AS (SELECT user_id, ts, value,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                   THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          sess AS (SELECT user_id, ts, value,
+              sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM o)
+          SELECT user_id, min(ts) AS session_start,
+            max(ts) + INTERVAL 30 MINUTE AS session_end,
+            count(*) AS n_events, round(sum(value), 4) AS total_value
+          FROM sess GROUP BY user_id, sid""",
+
+    "q68_cube" ->
+      """SELECT o_orderstatus, o_year, count(*) AS n_orders,
+            round(sum(o_totalprice), 4) AS total_price,
+            GROUPING(o_orderstatus, o_year) AS gid
+         FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                      o_totalprice FROM orders)
+         GROUP BY CUBE (o_orderstatus, o_year)"""
   )
 }
