@@ -155,11 +155,48 @@ class ODataScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap
 class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
                 pushedSpatialDims: Option[Seq[String]], limit: Option[Int],
                 selectCols: Option[String] = None)
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = readSchema
 
   override def toBatch: Batch = this
+
+  /** Countries injected at RUNTIME (dynamic partition pruning): when this
+    * scan joins a dim whose filtered SpatialDim values are known only after
+    * the build side executes, Spark hands them here and the partition grid
+    * shrinks before any task launches — (indicator,country) pairs outside
+    * the join key set are never fetched. */
+  @volatile private var runtimeSpatialDims: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val observationMode =
+      options.getOrDefault("indicatorCodes", "").split(",").exists(_.trim.nonEmpty)
+    if (observationMode)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("SpatialDim"))
+    else Array.empty
+  }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def stringValues(children: Array[org.apache.spark.sql.connector.expressions.Expression]): Seq[String] =
+      children.collect {
+        case l: V2Literal[_] => String.valueOf(l.value())
+      }.toSeq
+    val accepted = predicates.collect {
+      case p if p.name() == "IN" &&
+          p.children().headOption.exists(_.isInstanceOf[NamedReference]) &&
+          p.children().head.asInstanceOf[NamedReference].fieldNames()
+            .sameElements(Array("SpatialDim")) =>
+        stringValues(p.children().drop(1))
+      case p if p.name() == "=" &&
+          p.children().headOption.exists(_.isInstanceOf[NamedReference]) &&
+          p.children().head.asInstanceOf[NamedReference].fieldNames()
+            .sameElements(Array("SpatialDim")) =>
+        stringValues(p.children().drop(1))
+    }
+    if (accepted.nonEmpty)
+      runtimeSpatialDims = Some(accepted.flatten.toSet)
+  }
 
   override def description(): String =
     s"graft-odata pushedSpatialDims=" +
@@ -171,9 +208,12 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
   override def planInputPartitions(): Array[InputPartition] = {
     val indicators = opt("indicatorCodes", "").split(",").map(_.trim).filter(_.nonEmpty)
     val countries0 = opt("countryCodes", "").split(",").map(_.trim).filter(_.nonEmpty)
-    // server-side filter: restrict the partition grid to the pushed countries
-    val countries = pushedSpatialDims
+    // server-side filter: restrict the partition grid to the pushed
+    // countries, then to the runtime (DPP) key set when one arrived
+    val countries1 = pushedSpatialDims
       .map(cs => countries0.filter(cs.toSet)).getOrElse(countries0)
+    val countries = runtimeSpatialDims
+      .map(cs => countries1.filter(cs)).getOrElse(countries1)
     if (indicators.nonEmpty) {
       for (i <- indicators; c <- countries) yield
         ODataInputPartition(withSelect(entitySetFor(i, c)), s"${i}_$c"): InputPartition

@@ -128,6 +128,40 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
     assert(df.collect().map(_.getString(1)).sorted.toSeq === Seq("2019", "2020"))
   }
 
+  test("runtime V2 filtering prunes the partition grid from a join key set") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.unsafe.types.UTF8String
+    import scala.jdk.CollectionConverters._
+
+    val opts = new CaseInsensitiveStringMap(Map(
+      "baseUrl" -> "http://t/api",
+      "indicatorCodes" -> "IND_A",
+      "countryCodes" -> "USA,CAN,MEX",
+      "columns" -> "Id,SpatialDim").asJava)
+    val scan = new ODataScan(
+      ODataDataSource.schemaFromOptions(opts), opts, None, None)
+    // scan exposes SpatialDim as runtime-filterable in observation mode
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("SpatialDim"))
+    assert(scan.planInputPartitions().length === 3)
+
+    // Spark hands the broadcast join key set here at runtime (DPP)
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("SpatialDim"),
+      Expressions.literal(UTF8String.fromString("USA")),
+      Expressions.literal(UTF8String.fromString("CAN"))))))
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[ODataInputPartition].label).sorted.toSeq
+    assert(parts === Seq("IND_A_CAN", "IND_A_USA")) // MEX never fetched
+
+    // unrelated predicates are ignored, not misapplied
+    scan.filter(Array(new Predicate("=", Array(
+      Expressions.column("Id"),
+      Expressions.literal(UTF8String.fromString("1"))))))
+    assert(scan.planInputPartitions().length === 2)
+  }
+
   test("column pruning pushes $select into the request URL") {
     StubFetcherFactory.reset()
     val df = read(
