@@ -223,7 +223,28 @@ object Ext2Queries {
         .cube(col("o_orderstatus"), col("o_year"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum("o_totalprice"), 4).as("total_price"),
-          grouping_id().as("gid")))
+          grouping_id().as("gid"))),
+
+    // End-to-end corpus curation: language gate (en) ∧ quality gate
+    // (score ≥ 0.5) ∧ exact-dedup canonical-only — the composition a real
+    // pretraining pipeline runs, built from the SAME operators the
+    // individual queries verify. All three gates are projections/one
+    // groupBy; the only join is canonical-selection against the (tiny)
+    // fingerprint groups.
+    "q69_curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lang = graft.operators.TextAnalysis.langId(docs)
+        .select(col("doc_id"), col("predicted_lang"))
+      val quality = graft.operators.TextAnalysis.qualityScore(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val canon = graft.operators.TextDedup.exactGroups(docs)
+        .select(col("canonical_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(lang, "doc_id").filter(col("predicted_lang") === "en")
+        .join(quality, "doc_id").filter(col("quality_score") >= 0.5)
+        .join(canon, col("doc_id") === col("canonical_id"))
+        .select(col("doc_id"), col("predicted_lang"), col("quality_score"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -415,6 +436,20 @@ object Ext2Queries {
             GROUPING(o_orderstatus, o_year) AS gid
          FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                       o_totalprice FROM orders)
-         GROUP BY CUBE (o_orderstatus, o_year)"""
+         GROUP BY CUBE (o_orderstatus, o_year)""",
+
+    "q69_curation_pipeline" ->
+      s"""WITH lang_pred AS (${ExtQueries.langidOracle}),
+          quality AS (${ExtQueries.qualityOracle}),
+          canon AS (SELECT min(doc_id) AS canonical_id
+                    FROM (SELECT doc_id,
+                            md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+                          FROM documents)
+                    GROUP BY fp)
+          SELECT d.doc_id, l.predicted_lang, q.quality_score
+          FROM documents d
+          JOIN lang_pred l ON d.doc_id = l.doc_id AND l.predicted_lang = 'en'
+          JOIN quality q ON d.doc_id = q.doc_id AND q.quality_score >= 0.5
+          JOIN canon c ON d.doc_id = c.canonical_id"""
   )
 }

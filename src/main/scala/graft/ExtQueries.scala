@@ -320,7 +320,7 @@ object ExtQueries {
         SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
   }
 
-  private def langidOracle: String = {
+  private[graft] def langidOracle: String = {
     def cnt(markers: Seq[String]): String = markers.map { m =>
       s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
     }.mkString(" + ")
@@ -337,7 +337,7 @@ object ExtQueries {
               FROM (SELECT doc_id, ' '||lower(text)||' ' AS p FROM documents))"""
   }
 
-  private def qualityOracle: String =
+  private[graft] def qualityOracle: String =
     """SELECT doc_id,
          CAST(length(text) AS BIGINT) AS n_chars,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
