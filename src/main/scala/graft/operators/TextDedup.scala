@@ -136,6 +136,11 @@ object TextDedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(k % bands == 0, "k must divide into equal bands")
     val sig = minhashSignatures(docs, k, idCol, textCol)
+    // NOTE (100 TB path): pre-pruning docs whose buckets are all
+    // singletons (join against buckets with count >= 2) shrinks the loop
+    // to the multi-member subgraph — the right move when membership is
+    // billions of rows. Measured HERE it costs more stage-floor than the
+    // loop saves (20k membership rows), so the local build stays direct.
     val membership = bandedRows(sig, k, bands)
       .select(col("doc_id"),
         concat_ws("#", col("band_id"), col("band_key")).as("bucket"))
@@ -143,6 +148,15 @@ object TextDedup {
 
     var labels = docs.select(col(idCol).as("doc_id"))
       .withColumn("label", col("doc_id")).persist(MEMORY_AND_DISK)
+    // labels only ever DECREASE (min-propagation), so the fixpoint test is
+    // "did the label sum change" — one aggregation per round instead of a
+    // join + filter + action. Decimal sum: 1e12 docs × 1e12 ids overflows
+    // a long, and a silent wrap here would terminate the loop early.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))) // empty active set → 0, not null
+        .head().getDecimal(0)
+    var curSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -161,8 +175,9 @@ object TextDedup {
       val next =
         if ((iter + 1) % 4 == 0) next0.localCheckpoint(true)
         else next0.persist(MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") < col("prev")).isEmpty
+      val nextSum = labelSum(next) // also materializes next's cache
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1
