@@ -39,6 +39,36 @@ object Layout {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Compact the small files a bucketed keyed table accumulates: every
+    * incremental [[Upsert.upsertPartitionedTable]]/[[Merge.mergePartitionedTable]]
+    * batch rewrites its touched buckets as fresh files, and a
+    * frequently-merged bucket ends up as many small parquet files — more
+    * footer reads and task overhead per scan. Compaction rewrites ONLY the
+    * buckets holding more than `maxFilesPerBucket` files (coalesced to one
+    * file each, staged then swapped — same crash contract as the merge
+    * path). Data, layout contract, and the bucket marker are unchanged.
+    * Returns the number of buckets compacted. */
+  def compactBuckets(spark: SparkSession, path: String,
+                     maxFilesPerBucket: Int = 4): Int = {
+    import graft.util.Fs
+    val conf = spark.sparkContext.hadoopConfiguration
+    require(Fs.readMarker(s"$path/${Upsert.BucketMarker}", conf).isDefined,
+      s"$path is not a graft bucketed layout")
+    val buckets = Fs.childDirsWithPrefix(path, Upsert.BucketCol + "=", conf)
+    val oversized = buckets.filter { b =>
+      val fs = Fs.fileSystem(s"$path/$b", conf)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$b"))
+        .count(s => s.isFile && !s.getPath.getName.startsWith("_")) > maxFilesPerBucket
+    }
+    oversized.foreach { b =>
+      val tmp = s"$path/.__graft_compact_$b"
+      spark.read.parquet(s"$path/$b").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      Fs.swapInto(tmp, s"$path/$b", conf)
+    }
+    oversized.size
+  }
+
   /** Morton z-value of already-scaled non-negative integer columns (each in
     * `[0, 2^bits)`): bit `i` of column `j` lands at interleaved position
     * `i*N + j`. Pure bit arithmetic — codegen'd, no UDF. */

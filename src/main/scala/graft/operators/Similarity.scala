@@ -51,6 +51,30 @@ object Similarity {
     def isBuilt(spark: SparkSession, path: String): Boolean =
       graft.util.Fs.exists(s"$path/_SUCCESS",
         spark.sparkContext.hadoopConfiguration)
+
+    /** Drop index generations for source paths whose data fingerprint no
+      * longer matches — staleness-keyed paths make rebuilds SAFE but leak
+      * the superseded dirs; vacuum reclaims them. `live` maps each source
+      * path still in use; every `<md5(source)>-<fp>` dir whose fp differs
+      * from the source's CURRENT fingerprint is deleted. Returns the number
+      * of reclaimed generations. */
+    def vacuum(spark: SparkSession, liveSources: Seq[String]): Int = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = s"${sys.props("java.io.tmpdir")}/graft-index"
+      val current = liveSources.map { src =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(src).substring(0, 12) ->
+          graft.util.Fs.fingerprint(src, conf)
+      }.toMap
+      val gens = graft.util.Fs.childDirsWithPrefix(root, "", conf)
+      val stale = gens.filter { dir =>
+        dir.split("-", 2) match {
+          case Array(key, fp) => current.get(key).exists(_ != fp)
+          case _ => false // unknown layout: leave it
+        }
+      }
+      stale.foreach(d => graft.util.Fs.deleteRecursively(s"$root/$d", conf))
+      stale.size
+    }
   }
 
   /** Exact top-k by cosine against one query vector (given as a 1-row frame
