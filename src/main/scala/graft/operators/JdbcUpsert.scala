@@ -30,6 +30,12 @@ object JdbcUpsert {
   trait Dialect extends Serializable {
     def upsertSql(target: String, staging: String,
                   cols: Seq[String], keys: Seq[String]): String
+    /** CDC merge statements: rows whose `opCol` equals `deleteValue`
+      * DELETE their matched target row; all other rows upsert. `cols` are
+      * the TARGET columns (opCol excluded — it lives only in staging).
+      * Returned statements run in ONE transaction. */
+    def mergeCdcSql(target: String, staging: String, cols: Seq[String],
+                    keys: Seq[String], opCol: String, deleteValue: String): Seq[String]
     /** Spark's JDBC writer creates staging columns QUOTED (lower case as
       * written); unquoted identifiers would case-fold past them in both
       * Derby (upper) and Postgres (lower), so the generated SQL quotes
@@ -50,6 +56,28 @@ object JdbcUpsert {
          |SELECT ${cols.map(q).mkString(", ")} FROM $staging
          |ON CONFLICT (${keys.map(q).mkString(", ")}) $conflictAction""".stripMargin
     }
+
+    /** Postgres pre-15 has no MERGE: tombstone DELETE (standard
+      * EXISTS-correlated form) + ON CONFLICT upsert of the survivors, both
+      * inside the caller's transaction. */
+    override def mergeCdcSql(target: String, staging: String, cols: Seq[String],
+                             keys: Seq[String], opCol: String,
+                             deleteValue: String): Seq[String] = {
+      val keyMatch = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val del =
+        s"""DELETE FROM $target t WHERE EXISTS (
+           |SELECT 1 FROM $staging s WHERE $keyMatch AND s.${q(opCol)} = '$deleteValue')""".stripMargin
+      val nonKeys = cols.filterNot(keys.contains)
+      val conflictAction =
+        if (nonKeys.isEmpty) "DO NOTHING"
+        else "DO UPDATE SET " + nonKeys.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+      val ins =
+        s"""INSERT INTO $target (${cols.map(q).mkString(", ")})
+           |SELECT ${cols.map(q).mkString(", ")} FROM $staging
+           |WHERE ${q(opCol)} <> '$deleteValue'
+           |ON CONFLICT (${keys.map(q).mkString(", ")}) $conflictAction""".stripMargin
+      Seq(del, ins)
+    }
   }
 
   /** ANSI `MERGE INTO` — needs no declared constraint on the target. */
@@ -67,6 +95,27 @@ object JdbcUpsert {
          |ON $on
          |${matched}WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
          |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
+    }
+
+    /** One three-clause MERGE: tombstones delete, others update/insert
+      * (clause refinements keep the priority explicit). */
+    override def mergeCdcSql(target: String, staging: String, cols: Seq[String],
+                             keys: Seq[String], opCol: String,
+                             deleteValue: String): Seq[String] = {
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val nonKeys = cols.filterNot(keys.contains)
+      val update =
+        if (nonKeys.isEmpty) ""
+        else s"WHEN MATCHED AND s.${q(opCol)} <> '$deleteValue' THEN UPDATE SET " +
+          nonKeys.map(c => s"${q(c)} = s.${q(c)}").mkString(", ") + "\n"
+      Seq(
+        s"""MERGE INTO $target t
+           |USING $staging s
+           |ON $on
+           |WHEN MATCHED AND s.${q(opCol)} = '$deleteValue' THEN DELETE
+           |${update}WHEN NOT MATCHED AND s.${q(opCol)} <> '$deleteValue'
+           |THEN INSERT (${cols.map(q).mkString(", ")})
+           |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin)
     }
   }
 
@@ -124,6 +173,60 @@ object JdbcUpsert {
         try conn.rollback() catch { case _: Throwable => () }
         // the staging write committed outside this transaction: drop it so
         // a failed merge doesn't strand an orphan table
+        try { conn.setAutoCommit(true); execute(conn, s"DROP TABLE $staging") }
+        catch { case _: Throwable => () }
+        throw e
+    } finally conn.close()
+  }
+
+  /** CDC merge: `batch` carries `opCol`; rows whose op equals
+    * `deleteValue` DELETE their target row, every other row upserts —
+    * the replication-stream load shape (insert/update/delete tombstones)
+    * against the reference's warehouse. Same distributed-staging +
+    * one-transaction contract as [[upsert]]; the op column stays in
+    * staging and never reaches the target. Replay-idempotent: deletes of
+    * absent keys and re-upserts of applied rows are no-ops. */
+  def mergeCdc(batch: DataFrame, url: String, target: String, keys: Seq[String],
+               opCol: String, deleteValue: String = "D",
+               orderBy: Seq[Column] = Nil,
+               dialect: Dialect = PostgresOnConflict,
+               props: Properties = new Properties(),
+               stagingOptions: Map[String, String] = Map.empty): Unit = {
+    require(keys.nonEmpty, "mergeCdc requires at least one key column")
+    val cols = batch.columns.toSeq.filterNot(_ == opCol)
+    require(batch.columns.contains(opCol), s"batch must carry op column $opCol")
+    require(keys.forall(cols.contains), s"keys $keys must be columns of the batch")
+
+    val ordering = (if (orderBy.nonEmpty) orderBy else Seq(lit(1))) :+
+      monotonically_increasing_id().desc
+    val deduped = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    val staging = s"${target}_staging_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
+    val writer = deduped.write.mode(SaveMode.Overwrite)
+    stagingOptions.foreach { case (k, v) => writer.option(k, v) }
+    writer.jdbc(url, staging, props)
+
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      conn.setAutoCommit(false)
+      if (!tableExists(conn, target)) {
+        val quotedCols = cols.map(c => "\"" + c + "\"").mkString(", ")
+        execute(conn,
+          s"CREATE TABLE $target AS SELECT $quotedCols FROM $staging WITH NO DATA")
+        val quotedKeys = keys.map(k => "\"" + k + "\"").mkString(", ")
+        execute(conn, s"CREATE UNIQUE INDEX ${target}_key_ux ON $target ($quotedKeys)")
+      }
+      dialect.mergeCdcSql(target, staging, cols, keys, opCol, deleteValue)
+        .foreach(execute(conn, _))
+      execute(conn, s"DROP TABLE $staging")
+      conn.commit()
+    } catch {
+      case e: Throwable =>
+        try conn.rollback() catch { case _: Throwable => () }
         try { conn.setAutoCommit(true); execute(conn, s"DROP TABLE $staging") }
         catch { case _: Throwable => () }
         throw e

@@ -46,6 +46,41 @@ class JdbcUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(table() === t2)
   }
 
+  test("mergeCdc: delete tombstones, updates, inserts in one transaction; replay idempotent") {
+    val url = s"jdbc:derby:${tempDir("derby-cdc")}/wh;create=true"
+    val opts = Map("createTableColumnTypes" -> "name VARCHAR(64), op VARCHAR(1)")
+    // seed the table
+    JdbcUpsert.mergeCdc(
+      Seq((1L, "a", "U"), (2L, "b", "U"), (3L, "c", "U")).toDF("id", "name", "op"),
+      url, "cdc", Seq("id"), opCol = "op",
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = opts)
+    def table() = spark.read.jdbc(url, "cdc", props)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(table() === Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // CDC batch: update 1, delete 2, insert 4, tombstone for absent 9 (no-op)
+    val batch = Seq((1L, "A2", "U"), (2L, "b", "D"), (4L, "d", "U"), (9L, "", "D"))
+      .toDF("id", "name", "op")
+    JdbcUpsert.mergeCdc(batch, url, "cdc", Seq("id"), opCol = "op",
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = opts)
+    assert(table() === Map(1L -> "A2", 3L -> "c", 4L -> "d"))
+
+    // replay the same batch: deletes of absent keys and re-upserts are no-ops
+    JdbcUpsert.mergeCdc(batch, url, "cdc", Seq("id"), opCol = "op",
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = opts)
+    assert(table() === Map(1L -> "A2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("Postgres CDC dialect emits EXISTS-delete + guarded ON CONFLICT insert") {
+    val sqls = JdbcUpsert.PostgresOnConflict.mergeCdcSql(
+      "t", "t_stg", Seq("id", "name"), Seq("id"), "op", "D")
+    assert(sqls.length === 2)
+    assert(sqls.head.contains("DELETE FROM t t WHERE EXISTS"))
+    assert(sqls.head.contains("s.\"op\" = 'D'"))
+    assert(sqls(1).contains("WHERE \"op\" <> 'D'"))
+    assert(sqls(1).contains("ON CONFLICT (\"id\") DO UPDATE SET \"name\" = EXCLUDED.\"name\""))
+  }
+
   test("explicit orderBy overrides arrival order for within-batch conflicts") {
     val url = s"jdbc:derby:${tempDir("derby-ord")}/wh;create=true"
     val batch = Seq((1L, "old", 2024L), (1L, "new", 2025L), (1L, "mid", 2020L))
