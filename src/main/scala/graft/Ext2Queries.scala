@@ -191,7 +191,11 @@ object Ext2Queries {
     // between the (deterministic) even/odd split — the pre-training check
     // that eval data didn't leak into the corpus.
     "q66_contamination" -> ((s, dir) => {
+      // fp feeds both the train set and the test join arm: persist +
+      // materialize once (the q44 discipline) or winnowing computes twice
       val fp = graft.operators.TextDedup.winnowFingerprints(t(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fp.count()
       val train = fp.filter(col("doc_id") % 2 === 0)
         .select(col("fingerprint")).distinct()
       fp.filter(col("doc_id") % 2 === 1)

@@ -132,9 +132,25 @@ object JdbcUpsert {
              dialect: Dialect = PostgresOnConflict,
              props: Properties = new Properties(),
              stagingOptions: Map[String, String] = Map.empty): Unit = {
-    require(keys.nonEmpty, "upsert requires at least one key column")
     val cols = batch.columns.toSeq
-    require(keys.forall(cols.contains), s"keys $keys must be columns of the batch")
+    stageAndApply(batch, url, target, keys, orderBy, props, stagingOptions,
+      targetCols = cols,
+      statements = staging => Seq(dialect.upsertSql(target, staging, cols, keys)))
+  }
+
+  /** Shared skeleton for the JDBC sinks: last-writer-wins dedup →
+    * distributed staging write (unique table name: concurrent loads into
+    * the same target must not share or clobber staging) → dialect
+    * statements + staging drop in ONE transaction; on failure, roll back
+    * and reap the staging table (its write committed outside the txn). */
+  private def stageAndApply(batch: DataFrame, url: String, target: String,
+                            keys: Seq[String], orderBy: Seq[Column],
+                            props: Properties, stagingOptions: Map[String, String],
+                            targetCols: Seq[String],
+                            statements: String => Seq[String]): Unit = {
+    require(keys.nonEmpty, "JDBC load requires at least one key column")
+    require(keys.forall(batch.columns.contains),
+      s"keys $keys must be columns of the batch")
 
     // batch-level last-writer-wins dedup (load.py dedupes before INSERT —
     // Postgres rejects two conflicting rows in one statement otherwise)
@@ -145,8 +161,6 @@ object JdbcUpsert {
         Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
       .filter(col("__rn") === 1).drop("__rn")
 
-    // unique staging name: concurrent upserts into the SAME target must not
-    // share (or clobber) a staging table
     val staging = s"${target}_staging_" +
       java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
     val writer = deduped.write.mode(SaveMode.Overwrite)
@@ -157,7 +171,9 @@ object JdbcUpsert {
     try {
       conn.setAutoCommit(false)
       if (!tableExists(conn, target)) {
-        execute(conn, s"CREATE TABLE $target AS SELECT * FROM $staging WITH NO DATA")
+        val projected = targetCols.map(c => "\"" + c + "\"").mkString(", ")
+        execute(conn,
+          s"CREATE TABLE $target AS SELECT $projected FROM $staging WITH NO DATA")
         // ON CONFLICT resolves against a unique constraint — without one the
         // Postgres dialect fails on every fresh auto-created table (42P10).
         // Key uniqueness is the table's invariant under this operator, so
@@ -165,14 +181,12 @@ object JdbcUpsert {
         val quoted = keys.map(k => "\"" + k + "\"").mkString(", ")
         execute(conn, s"CREATE UNIQUE INDEX ${target}_key_ux ON $target ($quoted)")
       }
-      execute(conn, dialect.upsertSql(target, staging, cols, keys))
+      statements(staging).foreach(execute(conn, _))
       execute(conn, s"DROP TABLE $staging")
       conn.commit()
     } catch {
       case e: Throwable =>
         try conn.rollback() catch { case _: Throwable => () }
-        // the staging write committed outside this transaction: drop it so
-        // a failed merge doesn't strand an orphan table
         try { conn.setAutoCommit(true); execute(conn, s"DROP TABLE $staging") }
         catch { case _: Throwable => () }
         throw e
@@ -192,45 +206,20 @@ object JdbcUpsert {
                dialect: Dialect = PostgresOnConflict,
                props: Properties = new Properties(),
                stagingOptions: Map[String, String] = Map.empty): Unit = {
-    require(keys.nonEmpty, "mergeCdc requires at least one key column")
-    val cols = batch.columns.toSeq.filterNot(_ == opCol)
     require(batch.columns.contains(opCol), s"batch must carry op column $opCol")
-    require(keys.forall(cols.contains), s"keys $keys must be columns of the batch")
-
-    val ordering = (if (orderBy.nonEmpty) orderBy else Seq(lit(1))) :+
-      monotonically_increasing_id().desc
-    val deduped = batch
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
-      .filter(col("__rn") === 1).drop("__rn")
-
-    val staging = s"${target}_staging_" +
-      java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
-    val writer = deduped.write.mode(SaveMode.Overwrite)
-    stagingOptions.foreach { case (k, v) => writer.option(k, v) }
-    writer.jdbc(url, staging, props)
-
-    val conn = DriverManager.getConnection(url, props)
-    try {
-      conn.setAutoCommit(false)
-      if (!tableExists(conn, target)) {
-        val quotedCols = cols.map(c => "\"" + c + "\"").mkString(", ")
-        execute(conn,
-          s"CREATE TABLE $target AS SELECT $quotedCols FROM $staging WITH NO DATA")
-        val quotedKeys = keys.map(k => "\"" + k + "\"").mkString(", ")
-        execute(conn, s"CREATE UNIQUE INDEX ${target}_key_ux ON $target ($quotedKeys)")
-      }
-      dialect.mergeCdcSql(target, staging, cols, keys, opCol, deleteValue)
-        .foreach(execute(conn, _))
-      execute(conn, s"DROP TABLE $staging")
-      conn.commit()
-    } catch {
-      case e: Throwable =>
-        try conn.rollback() catch { case _: Throwable => () }
-        try { conn.setAutoCommit(true); execute(conn, s"DROP TABLE $staging") }
-        catch { case _: Throwable => () }
-        throw e
-    } finally conn.close()
+    require(deleteValue.nonEmpty && !deleteValue.contains("'"),
+      "deleteValue is embedded in SQL literals: non-empty, no quotes")
+    val cols = batch.columns.toSeq.filterNot(_ == opCol)
+    // a NULL op would match NEITHER the delete nor the upsert guard
+    // (NULL <> 'D' is NULL) and the row would silently vanish — normalize
+    // it to the upsert path, matching the documented "all other rows
+    // upsert" contract
+    val normalized = batch.withColumn(opCol,
+      coalesce(col(opCol), lit("")))
+    stageAndApply(normalized, url, target, keys, orderBy, props, stagingOptions,
+      targetCols = cols,
+      statements = staging =>
+        dialect.mergeCdcSql(target, staging, cols, keys, opCol, deleteValue))
   }
 
   private def execute(conn: Connection, sql: String): Unit = {

@@ -54,6 +54,21 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     require(Fs.readMarker(s"$path/${Upsert.BucketMarker}", conf).isDefined,
       s"$path is not a graft bucketed layout")
+
+    // crash recovery FIRST: a previous run that died inside swapInto
+    // (between deleting the bucket dir and renaming the staged copy in)
+    // left the bucket's only copy in a hidden .__graft_compact_* dir.
+    // Complete that swap before anything else; staging dirs whose bucket
+    // still exists are pre-swap leftovers and are discarded.
+    def stagingFor(b: String) = s"$path/.__graft_compact_$b"
+    Fs.childDirsWithPrefix(path, ".__graft_compact_", conf).foreach { stagedDir =>
+      val bucket = stagedDir.stripPrefix(".__graft_compact_")
+      if (!Fs.exists(s"$path/$bucket", conf))
+        Fs.swapInto(s"$path/$stagedDir", s"$path/$bucket", conf)
+      else
+        Fs.deleteRecursively(s"$path/$stagedDir", conf)
+    }
+
     val buckets = Fs.childDirsWithPrefix(path, Upsert.BucketCol + "=", conf)
     val oversized = buckets.filter { b =>
       val fs = Fs.fileSystem(s"$path/$b", conf)
@@ -61,10 +76,11 @@ object Layout {
         .count(s => s.isFile && !s.getPath.getName.startsWith("_")) > maxFilesPerBucket
     }
     oversized.foreach { b =>
-      val tmp = s"$path/.__graft_compact_$b"
+      // the staged copy is FULLY materialized before the bucket dir is
+      // touched; a crash mid-swap is healed by the recovery preamble above
       spark.read.parquet(s"$path/$b").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-      Fs.swapInto(tmp, s"$path/$b", conf)
+        .write.mode(SaveMode.Overwrite).parquet(stagingFor(b))
+      Fs.swapInto(stagingFor(b), s"$path/$b", conf)
     }
     oversized.size
   }

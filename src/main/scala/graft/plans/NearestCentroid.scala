@@ -91,11 +91,9 @@ case class NearestCentroid(child: Expression, centers: Array[Array[Double]])
 }
 
 object NearestCentroid {
-  /** Register `graft_nearest_centroid(v, centersLiteral)` — the second
-    * argument must be a foldable array<array<double>> literal, decoded into
-    * the plan-time matrix at expression-build time. Idempotent. */
   /** Function-registry builder (shared by [[register]] and
-    * [[GraftExtensions]]): decodes the foldable center-matrix argument at
+    * [[GraftExtensions]]): the second argument must be a foldable
+    * array<array<double>> literal, decoded into the center matrix at
     * expression-build time. */
   def builder(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): NearestCentroid = {
     require(exprs(1).foldable, "centers must be a literal matrix")
@@ -104,6 +102,7 @@ object NearestCentroid {
     NearestCentroid(exprs.head, m)
   }
 
+  /** Register `graft_nearest_centroid(v, centersLiteral)`. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nearest_centroid", builder, "built-in")

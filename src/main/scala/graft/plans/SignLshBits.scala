@@ -85,10 +85,9 @@ case class SignLshBits(child: Expression, planes: Array[Array[Double]])
 }
 
 object SignLshBits {
-  /** Register `graft_sign_lsh_bits(v, planesLiteral)` — the second argument
-    * must be a foldable array<array<double>> literal. Idempotent. */
   /** Function-registry builder (shared by [[register]] and
-    * [[GraftExtensions]]): decodes the foldable plane-matrix argument at
+    * [[GraftExtensions]]): the second argument must be a foldable
+    * array<array<double>> literal, decoded into the plane matrix at
     * expression-build time. */
   def builder(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): SignLshBits = {
     require(exprs(1).foldable, "planes must be a literal matrix")
@@ -97,6 +96,7 @@ object SignLshBits {
     SignLshBits(exprs.head, m)
   }
 
+  /** Register `graft_sign_lsh_bits(v, planesLiteral)`. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sign_lsh_bits", builder, "built-in")

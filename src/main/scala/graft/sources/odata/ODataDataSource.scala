@@ -178,22 +178,24 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
 
   override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
-    def stringValues(children: Array[org.apache.spark.sql.connector.expressions.Expression]): Seq[String] =
-      children.collect {
-        case l: V2Literal[_] => String.valueOf(l.value())
-      }.toSeq
-    val accepted = predicates.collect {
-      case p if p.name() == "IN" &&
-          p.children().headOption.exists(_.isInstanceOf[NamedReference]) &&
-          p.children().head.asInstanceOf[NamedReference].fieldNames()
-            .sameElements(Array("SpatialDim")) =>
-        stringValues(p.children().drop(1))
-      case p if p.name() == "=" &&
-          p.children().headOption.exists(_.isInstanceOf[NamedReference]) &&
-          p.children().head.asInstanceOf[NamedReference].fieldNames()
-            .sameElements(Array("SpatialDim")) =>
-        stringValues(p.children().drop(1))
+    // A runtime filter must be applied FULLY or not at all: a value child
+    // we cannot decode would shrink the key set and prune partitions whose
+    // rows should survive — silently missing rows. Accept a predicate only
+    // when every value child is a literal.
+    def allStringValues(children: Array[org.apache.spark.sql.connector.expressions.Expression])
+        : Option[Seq[String]] = {
+      val values = children.collect { case l: V2Literal[_] => String.valueOf(l.value()) }
+      if (values.length == children.length && values.nonEmpty) Some(values.toSeq)
+      else None
     }
+    def onSpatialDim(p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean =
+      p.children().headOption.exists(_.isInstanceOf[NamedReference]) &&
+        p.children().head.asInstanceOf[NamedReference].fieldNames()
+          .sameElements(Array("SpatialDim"))
+    val accepted = predicates.toSeq.collect {
+      case p if (p.name() == "IN" || p.name() == "=") && onSpatialDim(p) =>
+        allStringValues(p.children().drop(1))
+    }.flatten
     if (accepted.nonEmpty)
       runtimeSpatialDims = Some(accepted.flatten.toSet)
   }

@@ -71,6 +71,18 @@ class JdbcUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(table() === Map(1L -> "A2", 3L -> "c", 4L -> "d"))
   }
 
+  test("mergeCdc: NULL op rows upsert instead of silently vanishing") {
+    val url = s"jdbc:derby:${tempDir("derby-cdc-null")}/wh;create=true"
+    val opts = Map("createTableColumnTypes" -> "name VARCHAR(64), op VARCHAR(1)")
+    val batch = Seq((1L, "a", Some("U")), (2L, "b", Option.empty[String]))
+      .toDF("id", "name", "op")
+    JdbcUpsert.mergeCdc(batch, url, "cdcn", Seq("id"), opCol = "op",
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = opts)
+    val table = spark.read.jdbc(url, "cdcn", props)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(table === Map(1L -> "a", 2L -> "b")) // null-op row made it in
+  }
+
   test("Postgres CDC dialect emits EXISTS-delete + guarded ON CONFLICT insert") {
     val sqls = JdbcUpsert.PostgresOnConflict.mergeCdcSql(
       "t", "t_stg", Seq("id", "name"), Seq("id"), "op", "D")

@@ -50,6 +50,28 @@ class MaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(Layout.compactBuckets(spark, path, maxFilesPerBucket = 1) === 0)
   }
 
+  test("compactBuckets heals a crash between bucket delete and staged rename") {
+    val path = tempDir("compact-heal") + "/t"
+    val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    Upsert.upsertPartitionedTable(spark, path, rows, Seq("k"), Seq(col("k")), numBuckets = 2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bucket = graft.util.Fs
+      .childDirsWithPrefix(path, Upsert.BucketCol + "=", conf).head
+
+    // simulate the crash window: bucket content staged, bucket dir deleted,
+    // rename never happened
+    val fs = graft.util.Fs.fileSystem(path, conf)
+    val staged = new org.apache.hadoop.fs.Path(s"$path/.__graft_compact_$bucket")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/$bucket"), staged))
+
+    // next maintenance run completes the swap before compacting
+    Layout.compactBuckets(spark, path, maxFilesPerBucket = 1)
+    val back = Upsert.readPartitionedTable(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back === (1L to 100L).map(i => i -> s"v$i").toMap)
+    assert(!graft.util.Fs.exists(staged.toString, conf))
+  }
+
   test("IndexStore.vacuum reclaims superseded index generations") {
     val conf = spark.sparkContext.hadoopConfiguration
     val src = tempDir("vacuum-src") + "/emb"
