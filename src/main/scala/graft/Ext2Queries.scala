@@ -248,6 +248,36 @@ object Ext2Queries {
         .join(quality, "doc_id").filter(col("quality_score") >= 0.5)
         .join(canon, col("doc_id") === col("canonical_id"))
         .select(col("doc_id"), col("predicted_lang"), col("quality_score"))
+    }),
+
+    // Equi-width histogram via width_bucket — the profiling companion to
+    // q52's column stats; one aggregation, fixed bucket domain.
+    "q70_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          round(min("o_totalprice"), 4).as("min_price"),
+          round(max("o_totalprice"), 4).as("max_price"))),
+
+    // Per-stratum quantile gate: keep docs at or above their language's
+    // median quality — relative (distribution-aware) filtering, the form
+    // corpus curation actually uses when absolute thresholds don't
+    // transfer across languages. cume_dist is rank-based and engine-exact
+    // (no interpolation), so the gate is oracle-checkable.
+    "q71_quality_quantile_gate" -> ((s, dir) => {
+      val q = graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      val withLang = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(q, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))
+      withLang
+        .withColumn("qd", cume_dist().over(w))
+        .filter(col("qd") >= 0.5)
+        .select(col("doc_id"), col("lang"),
+          col("quality_score"), round(col("qd"), 4).as("quantile"))
     })
   )
 
@@ -454,6 +484,25 @@ object Ext2Queries {
           FROM documents d
           JOIN lang_pred l ON d.doc_id = l.doc_id AND l.predicted_lang = 'en'
           JOIN quality q ON d.doc_id = q.doc_id AND q.quality_score >= 0.5
-          JOIN canon c ON d.doc_id = c.canonical_id"""
+          JOIN canon c ON d.doc_id = c.canonical_id""",
+
+    "q70_histogram" ->
+      """SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                          WHEN o_totalprice >= 600000.0 THEN 13
+                          ELSE floor(o_totalprice / 50000.0) + 1 END AS BIGINT)
+                AS bucket,
+            count(*) AS n_orders,
+            round(min(o_totalprice), 4) AS min_price,
+            round(max(o_totalprice), 4) AS max_price
+         FROM orders GROUP BY 1""",
+
+    "q71_quality_quantile_gate" ->
+      s"""WITH quality AS (${ExtQueries.qualityOracle}),
+          ranked AS (SELECT d.doc_id, d.lang, q.quality_score,
+              cume_dist() OVER (PARTITION BY d.lang
+                ORDER BY q.quality_score, d.doc_id) AS qd
+            FROM documents d JOIN quality q ON d.doc_id = q.doc_id)
+          SELECT doc_id, lang, quality_score, round(qd, 4) AS quantile
+          FROM ranked WHERE qd >= 0.5"""
   )
 }
