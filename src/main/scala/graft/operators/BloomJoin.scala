@@ -75,7 +75,13 @@ object BloomJoin {
 
   /** Codegen'd membership predicate against a sketch from [[keyBloom]].
     * The key columns must be listed in the same order as at build time
-    * (both sides hash with XxHash64 over the column tuple). */
+    * (both sides hash with XxHash64 over the column tuple), and each must
+    * have the SAME data type as its build-side counterpart: XxHash64 is
+    * type-sensitive (an int and a bigint holding the same value hash
+    * differently), so a type mismatch silently yields false NEGATIVES —
+    * dropped rows, not just missed pruning. [[prunedJoin]] widens both
+    * sides automatically; callers using the raw sketch must align types
+    * themselves. */
   def mightContain(spark: SparkSession, bloom: Array[Byte], keys: Seq[Column]): Column = {
     register(spark)
     call_function("graft_bloom_contains", lit(bloom), xxhash64(keys: _*))
@@ -87,10 +93,22 @@ object BloomJoin {
     * pass); pass it explicitly when known to skip that. */
   def prunedJoin(probe: DataFrame, build: DataFrame, usingKeys: Seq[String],
                  expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
-    val n = expectedItems.getOrElse(build.select(usingKeys.map(col): _*).distinct().count())
-    val bloom = keyBloom(build.select(usingKeys.map(col): _*), usingKeys, math.max(n, 1L), fpp)
+    // XxHash64 is type-sensitive: int 5 and bigint 5 hash differently. A
+    // plain equi-join would coerce joinable-but-different key types and
+    // match them, so hash a WIDENED copy of the keys on both sides (the
+    // join below still uses the original columns/types).
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    val hashTypes = usingKeys.map { k =>
+      val (pt, bt) = (probe.schema(k).dataType, build.schema(k).dataType)
+      k -> (if (pt == bt) pt else TypeCoercion.findWiderTypeForTwo(pt, bt).getOrElse(
+        throw new IllegalArgumentException(
+          s"prunedJoin key '$k' has un-widenable types $pt (probe) vs $bt (build)")))
+    }.toMap
+    val buildKeys = build.select(usingKeys.map(k => col(k).cast(hashTypes(k)).as(k)): _*)
+    val n = expectedItems.getOrElse(buildKeys.distinct().count())
+    val bloom = keyBloom(buildKeys, usingKeys, math.max(n, 1L), fpp)
     val pruned = probe.filter(
-      mightContain(probe.sparkSession, bloom, usingKeys.map(col)))
+      mightContain(probe.sparkSession, bloom, usingKeys.map(k => col(k).cast(hashTypes(k)))))
     pruned.join(build, usingKeys)
   }
 }

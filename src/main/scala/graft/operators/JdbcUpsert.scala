@@ -135,7 +135,20 @@ object JdbcUpsert {
     val cols = batch.columns.toSeq
     stageAndApply(batch, url, target, keys, orderBy, props, stagingOptions,
       targetCols = cols,
-      statements = staging => Seq(dialect.upsertSql(target, staging, cols, keys)))
+      statements = staging =>
+        Seq(dialect.upsertSql(renderIdent(target), staging, cols, keys)))
+  }
+
+  /** Render a table name for embedding in generated SQL. Plain identifiers
+    * pass through unquoted (keeping the dialect's case-folding, which
+    * [[tableExists]] relies on); anything else — spaces, punctuation, a
+    * would-be `a;b` injection — is double-quoted with embedded quotes
+    * escaped, so exotic names round-trip instead of breaking the statement
+    * or injecting into it. Control characters are rejected outright. */
+  private[operators] def renderIdent(id: String): String = {
+    require(id.nonEmpty && !id.exists(_.isControl), s"bad SQL identifier: '$id'")
+    if (id.matches("[A-Za-z_][A-Za-z0-9_]*")) id
+    else "\"" + id.replace("\"", "\"\"") + "\""
   }
 
   /** Shared skeleton for the JDBC sinks: last-writer-wins dedup →
@@ -161,25 +174,30 @@ object JdbcUpsert {
         Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val staging = s"${target}_staging_" +
+    // staging + index names derive from a SANITIZED base so they stay plain
+    // identifiers whatever the target is called (Spark's JDBC writer embeds
+    // the staging name raw in its own CREATE TABLE)
+    val base = target.replaceAll("[^A-Za-z0-9_]", "_")
+    val staging = s"${base}_staging_" +
       java.util.UUID.randomUUID().toString.replace("-", "").substring(0, 8)
     val writer = deduped.write.mode(SaveMode.Overwrite)
     stagingOptions.foreach { case (k, v) => writer.option(k, v) }
     writer.jdbc(url, staging, props)
 
+    val targetSql = renderIdent(target)
     val conn = DriverManager.getConnection(url, props)
     try {
       conn.setAutoCommit(false)
       if (!tableExists(conn, target)) {
         val projected = targetCols.map(c => "\"" + c + "\"").mkString(", ")
         execute(conn,
-          s"CREATE TABLE $target AS SELECT $projected FROM $staging WITH NO DATA")
+          s"CREATE TABLE $targetSql AS SELECT $projected FROM $staging WITH NO DATA")
         // ON CONFLICT resolves against a unique constraint — without one the
         // Postgres dialect fails on every fresh auto-created table (42P10).
         // Key uniqueness is the table's invariant under this operator, so
         // declare it for every dialect.
         val quoted = keys.map(k => "\"" + k + "\"").mkString(", ")
-        execute(conn, s"CREATE UNIQUE INDEX ${target}_key_ux ON $target ($quoted)")
+        execute(conn, s"CREATE UNIQUE INDEX ${base}_key_ux ON $targetSql ($quoted)")
       }
       statements(staging).foreach(execute(conn, _))
       execute(conn, s"DROP TABLE $staging")
@@ -209,6 +227,14 @@ object JdbcUpsert {
     require(batch.columns.contains(opCol), s"batch must carry op column $opCol")
     require(deleteValue.nonEmpty && !deleteValue.contains("'"),
       "deleteValue is embedded in SQL literals: non-empty, no quotes")
+    // the generated SQL compares the op column to a quoted string literal
+    // and the NULL-normalization below coalesces with '' — a non-string op
+    // (e.g. an int op code) would be implicitly cast or silently never
+    // match deleteValue; fail fast instead
+    val opType = batch.schema(opCol).dataType
+    require(opType == org.apache.spark.sql.types.StringType,
+      s"op column $opCol must be StringType, got ${opType.simpleString} — " +
+        "cast it to string explicitly before mergeCdc")
     val cols = batch.columns.toSeq.filterNot(_ == opCol)
     // a NULL op would match NEITHER the delete nor the upsert guard
     // (NULL <> 'D' is NULL) and the row would silently vanish — normalize
@@ -219,7 +245,7 @@ object JdbcUpsert {
     stageAndApply(normalized, url, target, keys, orderBy, props, stagingOptions,
       targetCols = cols,
       statements = staging =>
-        dialect.mergeCdcSql(target, staging, cols, keys, opCol, deleteValue))
+        dialect.mergeCdcSql(renderIdent(target), staging, cols, keys, opCol, deleteValue))
   }
 
   private def execute(conn: Connection, sql: String): Unit = {

@@ -32,7 +32,17 @@ object Sampling {
   private val D = 1000000L // hash-threshold denominator: ppm resolution
 
   /** Uniform [0, 1) deterministic hash of `id` under `seed` — the first 8
-    * md5 hex chars as an integer, scaled. Engine-portable. */
+    * md5 hex chars as an integer, scaled. Engine-portable.
+    *
+    * Precision note: 2^32 is not a multiple of D = 1e6, so the modulo is
+    * very slightly biased — residues below 2^32 mod 1e6 = 967296 occur
+    * floor(2^32/1e6)+1 = 4296 times among the 2^32 hash values vs 4295 for
+    * the rest, a ~0.023% per-residue (≲0.5% cumulative near small
+    * thresholds) tilt toward LOW residues. Selected fractions therefore run
+    * a hair high. Negligible for corpus mixing and mirrored exactly by the
+    * oracle (same formula both engines), but do not use this for tight
+    * statistical work — draw from a wider hash if unbiased sampling
+    * matters. */
   def hashUnit(seed: String, id: Column): Column =
     (conv(substring(md5(concat(lit(seed + "|"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long") % D).cast("double") / D

@@ -45,27 +45,37 @@ object Scd2 {
       case Some(d) =>
         val current = d.filter(col("is_current"))
         val history = d.filter(!col("is_current"))
-        val b = batch.select((keys ++ attrs).map(c => col(c).as(s"__b_$c")): _*)
-        val joinCond = keys.map(k => col(k) === col(s"__b_$k")).reduce(_ && _)
+        // Null-safe (<=>) key matching + a marker column, like
+        // [[Merge.mergePreDeduped]]: with === a null-keyed current row
+        // never matches its batch row, so every batch would insert another
+        // open version while the old one stays is_current=true — duplicate
+        // open rows that fan out every later as-of join. The marker also
+        // distinguishes "no current row" from "matched row whose key is
+        // null" (a null __b_<key> can mean either under <=>).
+        val b = batch.select(
+          ((keys ++ attrs).map(c => col(c).as(s"__b_$c")) :+
+            lit(true).as("__b_exists")): _*)
+        val joinCond = keys.map(k => col(k) <=> col(s"__b_$k")).reduce(_ && _)
         val changed = attrs.map(a => !(col(a) <=> col(s"__b_$a"))).reduce(_ || _)
 
         val cur = current.join(b, joinCond, "left")
         val stillCurrent = cur
-          .filter(col(s"__b_${keys.head}").isNull || !changed)
+          .filter(col("__b_exists").isNull || !changed)
           .select(d.columns.map(col): _*)
         val closed = cur
-          .filter(col(s"__b_${keys.head}").isNotNull && changed)
+          .filter(col("__b_exists").isNotNull && changed)
           .select(d.columns.map(col): _*)
           .withColumn("valid_to", lit(version))
           .withColumn("is_current", lit(false))
 
         // batch rows that open a new version: new keys, or keys whose
-        // current attrs differ. A marker column distinguishes "no current
-        // row" from "current attr is null".
+        // current attrs differ. Null-safe on keys here too, for the same
+        // reason as above.
         val curKeyed = current.select(
-          (keys.map(col) ++ attrs.map(c => col(c).as(s"__c_$c")) :+
+          ((keys ++ attrs).map(c => col(c).as(s"__c_$c")) :+
             lit(true).as("__c_exists")): _*)
-        val withCur = opened.join(curKeyed, keys, "left")
+        val curJoinCond = keys.map(k => col(k) <=> col(s"__c_$k")).reduce(_ && _)
+        val withCur = opened.join(curKeyed, curJoinCond, "left")
         val curChanged = attrs.map(a => !(col(a) <=> col(s"__c_$a"))).reduce(_ || _)
         val newVersions = withCur
           .filter(col("__c_exists").isNull || curChanged)

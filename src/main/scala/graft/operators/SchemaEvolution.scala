@@ -57,35 +57,46 @@ object SchemaEvolution {
     }
 
   /** Evolved schema over all versions: first-seen column order, widened
-    * types, a column nullable once any version lacks it or allows null. */
-  def evolvedSchema(schemas: Seq[StructType]): StructType = {
+    * types, a column nullable once any version lacks it or allows null.
+    * Column names match with Spark's default CASE-INSENSITIVE resolution
+    * (first-seen casing wins) unless `caseSensitive` — otherwise two
+    * versions carrying `Price` and `price` would evolve into two distinct
+    * columns instead of widening. */
+  def evolvedSchema(schemas: Seq[StructType], caseSensitive: Boolean = false): StructType = {
     require(schemas.nonEmpty, "no schemas to evolve")
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
     val order = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     schemas.foreach { s =>
       s.fields.foreach { f =>
-        order.get(f.name) match {
-          case None => order += f.name -> f
+        order.get(key(f.name)) match {
+          case None => order += key(f.name) -> f
           case Some(prev) =>
-            order += f.name -> StructField(f.name, widen(prev.dataType, f.dataType),
-              prev.nullable || f.nullable)
+            order += key(f.name) -> StructField(prev.name,
+              widen(prev.dataType, f.dataType), prev.nullable || f.nullable)
         }
       }
     }
     // a column absent from ANY version is nullable in the union
-    val names = order.keySet.toSeq
-    StructType(names.map { n =>
-      val f = order(n)
-      if (schemas.exists(s => !s.fieldNames.contains(n))) f.copy(nullable = true) else f
+    StructType(order.toSeq.map { case (k, f) =>
+      if (schemas.exists(s => !s.fieldNames.exists(n => key(n) == k)))
+        f.copy(nullable = true)
+      else f
     })
   }
 
-  /** UNION ALL across schema versions under the evolved schema. */
-  def unionEvolved(dfs: Seq[DataFrame]): DataFrame = {
-    val target = evolvedSchema(dfs.map(_.schema))
+  /** UNION ALL across schema versions under the evolved schema. Name
+    * matching follows `caseSensitive` like [[evolvedSchema]] — a frame's
+    * `PRICE` feeds the evolved `price` column rather than being null-filled. */
+  def unionEvolved(dfs: Seq[DataFrame], caseSensitive: Boolean = false): DataFrame = {
+    def key(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val target = evolvedSchema(dfs.map(_.schema), caseSensitive)
     dfs.map { df =>
+      val byKey = df.columns.map(c => key(c) -> c).toMap
       val cols: Seq[Column] = target.fields.toSeq.map { f =>
-        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        byKey.get(key(f.name)) match {
+          case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }
       df.select(cols: _*)
     }.reduce(_.unionAll(_))

@@ -96,9 +96,13 @@ object Fs {
   }
 
   /** Write a marker file atomically-enough: content lands in a temp file
-    * first, then renames over the target — a crash mid-write can leave a
-    * stale marker but never a torn/empty one (readers parse markers to
-    * drive skip/layout decisions; a torn marker would wedge them). */
+    * first, then renames over the target. A crash mid-write never leaves a
+    * TORN/empty marker (readers parse markers to drive skip/layout
+    * decisions; a torn marker would wedge them); the post-crash states are
+    * "old marker intact" (overwrite-rename path) or — only on filesystems
+    * without overwriting rename, where we must delete first — "marker
+    * absent", which readers treat as not-applied/not-a-layout and the
+    * replay guards re-derive. */
   def writeMarker(path: String, content: String, conf: Configuration): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -106,9 +110,19 @@ object Fs {
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(p)) fs.delete(p, false): Unit
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"marker rename failed: $tmp -> $path")
+    // Prefer a single overwriting rename (no absent-marker window); fall
+    // back to delete-then-rename on filesystems that don't support it.
+    val overwrote =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (!overwrote) {
+      if (fs.exists(p)) fs.delete(p, false): Unit
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"marker rename failed: $tmp -> $path")
+    }
   }
 
   def readMarker(path: String, conf: Configuration): Option[String] = {

@@ -38,6 +38,27 @@ class BloomJoinSpec extends AnyFunSuite with SparkSpec {
     assert(plain > 0)
   }
 
+  test("joinable-but-different key types widen before hashing — no dropped rows") {
+    // int probe vs bigint build: xxhash64 is type-sensitive, so without
+    // widening the bloom would yield false NEGATIVES and silently drop
+    // every matching row (a plain equi-join coerces and matches them)
+    val pInt = (1 to 1000).map(i => (i, s"p$i")).toDF("k", "pv")
+    val bLong = (1L to 1000L by 10).map(i => (i, s"b$i")).toDF("k", "bv")
+    val plain = pInt.join(bLong, Seq("k")).count()
+    val pruned = BloomJoin.prunedJoin(pInt, bLong, Seq("k")).count()
+    assert(plain === 100)
+    assert(pruned === plain, "bloom with mismatched key types dropped rows")
+  }
+
+  test("un-widenable key types fail loudly instead of silently pruning everything") {
+    val pStr = Seq(("1", "x")).toDF("k", "pv")
+    val bBin = Seq((Array[Byte](1), "y")).toDF("k", "bv")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prunedJoin(pStr, bBin, Seq("k"))
+    }
+    assert(e.getMessage.contains("un-widenable"))
+  }
+
   test("a bloom exceeding the session caps fails loudly instead of degrading") {
     val e = intercept[IllegalArgumentException] {
       BloomJoin.keyBloom(build, Seq("k"), expectedItems = 50000000L)

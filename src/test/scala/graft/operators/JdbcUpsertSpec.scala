@@ -83,6 +83,39 @@ class JdbcUpsertSpec extends AnyFunSuite with SparkSpec {
     assert(table === Map(1L -> "a", 2L -> "b")) // null-op row made it in
   }
 
+  test("mergeCdc: non-string op column fails fast instead of silently upserting tombstones") {
+    val url = s"jdbc:derby:${tempDir("derby-cdc-int")}/wh;create=true"
+    val batch = Seq((1L, "a", 0), (2L, "b", 1)).toDF("id", "name", "op")
+    val e = intercept[IllegalArgumentException] {
+      JdbcUpsert.mergeCdc(batch, url, "cdci", Seq("id"), opCol = "op",
+        dialect = JdbcUpsert.AnsiMerge)
+    }
+    assert(e.getMessage.contains("StringType"))
+  }
+
+  test("exotic table names round-trip quoted; injection shapes cannot escape") {
+    // 'my table' is not a plain identifier — it must be quoted in every
+    // generated statement, while staging/index names stay plain
+    val url = s"jdbc:derby:${tempDir("derby-quoted")}/wh;create=true"
+    val batch = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v")
+    JdbcUpsert.upsert(batch, url, "my table", Seq("id"),
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+    val rows = spark.read.jdbc(url, "\"my table\"", props)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "b"))
+    // second upsert against the same exotic name (tableExists must find it)
+    JdbcUpsert.upsert(Seq((2L, "b2", 21.0)).toDF("id", "name", "v"),
+      url, "my table", Seq("id"),
+      dialect = JdbcUpsert.AnsiMerge, stagingOptions = varcharName)
+    val rows2 = spark.read.jdbc(url, "\"my table\"", props)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2 === Map(1L -> "a", 2L -> "b2"))
+
+    // a name with an embedded quote is escaped, not an escape hatch
+    assert(JdbcUpsert.renderIdent("a\"b;drop") === "\"a\"\"b;drop\"")
+    intercept[IllegalArgumentException] { JdbcUpsert.renderIdent("bad\nname") }
+  }
+
   test("Postgres CDC dialect emits EXISTS-delete + guarded ON CONFLICT insert") {
     val sqls = JdbcUpsert.PostgresOnConflict.mergeCdcSql(
       "t", "t_stg", Seq("id", "name"), Seq("id"), "op", "D")

@@ -68,6 +68,28 @@ class Scd2Spec extends AnyFunSuite with SparkSpec {
     assert(v1.filter(org.apache.spark.sql.functions.col("is_current")).count() === 1)
   }
 
+  test("null keys match null-safely — never two open versions for the null key") {
+    val v1 = Scd2.apply(None,
+      Seq((Option.empty[java.lang.Long], "a"), (Some(1L): Option[java.lang.Long], "b"))
+        .toDF("k", "city"),
+      Seq("k"), Seq("city"), 1L)
+    // unchanged null-keyed row: must be a no-op, not a duplicate insert
+    val v2 = Scd2.apply(Some(v1),
+      Seq((Option.empty[java.lang.Long], "a")).toDF("k", "city"),
+      Seq("k"), Seq("city"), 2L)
+    assert(v2.count() === 2)
+    assert(v2.filter(org.apache.spark.sql.functions.col("is_current")).count() === 2)
+    // changed null-keyed row: close the old version, open exactly one new
+    val v3 = Scd2.apply(Some(v2),
+      Seq((Option.empty[java.lang.Long], "z")).toDF("k", "city"),
+      Seq("k"), Seq("city"), 3L)
+    val open = v3.filter(org.apache.spark.sql.functions.col("is_current") &&
+      org.apache.spark.sql.functions.col("k").isNull).collect()
+    assert(open.length === 1)
+    assert(open.head.getString(open.head.fieldIndex("city")) === "z")
+    assert(v3.count() === 3) // a, closed; z, open; b, open
+  }
+
   test("keys absent from the batch stay current untouched") {
     val v1 = Scd2.apply(None, Seq((1L, "a"), (2L, "b")).toDF("k", "city"),
       Seq("k"), Seq("city"), 1L)

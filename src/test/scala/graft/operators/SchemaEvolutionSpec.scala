@@ -40,6 +40,28 @@ class SchemaEvolutionSpec extends AnyFunSuite with SparkSpec {
       DecimalType(12, 4)) // 8 integral digits + 4 scale
   }
 
+  test("column names fold case-insensitively like Spark's default resolution") {
+    // 'Price' (int) + 'price' (long) is ONE widened column under the
+    // first-seen casing, not two distinct columns
+    val v1 = StructType(Seq(StructField("Price", IntegerType, nullable = false)))
+    val v2 = StructType(Seq(StructField("price", LongType, nullable = false)))
+    val out = SchemaEvolution.evolvedSchema(Seq(v1, v2))
+    assert(out.fieldNames.toSeq === Seq("Price"))
+    assert(out("Price").dataType === LongType)
+    assert(!out("Price").nullable) // present (under some casing) everywhere
+
+    val d1 = Seq(1).toDF("Price")
+    val d2 = Seq(2L).toDF("price")
+    val u = SchemaEvolution.unionEvolved(Seq(d1, d2))
+    assert(u.columns.toSeq === Seq("Price"))
+    assert(u.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+
+    // caseSensitive=true keeps them distinct (each absent from the other)
+    val strict = SchemaEvolution.evolvedSchema(Seq(v1, v2), caseSensitive = true)
+    assert(strict.fieldNames.toSet === Set("Price", "price"))
+    assert(strict.fields.forall(_.nullable))
+  }
+
   test("unionEvolved: rows from every version under the evolved schema") {
     val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v") // int ids, no score
     val v2 = Seq((3L, "c", 0.5)).toDF("id", "v", "score")
