@@ -118,10 +118,22 @@ object ExtQueries {
     "q28_token_bpe" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents"))),
 
-    // Multimodal: binary payload → partition-batched stub decode.
+    // Multimodal: binary payload → partition-batched stub decode (the
+    // decoder-seam plumbing harness; real decode is q73).
     "q29_multimodal_features" -> ((s, dir) =>
       Multimodal.imageFeatures(
         Multimodal.payloadFromText(t(s, dir, "documents"))).toDF()),
+
+    // Multimodal REAL decode: deterministic PNG tiles (true PNG bytes)
+    // generated per doc_id, decoded back with the JDK's javax.imageio —
+    // the oracle recomputes width/height/brightness from the generation
+    // arithmetic. n_bytes is dropped: PNG encoded size is not
+    // SQL-recomputable.
+    "q73_image_decode" -> ((s, dir) =>
+      Multimodal.imageFeatures(
+        Multimodal.pngPayloadFromId(t(s, dir, "documents")),
+        Multimodal.ImageIoDecoder)
+        .toDF().select("media_id", "width", "height", "brightness")),
 
     // Structured Streaming on the verified surface: the hourly-window agg
     // run INCREMENTALLY (file-stream source, AvailableNow trigger, complete
@@ -458,5 +470,14 @@ object ExtQueries {
     // reproducible in SQL) — quality asserted vs brute force in spec.
     "q27_quality_score" -> qualityOracle,
     "q28_token_bpe" -> tokenBpeOracle,
-    "q29_multimodal_features" -> multimodalOracle)
+    "q29_multimodal_features" -> multimodalOracle,
+    // mirrors Multimodal.pngPayloadFromId's generation arithmetic: the
+    // Spark side decodes these values out of real PNG pixels
+    "q73_image_decode" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(doc_id % 48 + 8 AS INT) AS width,
+         CAST((doc_id // 48) % 48 + 8 AS INT) AS height,
+         round((doc_id % 256 + (7*doc_id + 31) % 256 + (13*doc_id + 101) % 256)
+               / (3.0 * 255.0), 4) AS brightness
+         FROM documents""")
 }

@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * iterator→iterator so a partition never fully materializes, and everything
   * around the decode step (schema, partitioning, joins) is ordinary Catalyst.
   *
-  * The actual codec libraries are not available in this container, so the
-  * decode step is STUBBED: [[StubDecoder]] derives deterministic fake
-  * dimensions/brightness from the md5 of the payload bytes. The Spark-side
-  * plumbing — binary schema, batch shape, feature join-back — is real and
-  * oracle-tested (the fake features are recomputable in SQL from md5(text)).
-  * Swap [[MediaDecoder]] for a real JNI/javacv implementation in production.
+  * IMAGE decode is REAL: [[ImageIoDecoder]] parses actual PNG/JPEG/BMP/GIF
+  * bytes with the JDK's own `javax.imageio` (no external codec libraries
+  * needed), returning true pixel dimensions and mean brightness.
+  * [[pngPayloadFromId]] generates deterministic PNG tiles whose size and
+  * color derive from the row id by plain arithmetic, so a SQL oracle can
+  * recompute the decoded features exactly — the decode is verified
+  * end-to-end through real image bytes.
+  *
+  * VIDEO/AUDIO codecs are not in the JDK, so those paths keep the
+  * [[StubDecoder]] (deterministic fake features from the payload md5,
+  * oracle-recomputable from md5(text)); the [[MediaDecoder]] seam is the
+  * swap point for a JNI/javacv implementation in production.
   */
 object Multimodal {
 
@@ -46,6 +52,62 @@ object Multimodal {
       val brightness = (Integer.parseInt(hex.substring(8, 12), 16) % 256) / 255.0
       (width, height, brightness)
     }
+  }
+
+  /** Real image decode on the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * ships with every JRE, zero external dependencies). Brightness is the
+    * mean over all pixels of (r+g+b)/3, scaled to [0,1]. Undecodable bytes
+    * fail loudly — a corrupt blob in a curation pipeline should surface,
+    * not silently become features (wrap with a try + dead-letter split
+    * upstream if skipping is wanted). */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decodeImage(payload: Array[Byte]): (Int, Int, Double) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload (${payload.length} bytes)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum.toDouble / (3.0 * 255.0 * w * h))
+    }
+  }
+
+  /** Deterministic PNG tiles for the decode oracle: a solid-color
+    * `(id%48+8) × ((id/48)%48+8)` image whose channels are
+    * `r = id%256, g = (7·id+31)%256, b = (13·id+101)%256` — every decoded
+    * feature is recomputable from `id` in plain SQL, while the bytes that
+    * flow through the pipeline are REAL PNG (header, IDAT, CRCs), so
+    * [[ImageIoDecoder]] is exercised end-to-end. */
+  def pngPayloadFromId(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 48 + 8).toInt
+          val h = ((id / 48) % 48 + 8).toInt
+          val rgb = (((id % 256) << 16) | (((7 * id + 31) % 256) << 8) |
+            ((13 * id + 101) % 256)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bytes = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bytes)
+          MediaRecord(id, "image", bytes.toByteArray)
+        }
+      }(Encoders.product[MediaRecord])
   }
 
   /** Build a media table from a text corpus for testing: payload = utf-8

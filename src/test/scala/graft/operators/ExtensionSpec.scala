@@ -324,4 +324,32 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     val frames = Multimodal.sampleFrames(media, nFrames = 4).collect()
     assert(frames.length === 80)
   }
+
+  test("real PNG decode: generated bytes are true PNG and features round-trip") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 47L, 48L, 255L, 256L, 2303L, 2304L).toDF("doc_id")
+    val media = Multimodal.pngPayloadFromId(ids).collect()
+    // the payloads are REAL PNG files: magic bytes present, ImageIO decodes
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    assert(media.forall(_.payload.take(4).sameElements(pngMagic)))
+
+    val feats = Multimodal.imageFeatures(
+      Multimodal.pngPayloadFromId(ids), Multimodal.ImageIoDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    media.foreach { m =>
+      val id = m.media_id
+      val f = feats(id)
+      assert(f.width === (id % 48 + 8).toInt, s"width of id=$id")
+      assert(f.height === ((id / 48) % 48 + 8).toInt, s"height of id=$id")
+      val expected = ((id % 256) + (7 * id + 31) % 256 + (13 * id + 101) % 256) /
+        (3.0 * 255.0)
+      assert(math.abs(f.brightness - expected) < 1e-4, s"brightness of id=$id")
+      assert(f.n_bytes === m.payload.length.toLong)
+    }
+
+    // decoder fails loudly on junk instead of fabricating features
+    intercept[Exception] {
+      Multimodal.ImageIoDecoder.decodeImage("not a png".getBytes)
+    }
+  }
 }
