@@ -156,6 +156,28 @@ object ExtQueries {
       s.table(name)
     }),
 
+    // The BOUNDED-STATE form of the streaming windows — the one to copy at
+    // scale: append mode + 10-min watermark emits each window exactly once
+    // when the watermark closes it, so state is O(open windows) instead of
+    // complete mode's O(all windows ever). Deterministic oracle: with
+    // AvailableNow the final watermark is max(ts) - 10min (no-data
+    // micro-batches flush closed windows), so the emitted set is the batch
+    // q14 aggregation restricted to windows whose end <= that watermark.
+    "q72_streaming_append" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-a").toString
+      val name = "graft_q72_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .hourlyWindowedCounts(graft.Tables.loadStream(s, dir, "events"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table(name)
+    }),
+
     // Winnowing (rolling-hash) document fingerprints.
     "q37_winnow_fingerprints" -> ((s, dir) =>
       TextDedup.winnowFingerprints(t(s, dir, "documents"))),
@@ -452,6 +474,15 @@ object ExtQueries {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
          count(*) AS n_events, round(sum(value),4) AS total_value
          FROM events GROUP BY 1, 2""",
+    // append + watermark emits exactly the windows the final watermark
+    // (max(ts) - 10 minutes) closed: q14/q35 restricted to window end <= wm
+    "q72_streaming_append" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         count(*) AS n_events, round(sum(value),4) AS total_value
+         FROM events
+         GROUP BY 1, 2
+         HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR
+                <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)""",
     "q37_winnow_fingerprints" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                        FROM documents),
