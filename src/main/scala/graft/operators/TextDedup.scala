@@ -281,26 +281,45 @@ object TextDedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Fuzzy dedup by edit distance: levenshtein over `prefixLen`-char
-    * prefixes for candidate pairs blocked on (`blockCol`, length-bucket) —
-    * both join keys are EQUALITY conditions so the pair space stays a hash
-    * join over small blocks and the quadratic DP runs only on capped
-    * prefixes of a bounded candidate set. (An unblocked same-block join is
-    * quadratic in block size — measured minutes at sf0.1.)
+  /** Fuzzy dedup by edit distance: a capped Levenshtein over
+    * `prefixLen`-char prefixes for candidate pairs blocked on (`blockCol`,
+    * length-bucket) — both join keys are EQUALITY conditions so the pair
+    * space stays a hash join over small blocks and the quadratic DP runs
+    * only on capped prefixes of a bounded candidate set. (An unblocked
+    * same-block join is quadratic in block size — measured minutes at
+    * sf0.1.)
+    *
+    * The DP is the native [[graft.plans.EditDistanceCapped]] kernel, not
+    * the built-in `levenshtein`: it decodes each string ONCE to a
+    * code-point array and runs a ±maxDistance banded DP with an
+    * early-exit row-minimum check — exact for every kept pair, and ~20×
+    * faster than the built-in's O(pos) UTF8 cell access (which made the
+    * DP the whole query's cost). A length-delta lower bound skips the DP
+    * outright when `abs(len_a − len_b) > maxDistance`.
+    *
     * `lenCol` is the document length used for bucketing (bucket = len/10).
     * Output: (doc_a, doc_b, edit_distance ≤ maxDistance). */
   def editDistancePairs(docs: DataFrame, maxDistance: Int = 40, prefixLen: Int = 80,
                         idCol: String = "doc_id", textCol: String = "text",
                         blockCol: String = "source", lenCol: String = "n_chars"): DataFrame = {
+    graft.plans.EditDistanceCapped.register(docs.sparkSession)
+    // spread the DP: a small input (one parquet file = one partition)
+    // would otherwise run every distance computation on a single core.
+    // Round-robin (not keyed — immune to block skew) over projected
+    // (id, block, bucket, prefix) rows only; when the build side is big
+    // enough to force a sort-merge join its own key exchange subsumes this
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val d = docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
       floor(col(lenCol) / 10).cast("int").as("len_bucket"),
       substring(col(textCol), 1, prefixLen).as("prefix"))
+      .repartition(par)
     d.as("a").join(d.as("b"),
         col("a.__blk") === col("b.__blk") &&
           col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.prefix"), col("b.prefix")).as("edit_distance"))
-      .filter(col("edit_distance") <= maxDistance)
+        call_function("graft_edit_distance",
+          col("a.prefix"), col("b.prefix"), lit(maxDistance)).as("edit_distance"))
+      .filter(col("edit_distance") >= 0)
   }
 }
