@@ -105,13 +105,24 @@ object Bench {
     def jsonMap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = results.values.map(_.median).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","queries":${jsonMap(results.map { case (k, t) => k -> t.median })}""" +
       s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
       s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
       s""","ann_build":${jsonMap(annBuild)}""" +
       s""","calibration_start":${num(calStart)},"calibration_end":${num(calEnd)}""" +
-      s""","runs":$runs,"sf":"$sfDir"}""")
+      s""","runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: log tails get truncated (BENCH_r05 lost its
+    // medians to a cut mid-line), a file artifact survives
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println("[bench] wrote target/bench.json")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }
