@@ -45,8 +45,18 @@ import graft.sources.{ODataClient, PageFetcher}
   * `fetcherClass` names a no-arg [[PageFetcherFactory]] so executors
   * construct their own transport (HTTP in production, deterministic stubs in
   * tests) — nothing non-serializable crosses the driver/executor boundary.
-  * Checkpoint/resume state stays a driver-side concern ([[graft.sources.StateRepo]]);
-  * a DSv2 batch scan is a pure read.
+  *
+  * **Resume** (`resumeDir` option): the parallel analog of the sequential
+  * client's per-page checkpointing (reference etl/extract.py:80-87). Each
+  * partition that fetches to completion persists its records to
+  * `resumeDir/<label>_<query-fingerprint>.jsonl` on shared storage via an
+  * atomic tmp+rename, and a reader whose completion file already exists
+  * serves it WITHOUT touching the API — so a crash at pair 9,990 of 10,000
+  * refetches only the unfinished pairs on re-run. The fingerprint covers
+  * the full entity-set query ($filter/$select/params), so a changed
+  * pushdown never serves stale rows; callers own the directory lifecycle
+  * (create per logical run, delete after downstream success — see
+  * [[graft.who.Pipeline]]). Without the option the scan is a pure read.
   */
 class ODataDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -242,7 +252,8 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
     ODataReaderFactory(readSchema, opt("baseUrl", ""),
       opt("fetcherClass", classOf[HttpPageFetcherFactory].getName),
       opt("pageSize", "100").toInt, limit,
-      opt("skipRequestErrors", "true").toBoolean)
+      opt("skipRequestErrors", "true").toBoolean,
+      Option(opt("resumeDir", "")).filter(_.nonEmpty))
 }
 
 final case class ODataInputPartition(entitySet: String, label: String) extends InputPartition
@@ -250,19 +261,27 @@ final case class ODataInputPartition(entitySet: String, label: String) extends I
 final case class ODataReaderFactory(schema: StructType, baseUrl: String,
                                     fetcherClass: String, pageSize: Int,
                                     limit: Option[Int],
-                                    skipRequestErrors: Boolean = true)
+                                    skipRequestErrors: Boolean = true,
+                                    resumeDir: Option[String] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ODataInputPartition]
-    val fetcher = Class.forName(fetcherClass)
-      .getDeclaredConstructor().newInstance()
-      .asInstanceOf[PageFetcherFactory].create()
-    val client = new ODataClient(baseUrl, fetcher,
-      skipRequestErrors = skipRequestErrors)
-    // limit is per-partition here (a global limit needs a coordinated
-    // CollectLimit above, which Spark adds anyway since pushLimit → false)
-    val records = client.getAllData(p.entitySet, s"dsv2_${p.label}", limit, pageSize)
+    def fetchAll(): Seq[Map[String, String]] = {
+      val fetcher = Class.forName(fetcherClass)
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[PageFetcherFactory].create()
+      val client = new ODataClient(baseUrl, fetcher,
+        skipRequestErrors = skipRequestErrors)
+      // limit is per-partition here (a global limit needs a coordinated
+      // CollectLimit above, which Spark adds anyway since pushLimit → false)
+      client.getAllData(p.entitySet, s"dsv2_${p.label}", limit, pageSize)
+    }
+    val records = resumeDir match {
+      case None => fetchAll()
+      case Some(dir) =>
+        ODataResume.loadOrFetch(dir, p.label, p.entitySet)(fetchAll())
+    }
     new PartitionReader[InternalRow] {
       private val it = records.iterator
       private var current: Map[String, String] = _
@@ -272,6 +291,62 @@ final case class ODataReaderFactory(schema: StructType, baseUrl: String,
           current.get(f).flatMap(Option(_)).map(UTF8String.fromString).orNull
         })
       override def close(): Unit = ()
+    }
+  }
+}
+
+/** Per-partition completion records for the parallel extraction path.
+  *
+  * A completion file holds the partition's full record list as JSON lines
+  * and EXISTS only after an atomic tmp+rename — so its presence is the
+  * commit marker (a crash mid-write leaves a `.tmp.*` orphan, never a
+  * readable partial). Executors write it on successful fetch exhaustion;
+  * a re-run's reader serves it instead of refetching. Task retries and
+  * speculation are safe: records for a (label, query) pair are
+  * deterministic server state, and a lost rename race just means the
+  * winner's identical file is served.
+  */
+object ODataResume {
+
+  private[odata] def completionPath(dir: String, label: String, entitySet: String): String = {
+    val fp = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(entitySet).substring(0, 12)
+    s"$dir/${label.replaceAll("[^A-Za-z0-9_.-]", "_")}_$fp.jsonl"
+  }
+
+  def loadOrFetch(dir: String, label: String, entitySet: String)
+                 (fetch: => Seq[Map[String, String]]): Seq[Map[String, String]] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val path = new org.apache.hadoop.fs.Path(completionPath(dir, label, entitySet))
+    val fs = path.getFileSystem(conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (fs.exists(path)) {
+      val in = fs.open(path)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                  finally in.close()
+      lines.filter(_.nonEmpty).map { line =>
+        val m = mapper.readValue(line, classOf[java.util.LinkedHashMap[String, String]])
+        scala.jdk.CollectionConverters.MapHasAsScala(m).asScala.toMap
+      }
+    } else {
+      val records = fetch
+      val tmp = new org.apache.hadoop.fs.Path(
+        path.toString + ".tmp." + java.util.UUID.randomUUID().toString.substring(0, 8))
+      val parent = path.getParent
+      if (parent != null && !fs.exists(parent)) fs.mkdirs(parent): Unit
+      val out = fs.create(tmp, true)
+      try records.foreach { r =>
+        val jm = new java.util.LinkedHashMap[String, String]()
+        r.foreach { case (k, v) => jm.put(k, v) }
+        out.write((mapper.writeValueAsString(jm) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+      // first rename wins; a concurrent attempt (speculation) wrote the
+      // same deterministic content, so losing the race is a no-op
+      if (!fs.rename(tmp, path) && !fs.exists(path))
+        throw new java.io.IOException(s"resume-record rename failed: $tmp -> $path")
+      if (fs.exists(tmp)) fs.delete(tmp, false): Unit
+      records
     }
   }
 }

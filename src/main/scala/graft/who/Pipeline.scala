@@ -30,9 +30,12 @@ final case class PipelineConfig(
       * cluster-parallel form of the reference's sequential fetch loops
       * (reference etl/extract.py:129-151). Names a no-arg
       * [[graft.sources.odata.PageFetcherFactory]] class loadable on
-      * executors. When None, the driver-side client fetches sequentially —
-      * that path keeps per-page checkpoint/resume ([[graft.sources.StateRepo]]),
-      * which a pure DSv2 batch scan does not carry. */
+      * executors. When None, the driver-side client fetches sequentially
+      * with per-page checkpoint/resume ([[graft.sources.StateRepo]]). The
+      * DSv2 path resumes at PARTITION granularity: completed
+      * (indicator,country) fetches persist under `<stateDir>/dsv2_resume`
+      * and are served from disk on a re-run after a crash; the directory
+      * is cleared once the extract lands. */
     fetcherFactoryClass: Option[String] = None,
     /** When set, the LOAD phase targets a transactional JDBC warehouse —
       * the reference's actual destination (Postgres; etl/load.py) — via
@@ -83,9 +86,16 @@ object Pipeline {
       .option("columns", Schemas.rawObservation.fieldNames.mkString(","))
       .option("indicatorCodes", indicatorCodes.mkString(","))
       .option("countryCodes", countryCodes.mkString(","))
+      // partition-level resume: a crashed run's completed pairs are served
+      // from disk on the next attempt instead of refetched (ST1 parity at
+      // cluster parallelism; cleared in run() after the extract lands)
+      .option("resumeDir", dsv2ResumeDir(cfg))
       .load()
     cfg.devRunLimit.fold(df)(df.limit)
   }
+
+  private[who] def dsv2ResumeDir(cfg: PipelineConfig): String =
+    s"${cfg.stateDir}/dsv2_resume"
 
   def run(spark: SparkSession, fetcher: PageFetcher, cfg: PipelineConfig): PipelineReport = {
     val stateRepo = new StateRepo(spark, cfg.stateDir)
@@ -111,7 +121,14 @@ object Pipeline {
         // pin the extract: each downstream action would otherwise re-fetch
         // the API (a DSv2 scan is lazy and re-runs per action)
         val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (pinned, pinned.count().toInt)
+        val n = pinned.count().toInt
+        // the extract is pinned: this run no longer needs the per-partition
+        // resume records, and a FUTURE run must refetch fresh data rather
+        // than replay today's (the sequential path clears its checkpoint on
+        // success for the same reason)
+        graft.util.Fs.deleteRecursively(dsv2ResumeDir(cfg),
+          spark.sparkContext.hadoopConfiguration)
+        (pinned, n)
       case None =>
         val rawObs = ODataClient.fetchObservations(client, indicatorCodes,
           countryCodes, cfg.devRunLimit, cfg.pageSize)

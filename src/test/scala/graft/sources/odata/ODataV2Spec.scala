@@ -213,4 +213,88 @@ class ODataV2Spec extends AnyFunSuite with SparkSpec {
     // page 1 satisfied the limit: no $skip=2 request
     assert(StubFetcherFactory.fetched.forall(!_.contains("skip=2")))
   }
+
+  test("resume: a crash mid-scan refetches ONLY the unfinished pairs on re-run") {
+    CrashingFetcherFactory.reset()
+    val dir = tempDir("odata-resume")
+    def scan() = spark.read.format("graft-odata")
+      .option("baseUrl", "http://t/api")
+      .option("fetcherClass", classOf[CrashingFetcherFactory].getName)
+      .option("indicatorCodes", "IND_A")
+      .option("countryCodes", "USA,CAN")
+      .option("columns", "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+      .option("skipRequestErrors", "false")
+      .option("resumeDir", dir)
+      .load()
+
+    // run 1: the CAN partition dies mid-scan (USA completes and persists)
+    CrashingFetcherFactory.crashOnCan.set(true)
+    intercept[org.apache.spark.SparkException] { scan().count() }
+    assert(CrashingFetcherFactory.fetchCount("%27USA%27") === 1)
+
+    // run 2: CAN recovers; USA must be served from its completion record
+    CrashingFetcherFactory.crashOnCan.set(false)
+    val rows = scan().collect()
+    assert(rows.length === 3) // USA 2 + CAN 1, nothing lost through the cache
+    assert(rows.map(_.getString(2)).sorted.toSeq === Seq("CAN", "USA", "USA"))
+    assert(CrashingFetcherFactory.fetchCount("%27USA%27") === 1,
+      "completed pair was refetched despite a resume record")
+    assert(CrashingFetcherFactory.fetchCount("%27CAN%27") >= 1)
+  }
+
+  test("resume records key on the query fingerprint — a changed pushdown refetches") {
+    CrashingFetcherFactory.reset()
+    CrashingFetcherFactory.crashOnCan.set(false)
+    val dir = tempDir("odata-resume-fp")
+    def scan() = spark.read.format("graft-odata")
+      .option("baseUrl", "http://t/api")
+      .option("fetcherClass", classOf[CrashingFetcherFactory].getName)
+      .option("indicatorCodes", "IND_A")
+      .option("countryCodes", "USA")
+      .option("columns", "Id,IndicatorCode,SpatialDim,TimeDim,Value")
+      .option("resumeDir", dir)
+      .load()
+    assert(scan().count() === 2)
+    assert(CrashingFetcherFactory.fetchCount("%27USA%27") === 1)
+    // a pruned projection pushes $select → different query fingerprint →
+    // the unpruned record must NOT be served for it (collect, not count:
+    // count prunes to an EMPTY schema, which sends no $select at all)
+    assert(scan().select("Id", "SpatialDim").collect().length === 2)
+    assert(CrashingFetcherFactory.fetchCount("%27USA%27") === 2)
+    // identical pruned query again → served from its own record
+    assert(scan().select("Id", "SpatialDim").collect().length === 2)
+    assert(CrashingFetcherFactory.fetchCount("%27USA%27") === 2)
+  }
+}
+
+/** Serves the stub pages, crashes the CAN pair while `crashOnCan` is set,
+  * and counts fetches per URL substring. */
+class CrashingFetcherFactory extends PageFetcherFactory {
+  override def create(): PageFetcher = new PageFetcher {
+    override def fetch(url: String): (Int, String) = {
+      if (url.contains("%27CAN%27") && CrashingFetcherFactory.crashOnCan.get())
+        throw new graft.sources.TransportException("simulated mid-scan crash")
+      CrashingFetcherFactory.urls.updateWith(url) {
+        case Some(n) => Some(n + 1); case None => Some(1)
+      }
+      val body =
+        if (url.contains("%27USA%27"))
+          """{"value": [
+             {"Id": 1, "IndicatorCode": "IND_A", "SpatialDim": "USA", "TimeDim": "2019", "Value": "78.5"},
+             {"Id": 2, "IndicatorCode": "IND_A", "SpatialDim": "USA", "TimeDim": "2020", "Value": "79.1"}]}"""
+        else if (url.contains("%27CAN%27"))
+          """{"value": [
+             {"Id": 3, "IndicatorCode": "IND_A", "SpatialDim": "CAN", "TimeDim": "2019", "Value": "82.0"}]}"""
+        else """{"value": []}"""
+      (200, body)
+    }
+  }
+}
+
+object CrashingFetcherFactory {
+  val urls: TrieMap[String, Int] = TrieMap.empty
+  val crashOnCan = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reset(): Unit = { urls.clear(); crashOnCan.set(false) }
+  def fetchCount(substr: String): Int =
+    urls.collect { case (u, n) if u.contains(substr) => n }.sum
 }
