@@ -52,6 +52,31 @@ object Similarity {
       graft.util.Fs.exists(s"$path/_SUCCESS",
         spark.sparkContext.hadoopConfiguration)
 
+    /** Location for a MAINTAINED index: keyed on the source path only, NOT
+      * the data fingerprint — an index that absorbs appends in place must
+      * keep a stable address while its source grows. Freshness is the
+      * maintainer's job ([[Ivf.maintain]] / [[SignLsh.append]] drift
+      * accounting), not the path's; use [[pathFor]] for build-once indexes
+      * where any source change should force a fresh build. */
+    def stablePathFor(sourcePath: String, indexName: String): String = {
+      val key = org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(sourcePath).substring(0, 12)
+      s"${sys.props("java.io.tmpdir")}/graft-index/$key-live/$indexName"
+    }
+
+    /** Append-volume accounting for maintained indexes: "base appended"
+      * counts in a marker file. */
+    private[operators] def readMeta(spark: SparkSession, path: String): (Long, Long) =
+      graft.util.Fs.readMarker(s"$path/_graft_meta",
+          spark.sparkContext.hadoopConfiguration)
+        .map(_.split("\\s+")).collect { case Array(b, a) => (b.toLong, a.toLong) }
+        .getOrElse((0L, 0L))
+
+    private[operators] def writeMeta(spark: SparkSession, path: String,
+                                     base: Long, appended: Long): Unit =
+      graft.util.Fs.writeMarker(s"$path/_graft_meta", s"$base $appended",
+        spark.sparkContext.hadoopConfiguration)
+
     /** Drop index generations for source paths whose data fingerprint no
       * longer matches — staleness-keyed paths make rebuilds SAFE but leak
       * the superseded dirs; vacuum reclaims them. `live` maps each source
@@ -241,6 +266,79 @@ object Similarity {
       (centers, index)
     }
 
+    /** Incremental maintenance: fold `newVectors` into an EXISTING index
+      * WITHOUT retraining or rewriting it. New rows are assigned to the
+      * already-trained centroids distributedly, de-duplicated against the
+      * ids already present in their target cells (a partition-pruned scan —
+      * replaying a batch is a no-op), and appended as new files into ONLY
+      * the touched `centroid_id=` partition directories; untouched cells
+      * keep their bytes. At 100 TB with daily appends this turns index
+      * upkeep from a full rebuild into O(batch + touched cells).
+      *
+      * The trade: appended vectors live in yesterday's cell geometry. The
+      * `_graft_meta` marker tracks appended volume so [[maintain]] can
+      * trigger a full retrain once drift passes a threshold. Returns the
+      * number of rows actually appended. */
+    def append(spark: SparkSession, newVectors: DataFrame, path: String,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+      require(IndexStore.isBuilt(spark, s"$path/centers"),
+        s"append requires a built index at $path — call loadOrBuild first")
+      val centers = spark.read.parquet(s"$path/centers")
+        .orderBy("centroid_id").collect()
+        .map(_.getSeq[Double](1).toArray)
+      graft.plans.NearestCentroid.register(spark)
+      val assigned = normalize(newVectors, idCol, vecCol)
+        .withColumn("centroid_id",
+          graft.plans.NearestCentroid.assign(col("v"), centers))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // touched-cell list is metadata-scale (≤ nCentroids values)
+        val touched = assigned.select("centroid_id").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existingIds = spark.read.parquet(s"$path/index")
+          .filter(col("centroid_id").isin(touched: _*))
+          .select(col("vec_id"))
+        val fresh = assigned.join(existingIds, Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = fresh.count()
+        if (n > 0)
+          fresh.repartition(col("centroid_id"))
+            .write.mode(SaveMode.Append)
+            .partitionBy("centroid_id").parquet(s"$path/index")
+        val (base, appended) = IndexStore.readMeta(spark, path)
+        IndexStore.writeMeta(spark, path, base, appended + n)
+        fresh.unpersist()
+        n
+      } finally { assigned.unpersist(): Unit }
+    }
+
+    /** Keep a maintained index fresh: build it if absent, retrain it when
+      * appended volume since the last full build exceeds
+      * `driftThreshold` × base (stale centroids degrade recall), and fold
+      * the batch in place otherwise. `allEmbeddings` is by-name — only a
+      * (re)build evaluates it. */
+    def maintain(spark: SparkSession, allEmbeddings: => DataFrame,
+                 newVectors: DataFrame, path: String,
+                 driftThreshold: Double = 0.5,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+        : (Array[Array[Double]], DataFrame) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      if (IndexStore.isBuilt(spark, s"$path/centers")) {
+        val (base, appended) = IndexStore.readMeta(spark, path)
+        val batch = newVectors.count()
+        if (base > 0 && (appended + batch).toDouble / base > driftThreshold) {
+          graft.util.Fs.deleteRecursively(path, conf) // retrain from scratch
+        } else {
+          append(spark, newVectors, path, idCol, vecCol): Unit
+          return loadOrBuild(spark, allEmbeddings, path, idCol, vecCol)
+        }
+      }
+      val out = loadOrBuild(spark, allEmbeddings, path, idCol, vecCol)
+      val n = out._2.count()
+      IndexStore.writeMeta(spark, path, n, 0L)
+      out
+    }
+
     /** Plain Lloyd's iterations over the in-memory sample — deterministic
       * for a given seed; empty cells keep their previous center. */
     private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
@@ -335,6 +433,41 @@ object Similarity {
           .write.mode(SaveMode.Overwrite)
           .partitionBy("bucket_grp").parquet(path)
       spark.read.parquet(path)
+    }
+
+    /** Incremental maintenance for the persisted sign-LSH index: bucket
+      * assignment is DETERMINISTIC (fixed hyperplanes, no trained state),
+      * so appended vectors land in exactly the cells a full rebuild would
+      * put them in — no drift, no retrain trigger needed. New rows are
+      * de-duplicated against the ids already in their target groups (a
+      * partition-pruned scan; replays are no-ops) and appended as new
+      * files into ONLY the touched `bucket_grp=` directories, each file
+      * bucket-sorted so row-group pruning keeps working. Untouched groups
+      * keep their bytes. Returns the number of rows appended. */
+    def append(spark: SparkSession, newVectors: DataFrame, path: String,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+      require(IndexStore.isBuilt(spark, path),
+        s"append requires a built index at $path — call loadOrBuild first")
+      val assigned = index(newVectors, idCol, vecCol)
+        .withColumn("bucket_grp", shiftrightunsigned(col("bucket"), grpShift))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val touched = assigned.select("bucket_grp").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val existingIds = spark.read.parquet(path)
+          .filter(col("bucket_grp").isin(touched: _*))
+          .select(col("vec_id"))
+        val fresh = assigned.join(existingIds, Seq("vec_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = fresh.count()
+        if (n > 0)
+          fresh.repartition(col("bucket_grp"))
+            .sortWithinPartitions("bucket")
+            .write.mode(SaveMode.Append)
+            .partitionBy("bucket_grp").parquet(path)
+        fresh.unpersist()
+        n
+      } finally { assigned.unpersist(): Unit }
     }
 
     /** Sign signature of an (un-normalized) query vector, computed on the
