@@ -81,4 +81,33 @@ object Packing {
     }(org.apache.spark.sql.Encoders.row(schema))
     packed.toDF()
   }
+
+  /** [[packNextFit]] with PARALLEL packing inside each group: a
+    * deterministic id-hash salt splits every group into `parallelism`
+    * independent sub-streams, each packed next-fit-decreasing on its own —
+    * so one giant group no longer serializes into one task.
+    *
+    * Approximation vs the sequential discipline: each sub-stream runs the
+    * SAME next-fit-decreasing policy over a uniform random 1/parallelism
+    * share of the group, so the overhead is dominated by one trailing
+    * underfilled pack per sub-stream — empirically ~`parallelism` extra
+    * packs per group (for a 10M-token group at capacity 2048, ~4,900
+    * packs, 32-way salting: <1% extra; the spec gates ≥95%). The worst
+    * case inherits next-fit-decreasing's approximation factor, exactly as
+    * the sequential form does. Pack ids stay unique within the group
+    * (sub-stream index in the high bits) but are NOT contiguous;
+    * `pack_fill` keeps its per-pack meaning. */
+  def packNextFitParallel(df: DataFrame, idCol: String, nTokensCol: String,
+                          capacity: Int, groupCols: Seq[String],
+                          parallelism: Int = 0): DataFrame = {
+    val nSub = if (parallelism > 0) parallelism
+               else df.sparkSession.sparkContext.defaultParallelism
+    require(nSub < (1 << 20), s"parallelism $nSub would overflow pack-id bits")
+    val salted = df.withColumn("__graft_sub",
+      pmod(xxhash64(col(idCol)), lit(nSub.toLong)).cast("int"))
+    packNextFit(salted, idCol, nTokensCol, capacity, groupCols :+ "__graft_sub")
+      .withColumn("pack_id",
+        col("__graft_sub").cast("long") * (1L << 40) + col("pack_id"))
+      .drop("__graft_sub")
+  }
 }

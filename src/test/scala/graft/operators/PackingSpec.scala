@@ -59,4 +59,54 @@ class PackingSpec extends AnyFunSuite with SparkSpec {
       .select("id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("packNextFitParallel: one 10M-token group packs distributed at >=95% efficiency") {
+    // single group, ~100k docs, ~10M tokens: the sequential discipline
+    // serializes this into ONE task; the parallel form must spread it and
+    // stay within 5% of the sequential pack count
+    val n = 100000
+    val docs = spark.range(n.toLong).select(
+      col("id"),
+      lit("g").as("grp"),
+      (pmod(xxhash64(col("id")), lit(200L)) + 1).cast("int").as("n"))
+    val capacity = 2048
+
+    val seqPacks = Packing.packNextFit(docs, "id", "n", capacity, Seq("grp"))
+      .select("pack_id").distinct().count()
+    val par = Packing.packNextFitParallel(docs, "id", "n", capacity, Seq("grp"),
+      parallelism = 32)
+
+    // integrity: every doc packed exactly once, no pack over capacity
+    assert(par.count() === n.toLong)
+    val overfull = par.groupBy("pack_id").agg(sum("n").as("fill"))
+      .filter(col("fill") > capacity).count()
+    assert(overfull === 0)
+
+    // distribution: the pack stage runs over MANY non-empty partitions, not
+    // one giant sequential task. (AQE rightly coalesces these few MB into
+    // one partition — disable coalescing to observe the scale shape, where
+    // bins are big enough that AQE keeps them apart.)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey, "true")
+    val busy =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        val arranged = docs
+          .withColumn("__graft_sub", pmod(xxhash64(col("id")), lit(32L)).cast("int"))
+          .repartition(col("grp"), col("__graft_sub"))
+        arranged.rdd.mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).sum().toInt
+      } finally spark.conf.set(coalesceKey, saved)
+    assert(busy > 1, s"expected multiple busy partitions, got $busy")
+
+    // fill efficiency: within 5% of the sequential pack count
+    val parPacks = par.select("pack_id").distinct().count()
+    info(s"sequential packs: $seqPacks, parallel packs: $parPacks")
+    assert(parPacks.toDouble <= seqPacks.toDouble * 1.05,
+      s"parallel packing wasted too many packs: $parPacks vs $seqPacks")
+
+    // determinism: same input -> identical assignment
+    val again = Packing.packNextFitParallel(docs, "id", "n", capacity, Seq("grp"),
+      parallelism = 32)
+    assert(par.select("id", "pack_id").except(again.select("id", "pack_id")).count() === 0)
+  }
 }
