@@ -88,7 +88,11 @@ object Multimodal {
     * [[ImageIoDecoder]] is exercised end-to-end. */
   def pngPayloadFromId(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
+    // id-only repartition before the encode loop: a single-file input would
+    // otherwise generate (and decode, downstream) every image on one core
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .repartition(par)
       .mapPartitions { it =>
         it.map { id =>
           val w = (id % 48 + 8).toInt
