@@ -15,6 +15,21 @@ object ExtQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Start a streaming query with its STATE partition count sized to its
+    * state volume instead of the session's batch shuffle default: a
+    * stateful operator opens one state-store instance per shuffle
+    * partition (fixed at first checkpoint), and ~3k windows of state
+    * across 32 HDFS-backed stores is ~1s of pure store open/commit
+    * overhead per micro-batch (measured). The conf is restored right after
+    * `start()` — the stream captured it at planning. Size this UP for
+    * genuinely large state (the count is a per-query knob, not a global). */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try start finally s.conf.set(key, saved)
+  }
+
   // Shared oracle fragments ------------------------------------------------
 
   /** DuckDB twin of TextFunctions.shingles (word 3-grams, distinct). */
@@ -145,13 +160,15 @@ object ExtQueries {
       // timed path; only the checkpoint lives in a temp dir
       val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
       val name = "graft_q35_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventStreams
-        .hourlyWindowedCounts(graft.Tables.loadStream(s, dir, "events"))
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .option("checkpointLocation", s"$ckpt/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = withStatePartitions(s, 8) {
+        graft.streaming.EventStreams
+          .hourlyWindowedCounts(graft.Tables.loadStream(s, dir, "events"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination(300000)
       s.table(name)
     }),
@@ -167,13 +184,15 @@ object ExtQueries {
       import org.apache.spark.sql.streaming.Trigger
       val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-a").toString
       val name = "graft_q72_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.EventStreams
-        .hourlyWindowedCounts(graft.Tables.loadStream(s, dir, "events"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .option("checkpointLocation", s"$ckpt/ckpt")
-        .trigger(Trigger.AvailableNow())
-        .start()
+      val q = withStatePartitions(s, 8) {
+        graft.streaming.EventStreams
+          .hourlyWindowedCounts(graft.Tables.loadStream(s, dir, "events"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination(300000)
       s.table(name)
     }),

@@ -309,11 +309,13 @@ object TextDedup {
     // (id, block, bucket, prefix) rows only; when the build side is big
     // enough to force a sort-merge join its own key exchange subsumes this
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val d = docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
+    val d0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
       floor(col(lenCol) / 10).cast("int").as("len_bucket"),
       substring(col(textCol), 1, prefixLen).as("prefix"))
-      .repartition(par)
-    d.as("a").join(d.as("b"),
+    // probe side only — a broadcast build side would pay the exchange for
+    // nothing (plan-audited: the extra Exchange sat under BroadcastExchange)
+    val d = d0.repartition(par)
+    d.as("a").join(d0.as("b"),
         col("a.__blk") === col("b.__blk") &&
           col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
