@@ -64,6 +64,26 @@ object Similarity {
       s"${sys.props("java.io.tmpdir")}/graft-index/$key-live/$indexName"
     }
 
+    /** Rewrite a cell-partitioned index directory so each cell is one file
+      * again — incremental appends ([[Ivf.append]]/[[SignLsh.append]]) add
+      * a file per batch per touched cell, and at daily-append cadence the
+      * probe-side file-listing and row-group overhead creeps up. One
+      * clustered rewrite into a sibling dir, then a swap; `sortCol` (e.g.
+      * `bucket`) restores the within-file ordering row-group pruning feeds
+      * on. Crash window: the swap is delete-then-rename, so a crash
+      * between the two leaves the index ABSENT — the next `loadOrBuild`
+      * rebuilds it (safe, not cheap); run compaction at a quiet hour. */
+    def compactCells(spark: SparkSession, indexPath: String, cellCol: String,
+                     sortCol: Option[String] = None): Unit = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val df = spark.read.parquet(indexPath)
+      val tmp = indexPath + ".__graft_compact"
+      val clustered = df.repartition(col(cellCol))
+      val sorted = sortCol.fold(clustered)(c => clustered.sortWithinPartitions(c))
+      sorted.write.mode(SaveMode.Overwrite).partitionBy(cellCol).parquet(tmp)
+      graft.util.Fs.swapInto(tmp, indexPath, conf)
+    }
+
     /** Append-volume accounting for maintained indexes: "base appended"
       * counts in a marker file. */
     private[operators] def readMeta(spark: SparkSession, path: String): (Long, Long) =
@@ -312,6 +332,12 @@ object Similarity {
       } finally { assigned.unpersist(): Unit }
     }
 
+    /** One-file-per-cell rewrite after a run of appends (see
+      * [[IndexStore.compactCells]]); centers and the drift meta are
+      * untouched. */
+    def compact(spark: SparkSession, path: String): Unit =
+      IndexStore.compactCells(spark, s"$path/index", "centroid_id")
+
     /** Keep a maintained index fresh: build it if absent, retrain it when
       * appended volume since the last full build exceeds
       * `driftThreshold` × base (stale centroids degrade recall), and fold
@@ -469,6 +495,12 @@ object Similarity {
         n
       } finally { assigned.unpersist(): Unit }
     }
+
+    /** One-file-per-group rewrite after a run of appends, restoring the
+      * bucket-sorted within-file order row-group pruning feeds on (see
+      * [[IndexStore.compactCells]]). */
+    def compact(spark: SparkSession, path: String): Unit =
+      IndexStore.compactCells(spark, path, "bucket_grp", Some("bucket"))
 
     /** Sign signature of an (un-normalized) query vector, computed on the
       * driver — same planes, same left-to-right fold order as the

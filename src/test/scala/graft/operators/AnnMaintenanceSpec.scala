@@ -134,4 +134,34 @@ class AnnMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(lsh.append(spark, batch, path) === 0L)
     assert(spark.read.parquet(path).count() === 500)
   }
+
+  test("compact: appended small files collapse to one per cell, contents identical") {
+    val path = tempDir("lsh-compact") + "/idx"
+    val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+    lsh.loadOrBuild(spark, emb.filter($"vec_id" < 400), path): Unit
+    // three append batches → up to three extra files per touched group
+    Seq(400L -> 430L, 430L -> 470L, 470L -> 500L).foreach { case (lo, hi) =>
+      lsh.append(spark, emb.filter($"vec_id" >= lo && $"vec_id" < hi), path): Unit
+    }
+    val before = spark.read.parquet(path)
+      .select($"vec_id", $"bucket", $"bucket_grp")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val filesBefore = fileState(path).size
+
+    lsh.compact(spark, path)
+
+    val after = spark.read.parquet(path)
+      .select($"vec_id", $"bucket", $"bucket_grp")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(after === before)
+    val groups = spark.read.parquet(path).select($"bucket_grp").distinct().count()
+    val filesAfter = fileState(path).size
+    assert(filesAfter === groups.toInt, s"expected one file per group, got $filesAfter/$groups")
+    assert(filesAfter < filesBefore)
+    // a probe still works through the compacted layout
+    val qv = emb.filter($"vec_id" === 480).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    assert(lsh.topKPruned(spark.read.parquet(path), qv, k = 3)
+      .collect().map(_.getLong(0)).contains(480L))
+  }
 }
