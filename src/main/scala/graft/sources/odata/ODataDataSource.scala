@@ -248,12 +248,21 @@ class ODataScan(readSchema: StructType, options: CaseInsensitiveStringMap,
       ODataClient.percentEncode("$select") + "=" + ODataClient.percentEncode(cols)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // runs driver-side: capture the session's Hadoop conf so executor-side
+    // resume-file IO honors per-job FS settings (credentials, scheme impls)
+    // instead of whatever `new Configuration()` finds on the executor classpath
+    val resumeDir = Option(opt("resumeDir", "")).filter(_.nonEmpty)
+    val hadoopConf = resumeDir.map { _ =>
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    }
     ODataReaderFactory(readSchema, opt("baseUrl", ""),
       opt("fetcherClass", classOf[HttpPageFetcherFactory].getName),
       opt("pageSize", "100").toInt, limit,
       opt("skipRequestErrors", "true").toBoolean,
-      Option(opt("resumeDir", "")).filter(_.nonEmpty))
+      resumeDir, hadoopConf)
+  }
 }
 
 final case class ODataInputPartition(entitySet: String, label: String) extends InputPartition
@@ -262,7 +271,8 @@ final case class ODataReaderFactory(schema: StructType, baseUrl: String,
                                     fetcherClass: String, pageSize: Int,
                                     limit: Option[Int],
                                     skipRequestErrors: Boolean = true,
-                                    resumeDir: Option[String] = None)
+                                    resumeDir: Option[String] = None,
+                                    hadoopConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -280,7 +290,8 @@ final case class ODataReaderFactory(schema: StructType, baseUrl: String,
     val records = resumeDir match {
       case None => fetchAll()
       case Some(dir) =>
-        ODataResume.loadOrFetch(dir, p.label, p.entitySet)(fetchAll())
+        ODataResume.loadOrFetch(dir, p.label, p.entitySet,
+          hadoopConf.map(_.value))(fetchAll())
     }
     new PartitionReader[InternalRow] {
       private val it = records.iterator
@@ -314,9 +325,12 @@ object ODataResume {
     s"$dir/${label.replaceAll("[^A-Za-z0-9_.-]", "_")}_$fp.jsonl"
   }
 
-  def loadOrFetch(dir: String, label: String, entitySet: String)
+  def loadOrFetch(dir: String, label: String, entitySet: String,
+                  hadoopConf: Option[org.apache.hadoop.conf.Configuration] = None)
                  (fetch: => Seq[Map[String, String]]): Seq[Map[String, String]] = {
-    val conf = new org.apache.hadoop.conf.Configuration()
+    // driver-captured session conf when the DSv2 scan plumbed one through;
+    // default-classpath conf as the standalone fallback (file:// and plain HDFS)
+    val conf = hadoopConf.getOrElse(new org.apache.hadoop.conf.Configuration())
     val path = new org.apache.hadoop.fs.Path(completionPath(dir, label, entitySet))
     val fs = path.getFileSystem(conf)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
