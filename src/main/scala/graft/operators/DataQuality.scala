@@ -60,4 +60,35 @@ object DataQuality {
                   childKey: String, parentKey: String): Long =
     child.join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
       .count()
+
+  /** Per-group z-score outlier summary: rows whose value sits more than
+    * `z` sample standard deviations from their group mean, reported as
+    * `(groupCol, n_outliers, max_z)`.
+    *
+    * Two passes (stats aggregate, then a broadcast join back over the
+    * scan) — the distribution-drift / anomaly sweep a training-data
+    * pipeline runs per ingest batch. The group-stats side is one row per
+    * group, so the join back is a broadcast at any data scale as long as
+    * GROUP cardinality stays broadcastable (drop the hint for
+    * million-group frames and Spark falls back to a shuffled join).
+    *
+    * Cross-engine determinism: the mean and stddev are rounded to 4
+    * decimals FIRST, so the gate `abs(value - mean_r) > z * sd_r` compares
+    * doubles computed identically from exact decimal inputs in any engine —
+    * the only float noise that can cross the oracle boundary is inside the
+    * two roundings themselves (summation-order ulps, ~1e-13 relative,
+    * versus a 1e-4 rounding grid). Groups with zero or null stddev (one
+    * row, or constant value) have no outliers by definition. */
+  def zscoreOutlierSummary(df: DataFrame, groupCol: String, valueCol: String,
+                           z: Double = 3.0): DataFrame = {
+    val stats = df.groupBy(groupCol).agg(
+      round(avg(valueCol), 4).as("mean_r"),
+      round(stddev_samp(valueCol), 4).as("sd_r"))
+    df.join(broadcast(stats), groupCol)
+      .filter(col("sd_r") > 0 &&
+        abs(col(valueCol) - col("mean_r")) > lit(z) * col("sd_r"))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n_outliers"),
+        round(max(abs(col(valueCol) - col("mean_r")) / col("sd_r")), 4).as("max_z"))
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Corpus-level term weighting: TF-IDF ranking and heavy-hitter counts.
+  *
+  * The reference pipeline has no retrieval layer, but "which terms matter in
+  * this document / corpus" is a first-class training-data question (keyword
+  * extraction for curation, boilerplate detection via corpus-wide heavy
+  * hitters). Both operators are declarative and shuffle-minimal:
+  *
+  *  - [[tfidfTopTerms]]: explode → one (doc,term) hash aggregation → one
+  *    window over `term` (document frequency) → one window over `doc_id`
+  *    (rank). Three exchanges total, each on a key the next stage needs;
+  *    no joins. Corpus size N enters as a broadcast single-row cross join
+  *    (the q04 scalar-subquery pattern), never a driver-side collect.
+  *  - [[heavyHitters]]: explode → term hash aggregation (map-side combine
+  *    does the 100 TB work: per-partition partial counts mean the exchange
+  *    carries one row per distinct term per task, not one per token) →
+  *    global top-k. For a single-pass fixed-memory alternative that never
+  *    shuffles per-term rows, see the Misra–Gries sketch aggregate
+  *    [[graft.plans.ApproxTopK]] (`graft_approx_topk`).
+  *
+  * Cross-engine determinism: scores are rounded to 4 decimals and the
+  * per-document rank orders by the ROUNDED score (then term), so the oracle
+  * reproduces ordering exactly; `ln` is IEEE-identical on identical double
+  * inputs, and all inputs (tf, df, N) are exact integers.
+  */
+object TermWeighting {
+
+  /** Non-empty whitespace tokens of the lowercased text. `split` on an
+    * all-whitespace or empty string yields `[""]` — filtered here so empty
+    * docs contribute no terms (exact SQL twin:
+    * `list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')`). */
+  private def termsOf(textCol: String) =
+    filter(tokens(col(textCol)), t => t =!= "")
+
+  /** Top-`topK` terms per document by TF-IDF (`tf * ln(N / df)`).
+    *
+    * Output: `(doc_id, term, tf, tfidf, rk)`, `rk` 1-based by
+    * `(tfidf desc, term asc)` within each document.
+    *
+    * Shuffle shape: ONE exchange of the (small) pre-explode document rows,
+    * keyed on `doc_id`. `HashPartitioning(doc_id)` satisfies both the
+    * (doc_id, term) aggregation's clustering requirement and the final
+    * per-document rank window, so neither re-shuffles the exploded token
+    * stream — the per-doc aggregate and the rank run where the tokens
+    * landed. Document frequency is a vocabulary-sized aggregate joined back
+    * by broadcast (`broadcastVocab = true`, the default — right whenever
+    * the distinct-term count fits an executor, which holds for any
+    * tokenizer with bounded vocabulary). For an unbounded raw-text
+    * vocabulary at 100 TB set `broadcastVocab = false`: df becomes a
+    * window over `term` (one extra full exchange of the (doc,term)
+    * aggregate, no driver-side size assumption).
+    */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastVocab: Boolean = true): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__terms"))
+      .repartition(col("doc_id")) // the one exchange: pre-explode rows
+      .select(col("doc_id"), explode(col("__terms")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withDf =
+      if (broadcastVocab) {
+        // tf rows are unique per (doc,term), so a term-count over tf is df;
+        // the tf subtree's exchange is reused between build and probe side
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfc), "term")
+      } else
+        tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = withDf.crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Exact global top-`k` terms by occurrence count, ties broken by term.
+    * Output: `(term, cnt)`. */
+  def heavyHitters(docs: DataFrame, k: Int = 25, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(termsOf(textCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+}

@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_sign_lsh_bits", classOf[SignLshBits])(SignLshBits.builder)
     fn("graft_nearest_centroid", classOf[NearestCentroid])(NearestCentroid.builder)
     fn("graft_edit_distance", classOf[EditDistanceCapped])(EditDistanceCapped.builder)
+    fn("graft_approx_topk", classOf[ApproxTopK])(ApproxTopK.builder)
     // bloom pruning pair (SQL users get the same codegen'd predicates the
     // BloomJoin operator uses)
     fn("graft_bloom_agg",

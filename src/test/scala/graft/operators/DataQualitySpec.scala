@@ -62,4 +62,18 @@ class DataQualitySpec extends AnyFunSuite with SparkSpec {
     runOnce("ckpt2")
     assert(Upsert.readPartitionedTable(spark, s"$dir/table").count() === n)
   }
+
+  test("zscore outlier summary: flags only >z-sigma rows, skips degenerate groups") {
+    // group "a": 10 values at 100 ± small noise, one wild 1000 → one outlier.
+    // group "b": constant (sd = 0) → never flagged. group "c": single row
+    // (stddev_samp null) → never flagged.
+    val a = (1 to 10).map(i => ("a", 100.0 + (i % 3))) :+ (("a", 1000.0))
+    val rows = a ++ Seq(("b", 5.0), ("b", 5.0), ("c", 42.0))
+    val out = DataQuality.zscoreOutlierSummary(
+      rows.toDF("g", "value"), "g", "value", z = 3.0).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getString(0) === "a" && r.getLong(1) === 1L)
+    assert(r.getDouble(2) > 3.0) // the 1000.0 row's z-score
+  }
 }
