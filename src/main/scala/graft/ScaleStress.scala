@@ -64,6 +64,20 @@ object ScaleStress {
       TextClean.scrubPii(docs, col("text"))
         .agg(sum(col("n_emails") + col("n_urls") + col("n_phones"))).head().get(0))
 
+    // round-6 term weighting at the same corpus size (~100k docs, ~20M
+    // tokens): the single-exchange TF-IDF shape and the fixed-memory
+    // Misra–Gries sketch vs the exact count
+    import graft.operators.TermWeighting
+    import graft.plans.ApproxTopK
+    time("tfidfTopTerms")(
+      TermWeighting.tfidfTopTerms(docs, topK = 5).count())
+    time("heavyHitters exact top-25")(
+      TermWeighting.heavyHitters(docs, k = 25).count())
+    ApproxTopK.register(spark)
+    time("graft_approx_topk k=100 (sketch, no per-term shuffle)")(
+      docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .agg(ApproxTopK.of(col("term"), 100)).head().getSeq[Any](0).size)
+
     // MERGE at fact-table scale: 600k-row base, 10k-row three-clause batch
     // against the bucketed layout (I/O bounded by touched buckets)
     val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")

@@ -38,6 +38,14 @@ class TermWeightingSpec extends AnyFunSuite with SparkSpec {
     assert(out.filter("doc_id = 1").head().getString(1) === "apple")
   }
 
+  test("tfidf: broadcast-vocab and windowed-df variants agree exactly") {
+    val a = TermWeighting.tfidfTopTerms(docs, topK = 5, broadcastVocab = true)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val b = TermWeighting.tfidfTopTerms(docs, topK = 5, broadcastVocab = false)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(a === b)
+  }
+
   test("heavy hitters: exact counts, count-desc term-asc order, k cap") {
     val out = TermWeighting.heavyHitters(docs, k = 2).collect()
       .map(r => (r.getString(0), r.getLong(1)))
