@@ -354,10 +354,13 @@ object ExtQueries {
                for x in embedding] AS v
             FROM embeddings)"""
 
-  private def signLshOracle: String = {
-    // identical plane derivation to Similarity.planeComponent
+  /** CTE chain `n → sig → banded → pairs` reproducing
+    * Similarity.cosineNearDupPairs' banded candidate graph (identical plane
+    * derivation to Similarity.planeComponent). Shared with the q78 semantic
+    * dedup oracle in [[Ext3Queries]]. */
+  private[graft] def signLshPairsCtes: String = {
     val plane = "(('0x'||substr(md5('plane_'||j||'_'||d),1,15))::BIGINT / POW(2,59) - 1.0)"
-    s"""WITH $normalizedCte,
+    s"""$normalizedCte,
         sig AS (SELECT vec_id, v,
                  list_sum([CASE WHEN list_sum([v[d+1] * $plane for d in range(0,64)]) >= 0
                            THEN (1 << j) ELSE 0 END
@@ -369,9 +372,12 @@ object ExtQueries {
         pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    round(list_sum([p[1]*p[2] for p in list_zip(a.v, b.v)]), 6) AS cosine
                   FROM banded a JOIN banded b
-                    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
-        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
+                    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)"""
   }
+
+  private def signLshOracle: String =
+    s"""WITH $signLshPairsCtes
+        SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
 
   private[graft] def langidOracle: String = {
     def cnt(markers: Seq[String]): String = markers.map { m =>

@@ -91,4 +91,40 @@ object DataQuality {
         count(lit(1)).as("n_outliers"),
         round(max(abs(col(valueCol) - col("mean_r")) / col("sd_r")), 4).as("max_z"))
   }
+
+  /** Robust (median/MAD) outlier sweep — the companion to
+    * [[zscoreOutlierSummary]] for skewed or already-contaminated
+    * distributions, where outliers inflate the mean and stddev enough to
+    * mask themselves (one 1e9 spike moves a 3-sigma gate by orders of
+    * magnitude; it moves the median not at all).
+    *
+    * Per group: med = median(value), mad = median(|value − med|), and a
+    * row is an outlier when its modified z-score
+    * `0.6745 · |value − med| / mad` exceeds `z` (0.6745 ≈ Φ⁻¹(0.75) makes
+    * the score comparable to a normal z; 3.5 is the Iglewicz–Hoaglin
+    * default). Groups with mad = 0 (over half the values identical) are
+    * skipped, matching the sd=0 guard above.
+    *
+    * Execution: two grouped median aggregations (Spark's exact `median`)
+    * with the group-level stats broadcast back — three passes over the
+    * data, no window over raw rows. Cross-engine determinism: med and mad
+    * are rounded to 4 decimals BEFORE the gate, and the score is computed
+    * as `abs · 0.6745 / mad` in exactly that order, so the DuckDB twin
+    * reproduces the gate bit-for-bit.
+    *
+    * Output: `(group, n_outliers, max_robust_z)`. */
+  def madOutlierSummary(df: DataFrame, groupCol: String, valueCol: String,
+                        z: Double = 3.5): DataFrame = {
+    val med = df.groupBy(groupCol)
+      .agg(round(expr(s"median($valueCol)"), 4).as("med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(groupCol)
+      .agg(round(expr(s"median(abs($valueCol - med))"), 4).as("mad"))
+    val score = abs(col(valueCol) - col("med")) * lit(0.6745) / col("mad")
+    withMed.join(broadcast(mad), groupCol)
+      .filter(col("mad") > 0 && score > lit(z))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("n_outliers"),
+        round(max(score), 4).as("max_robust_z"))
+  }
 }

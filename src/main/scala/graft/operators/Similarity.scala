@@ -182,6 +182,31 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication: connected components of the
+    * cosine-similarity graph at `threshold`, electing the min-id member of
+    * each component as the canonical representative.
+    *
+    * Composition of two already-scale-shaped pieces: the edge list is
+    * [[cosineNearDupPairs]] (sign-LSH banded, never all-pairs) and the
+    * grouping is [[Graph.connectedComponents]] min-label propagation over
+    * those edges (rounds = component diameter; near-dup clusters are
+    * near-cliques, so 2-4 rounds). A curation pipeline keeps `keep = true`
+    * rows and drops the rest — the standard embedding-level dedup pass run
+    * over web-scale corpora after exact/fuzzy text dedup.
+    *
+    * Output: `(vec_id, cluster_id, keep)` for EVERY input vector —
+    * singletons are their own cluster with `keep = true`. */
+  def semanticDedupGroups(embeddings: DataFrame, threshold: Double,
+                          nBits: Int = 16,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val edges = cosineNearDupPairs(embeddings, threshold, nBits, idCol, vecCol)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val comp = Graph.connectedComponents(
+      embeddings.select(col(idCol).as("id")), edges)
+    comp.select(col("id").as("vec_id"), col("component").as("cluster_id"),
+      (col("id") === col("component")).as("keep"))
+  }
+
   /** (id, v): unit-normalized double vector via the native
     * [[graft.plans.NormalizeVector]] kernel — the declarative chain
     * (cast-transform + norm aggregate + divide-transform) is three

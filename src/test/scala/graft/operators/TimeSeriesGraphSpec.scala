@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Round-6 additions: time-series gap-fill, edge-list connected
+  * components, semantic dedup, robust MAD outliers. The declared queries
+  * (q77-q79) are hash-checked against DuckDB; these specs pin the
+  * operator-level semantics the oracle comparison can't see (gap
+  * positions, fill provenance, component minimality, contamination
+  * resistance). */
+class TimeSeriesGraphSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resample emits dense grid with zero-count gaps and forward fill") {
+    val events = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1.0),
+      ("a", ts("2024-01-01 00:50:00"), 2.0),
+      // hours 01 and 02 are silent for key a
+      ("a", ts("2024-01-01 03:05:00"), 7.0),
+      ("b", ts("2024-01-01 05:00:00"), 4.0)
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.resample(events, "k", "ts", "v")
+      .orderBy("k", "bucket").collect()
+
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getTimestamp(1).toString.substring(11, 13)).toSeq ===
+      Seq("00", "01", "02", "03"))
+    assert(a.map(_.getLong(2)).toSeq === Seq(2L, 0L, 0L, 1L))
+    // observed buckets carry their own sum; gaps carry null + the fill
+    assert(a.map(r => Option(r.get(3))).toSeq ===
+      Seq(Some(3.0), None, None, Some(7.0)))
+    assert(a.map(_.getDouble(4)).toSeq === Seq(3.0, 3.0, 3.0, 7.0))
+    // key b: single bucket, no spine explosion beyond its own span
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length === 1 && b.head.getLong(2) === 1L)
+  }
+
+  test("resample leading gap keeps value_ffill null until first observation") {
+    // min bucket is defined by the key's own data, so a leading gap can
+    // only appear via a bucket whose values are all null
+    val events = Seq(
+      ("a", ts("2024-01-01 00:00:00"), Option.empty[Double]),
+      ("a", ts("2024-01-01 01:00:00"), Some(5.0))
+    ).toDF("k", "ts", "v")
+    val out = TimeSeries.resample(events, "k", "ts", "v")
+      .orderBy("bucket").collect()
+    assert(Option(out(0).get(4)) === None) // nothing observed yet
+    assert(out(1).getDouble(4) === 5.0)
+  }
+
+  test("connectedComponents: min labels, isolated vertices, direction-blind") {
+    val vertices = (1L to 7L).toDF("id")
+    // components {1,2,3}, {4,5} (edge given dst<src), isolated {6}, {7}
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
+    val comp = Graph.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("connectedComponents: long chain converges within maxIter") {
+    // path graph 0-1-2-...-19: worst-case diameter for label propagation
+    val n = 20L
+    val vertices = (0L until n).toDF("id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Graph.connectedComponents(vertices, edges, maxIter = 25)
+    assert(comp.filter(col("component") =!= 0L).count() === 0)
+  }
+
+  test("semanticDedupGroups keeps min-id representative per cluster") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val groups = Similarity.semanticDedupGroups(emb, threshold = 0.3)
+    val total = emb.count()
+    assert(groups.count() === total) // every vector classified
+    // each cluster's kept member is exactly its min id
+    val bad = groups.groupBy("cluster_id")
+      .agg(min("vec_id").as("mn"),
+        sum(when(col("keep"), col("vec_id"))).as("keptId"),
+        sum(when(col("keep"), 1).otherwise(0)).as("nKept"))
+      .filter(col("nKept") =!= 1 || col("keptId") =!= col("mn") ||
+        col("mn") =!= col("cluster_id"))
+    assert(bad.count() === 0)
+    // dedup actually fires on this data: fewer clusters than vectors
+    assert(groups.select("cluster_id").distinct().count() < total)
+    // clusters agree with the pair graph: every edge lands in one cluster
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.3)
+    val byId = groups.select("vec_id", "cluster_id")
+    val crossCluster = pairs
+      .join(byId.toDF("vec_a", "ca"), "vec_a")
+      .join(byId.toDF("vec_b", "cb"), "vec_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(crossCluster.count() === 0)
+  }
+
+  test("madOutlierSummary resists contamination that masks the z-score gate") {
+    // 100 values near 10, plus two 1e6 spikes: the spikes inflate stddev so
+    // a 3-sigma gate sees at most the spikes themselves; median/MAD flags
+    // them with a huge robust z regardless
+    val base = (1 to 100).map(i => ("g", 10.0 + (i % 7) * 0.1))
+    val dirty = base ++ Seq(("g", 1e6), ("g", 1e6))
+    val df = dirty.toDF("grp", "v")
+    val mad = DataQuality.madOutlierSummary(df, "grp", "v").collect()
+    assert(mad.length === 1)
+    assert(mad.head.getLong(1) === 2L)
+    assert(mad.head.getDouble(2) > 1e6) // robust z of the spikes is enormous
+    // the classical gate's max_z is tiny by comparison (stddev absorbed it)
+    val zs = DataQuality.zscoreOutlierSummary(df, "grp", "v").collect()
+    assert(zs.isEmpty || zs.head.getDouble(2) < 15.0)
+  }
+
+  test("madOutlierSummary skips mad=0 groups instead of dividing by zero") {
+    val df = (Seq.fill(10)(("const", 5.0)) ++ Seq(("const", 99.0)))
+      .toDF("grp", "v")
+    // median=5, mad=0 (majority identical) → group skipped entirely
+    assert(DataQuality.madOutlierSummary(df, "grp", "v").collect().isEmpty)
+  }
+}
