@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DataQuality, Similarity, TermWeighting, TimeSeries}
+import graft.operators.{DataQuality, Similarity, TermWeighting, TextAnalysis, TimeSeries}
 
 /** Round-6 query surface: corpus term weighting (TF-IDF, heavy hitters) and
   * per-group anomaly detection — retrieval/curation primitives the earlier
@@ -45,7 +45,13 @@ object Ext3Queries {
     // Robust median/MAD outlier sweep (modified z > 3.5) — the
     // contamination-resistant twin of q76.
     "q79_mad_outliers" -> ((s, dir) =>
-      DataQuality.madOutlierSummary(t(s, dir, "events"), "event_type", "value")))
+      DataQuality.madOutlierSummary(t(s, dir, "events"), "event_type", "value")),
+
+    // Compression-ratio quality signal (rows-only: no SQL engine exposes
+    // a deterministic DEFLATE length — semantics are property-tested in
+    // CompressibilitySpec; the driver records the rows>0 check).
+    "q80_compressibility" -> ((s, dir) =>
+      TextAnalysis.compressionStats(t(s, dir, "documents"))))
 
   /** Shared tokenizer twin: non-empty whitespace tokens of lower(trim(text)),
     * exactly [[graft.operators.TermWeighting]]'s `termsOf`. */

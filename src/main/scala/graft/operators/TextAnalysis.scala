@@ -139,4 +139,34 @@ object TextAnalysis {
         array_join(col("col"), " ").as("chunk_text"),
         size(col("col")).cast("long").as("n_tokens"))
   }
+
+  /** Compression-ratio quality signal: DEFLATE-compressed size over raw
+    * UTF-8 size per document, with a repetitive-text gate at `maxRatio`
+    * (boilerplate/machine-generated text compresses far below natural
+    * prose — the compressibility heuristic of the Gopher/CCNet curation
+    * family; complements [[repetitionStats]]' n-gram view with a
+    * whole-document one that catches long-range repetition n-grams miss).
+    *
+    * One codegen'd projection over the scan — compressing 100 TB is one
+    * pass, no shuffle (the kernel is [[graft.plans.DeflateSize]]; DEFLATE
+    * runs ~100 MB/s/core, so this is compute-bound: size executors by
+    * cores, not memory). Rows-only at the correctness gate: no SQL engine
+    * exposes a deterministic DEFLATE length, so the signal's semantics are
+    * property-tested in `CompressibilitySpec` instead.
+    *
+    * Output: `(doc_id, n_bytes, deflate_bytes, compress_ratio,
+    * is_repetitive)`; empty docs get a null ratio and a false gate. */
+  def compressionStats(docs: DataFrame, maxRatio: Double = 0.4,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.DeflateSize.register(docs.sparkSession)
+    val nBytes = octet_length(col(textCol)).cast("long")
+    docs
+      .select(col(idCol).as("doc_id"), nBytes.as("n_bytes"),
+        expr(s"graft_deflate_len($textCol)").cast("long").as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          round(col("deflate_bytes").cast("double") / col("n_bytes"), 4)))
+      .withColumn("is_repetitive",
+        coalesce(col("compress_ratio") < maxRatio, lit(false)))
+  }
 }
