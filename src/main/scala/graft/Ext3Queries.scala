@@ -1,16 +1,19 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-import graft.operators.{DataQuality, Similarity, TermWeighting, TextAnalysis, TimeSeries}
+import graft.operators.{Cdc, DataQuality, Similarity, SkewJoin, TermWeighting, TextAnalysis, TimeSeries}
 
-/** Round-6 query surface: corpus term weighting (TF-IDF, heavy hitters) and
-  * per-group anomaly detection — retrieval/curation primitives the earlier
-  * text-analysis layer (q17/q26-q28) did not cover. Each has an exact DuckDB
-  * twin; the fixed-memory Misra–Gries alternative to q75's exact count is
-  * the `graft_approx_topk` native aggregate (spec-verified — its output is
-  * merge-order-dependent by construction, so no cross-engine hash oracle
-  * can apply). */
+/** Round-6 query surface: corpus term weighting (TF-IDF, heavy hitters),
+  * per-group anomaly detection, time-series gap-fill, semantic dedup, CDC
+  * generation, the streaming interval join, and the salted skew join —
+  * retrieval/curation/warehouse primitives the earlier layers did not
+  * cover. Each has an exact DuckDB twin except q80 (no SQL engine exposes
+  * a deterministic DEFLATE length); the fixed-memory Misra–Gries
+  * alternative to q75's exact count is the `graft_approx_topk` native
+  * aggregate (spec-verified — its output is merge-order-dependent by
+  * construction, so no cross-engine hash oracle can apply). */
 object Ext3Queries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -51,7 +54,70 @@ object Ext3Queries {
     // a deterministic DEFLATE length — semantics are property-tested in
     // CompressibilitySpec; the driver records the rows>0 check).
     "q80_compressibility" -> ((s, dir) =>
-      TextAnalysis.compressionStats(t(s, dir, "documents"))))
+      TextAnalysis.compressionStats(t(s, dir, "documents"))),
+
+    // CDC generation: diff two derived order snapshots (deletes = keys
+    // divisible by 7, inserts = by 11, updates = +100.00 price bump on
+    // multiples of 5) into an I/U/D change stream. One full-outer join.
+    // The bump is a single IEEE add — bit-identical in any engine — so the
+    // oracle needs no rounding (a ×1.1-then-round form diverges on
+    // round-half ties between decimal and binary rounding).
+    "q81_cdc_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val oldSnap = base.filter(col("o_orderkey") % 11 =!= 0)
+      val newSnap = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+      Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    }),
+
+    // Streaming attribution: views joined to same-user purchases within
+    // 1 hour, as a watermarked stream-stream interval join (state bounded
+    // by the horizon). AvailableNow over the single-file source = one data
+    // micro-batch, so the inner join emits exactly the batch join's pairs.
+    "q82_stream_interval_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-j").toString
+      val name = "graft_q82_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val views = Tables.loadStream(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val purchases = Tables.loadStream(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), round(col("value"), 4).as("purchase_value"))
+      val q = ExtQueries.withStatePartitions(s, 8) {
+        graft.streaming.EventStreams
+          .intervalJoin(views, purchases, Seq("user_id"), "view_ts", "purchase_ts",
+            horizon = "1 hour")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      q.awaitTermination(300000)
+      s.table(name)
+    }),
+
+    // Salted skew join, oracle-checked against the plain join it must
+    // equal: lineitem ⋈ orders revenue by priority with the left side
+    // spread over 8 deterministic salt buckets.
+    "q83_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+    }))
 
   /** Shared tokenizer twin: non-empty whitespace tokens of lower(trim(text)),
     * exactly [[graft.operators.TermWeighting]]'s `termsOf`. */
@@ -143,5 +209,49 @@ object Ext3Queries {
                 round(max(abs(e.value - e.med) * 0.6745 / d.mad), 4) AS max_robust_z
          FROM m2 e JOIN mad d USING (event_type)
          WHERE d.mad > 0 AND abs(e.value - e.med) * 0.6745 / d.mad > 3.5
-         GROUP BY e.event_type""")
+         GROUP BY e.event_type""",
+
+    // Same snapshot derivations, diffed with a full-outer join; value
+    // comparison is null-safe (IS DISTINCT FROM == Spark's !(<=>)).
+    "q81_cdc_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                       FROM orders),
+         oldsnap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                     FROM base WHERE o_orderkey % 11 <> 0),
+         newsnap AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                            CASE WHEN o_orderkey % 5 = 0
+                                 THEN o_totalprice + 100.0
+                                 ELSE o_totalprice END AS o_totalprice
+                     FROM base WHERE o_orderkey % 7 <> 0)
+         SELECT CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                     WHEN n.o_orderkey IS NULL THEN 'D'
+                     ELSE 'U' END AS op,
+                coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+                CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey
+                     ELSE n.o_custkey END AS o_custkey,
+                CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+                     ELSE n.o_orderstatus END AS o_orderstatus,
+                CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+                     ELSE n.o_totalprice END AS o_totalprice
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+         WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+            OR n.o_custkey IS DISTINCT FROM o.o_custkey
+            OR n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+            OR n.o_totalprice IS DISTINCT FROM o.o_totalprice""",
+
+    "q82_stream_interval_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+                p.event_id AS purchase_id, p.ts AS purchase_ts,
+                round(p.value, 4) AS purchase_value
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+         WHERE v.event_type = 'view' AND p.event_type = 'purchase'""",
+
+    "q83_salted_join" ->
+      """SELECT o_orderpriority,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""")
 }

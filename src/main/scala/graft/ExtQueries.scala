@@ -23,7 +23,7 @@ object ExtQueries {
     * overhead per micro-batch (measured). The conf is restored right after
     * `start()` — the stream captured it at planning. Size this UP for
     * genuinely large state (the count is a per-query knob, not a global). */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(start: => A): A = {
+  private[graft] def withStatePartitions[A](s: SparkSession, n: Int)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
     s.conf.set(key, n.toString)

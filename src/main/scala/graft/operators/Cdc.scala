@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Snapshot differencing — derive a change-data-capture stream from two
+  * keyed table snapshots.
+  *
+  * [[JdbcUpsert.mergeCdc]] and [[Merge]] CONSUME a change stream; this is
+  * the producer side a warehouse needs when the upstream can only hand over
+  * full extracts (the reference's OData endpoint is exactly that shape —
+  * reference etl/extract.py re-pulls whole entity sets per run, and the
+  * load diffs implicitly by upserting everything). Diffing the extracts
+  * first turns an O(table) daily load into an O(changes) one: at 100 TB
+  * the upsert rewrites only buckets that actually changed, and downstream
+  * incremental aggregates ([[IncrementalAgg]]) fold just the delta.
+  *
+  * Scale shape: ONE full-outer shuffle join on the keys (null-safe, like
+  * [[Merge]]); change detection is a codegen'd per-row predicate, unchanged
+  * rows are filtered before projection, and nothing touches the driver.
+  * Both snapshot scans prune to key + compared columns.
+  */
+object Cdc {
+
+  /** One row per key whose state differs between `oldSnap` and `newSnap`:
+    * `op` = "I" (key only in new), "D" (key only in old — emitted with the
+    * OLD values, so a consumer can route tombstones without a lookback
+    * join), "U" (present in both, any non-key column differs null-safely).
+    * Unchanged keys emit nothing. Snapshots must share a schema; keys are
+    * matched null-safely (`<=>`), so a null-keyed row diffs against its
+    * null-keyed counterpart instead of always re-inserting. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
+                   opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff requires at least one key column")
+    val cols = newSnap.columns.toSeq
+    require(oldSnap.columns.toSeq == cols,
+      s"snapshot schemas must match: old=${oldSnap.columns.mkString(",")} " +
+        s"new=${cols.mkString(",")} (run SchemaEvolution first)")
+    require(!cols.contains(opCol), s"column '$opCol' already exists; pass opCol")
+    val valueCols = cols.filterNot(keys.contains)
+
+    // Pack each side into a struct + literal-true marker: after the outer
+    // join a null marker means "absent row", which a null struct alone
+    // cannot signal once rows may be all-null. Keys ride outside the
+    // structs so the join condition stays a plain (null-safe) equi-join
+    // the planner shuffles on.
+    val oKeys = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__graft_ok$i") }
+    val nKeys = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__graft_nk$i") }
+    val o = oldSnap.select(
+      struct(cols.map(col): _*).as("__graft_o") +: lit(true).as("__graft_oe") +: oKeys: _*)
+    val n = newSnap.select(
+      struct(cols.map(col): _*).as("__graft_n") +: lit(true).as("__graft_ne") +: nKeys: _*)
+    val joinCond = keys.indices
+      .map(i => col(s"__graft_ok$i") <=> col(s"__graft_nk$i")).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+
+    val oExists = col("__graft_oe") <=> lit(true)
+    val nExists = col("__graft_ne") <=> lit(true)
+    val changed: Column = valueCols
+      .map(c => !(col(s"__graft_o.$c") <=> col(s"__graft_n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    val op = when(!oExists, lit("I"))
+      .when(!nExists, lit("D"))
+      .when(changed, lit("U"))
+    val out = cols.map { c =>
+      when(col(opCol) === "D", col(s"__graft_o.$c"))
+        .otherwise(col(s"__graft_n.$c")).as(c)
+    }
+    joined.withColumn(opCol, op)
+      .filter(col(opCol).isNotNull)
+      .select(col(opCol) +: out: _*)
+  }
+}

@@ -141,6 +141,43 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Watermarked stream-stream interval join: pair each left row with every
+    * right row sharing `keys` whose `rightTs` lands in
+    * `[leftTs, leftTs + horizon)` — attribution joins (view→purchase,
+    * impression→click) in their streaming-native form.
+    *
+    * Both sides carry a watermark and the join condition bounds the
+    * event-time relationship in BOTH directions, which is what lets Spark
+    * evict buffered rows: left state is held `horizon + delay` past the
+    * watermark, right state `delay` — O(horizon × arrival rate), never
+    * O(stream). Without the time bound a stream-stream join must buffer
+    * both streams forever.
+    *
+    * Output: keys (left side), then the two sides' non-key columns —
+    * which must therefore be disjoint; pre-rename with `.select(...as...)`.
+    * Inner join only: streaming outer joins emit null-padded rows on
+    * watermark close, giving batch/stream result divergence this engine's
+    * oracle contract (batch join == streamed join) deliberately avoids. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   horizon: String = "1 hour",
+                   watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoin requires at least one key column")
+    val lVal = left.columns.filterNot(keys.contains).toSeq
+    val rVal = right.columns.filterNot(keys.contains).toSeq
+    val clash = lVal.intersect(rVal)
+    require(clash.isEmpty,
+      s"non-key columns must be disjoint, clash: ${clash.mkString(",")}")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("__gl")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("__gr")
+    val keyCond = keys.map(k => col(s"__gl.$k") === col(s"__gr.$k")).reduce(_ && _)
+    val timeCond = col(s"__gr.$rightTs") >= col(s"__gl.$leftTs") &&
+      col(s"__gr.$rightTs") < col(s"__gl.$leftTs") + expr(s"INTERVAL $horizon")
+    l.join(r, keyCond && timeCond, "inner")
+      .select(keys.map(k => col(s"__gl.$k")) ++
+        lVal.map(c => col(s"__gl.$c")) ++ rVal.map(c => col(s"__gr.$c")): _*)
+  }
+
   /** Gap-based sessionization with custom state (flatMapGroupsWithState):
     * a session closes when `gapMinutes` pass without an event for the user.
     * This is the KeyValueGroupedDataset custom-state path the built-in

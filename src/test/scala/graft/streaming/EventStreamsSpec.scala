@@ -181,6 +181,67 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(stateRows === 1L)
   }
 
+  test("stream-stream interval join emits the batch join's pairs with bounded state") {
+    val dir = tempDir("stream-ij")
+    val in = s"$dir/in"
+    def ts(min: Long) = new java.sql.Timestamp((min + 1440) * 60000L)
+    def stage(rows: Seq[(Long, java.sql.Timestamp, String, Double)]): Unit = {
+      rows.toDF("user_id", "ts", "kind", "value")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    // user 1: view at t0 matched by purchases at +10 and +50, NOT by +70
+    // (outside the 1h horizon); user 2: purchase with no prior view
+    stage(Seq((1L, ts(0), "view", 0.0), (1L, ts(10), "purchase", 5.0)))
+    stage(Seq((1L, ts(50), "purchase", 7.0), (1L, ts(70), "purchase", 9.0),
+      (2L, ts(30), "purchase", 3.0)))
+    stage(Seq((1L, ts(10000), "view", 0.0))) // advances both watermarks → eviction
+
+    val schema = spark.read.parquet(in).schema
+    def side(kind: String, idAs: String, tsAs: String, extra: Boolean) = {
+      val base = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .filter(col("kind") === kind)
+      val sel = Seq(col("user_id"), col("ts").as(tsAs)) ++
+        (if (extra) Seq(col("value").as(s"${idAs}_value")) else Nil)
+      base.select(sel: _*)
+    }
+    val q = EventStreams.intervalJoin(
+        side("view", "v", "view_ts", extra = false),
+        side("purchase", "p", "purchase_ts", extra = true),
+        Seq("user_id"), "view_ts", "purchase_ts", horizon = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime / 60000 - 1440,
+        r.getDouble(3))).toSet
+    assert(out === Set((1L, 10L, 5.0), (1L, 50L, 7.0))) // horizon excludes +70; user 2 unmatched
+    // state bounded: buffered rows behind watermark−horizon were evicted,
+    // only the final watermark-advancing view (and no purchases) remain
+    val stateRows = q.recentProgress.flatMap(_.stateOperators).lastOption
+      .map(_.numRowsTotal).getOrElse(-1L)
+    info(s"join state rows at termination: $stateRows")
+    assert(stateRows <= 2L)
+  }
+
+  test("intervalJoin on batch frames equals the plain time-bounded join") {
+    val views = Seq((1L, new java.sql.Timestamp(3600000L))).toDF("user_id", "view_ts")
+    val purch = Seq((1L, new java.sql.Timestamp(5400000L), 4.0),
+      (1L, new java.sql.Timestamp(7200001L), 8.0))
+      .toDF("user_id", "purchase_ts", "purchase_value")
+    val out = EventStreams.intervalJoin(views, purch, Seq("user_id"),
+      "view_ts", "purchase_ts", horizon = "1 hour").collect()
+    assert(out.length === 1 && out.head.getDouble(3) === 4.0)
+    intercept[IllegalArgumentException] { // non-key name clash rejected
+      EventStreams.intervalJoin(views, views, Seq("user_id"), "view_ts", "view_ts")
+    }
+  }
+
   test("sessionize in streaming mode: gap + event-time timeout emit, late events dropped") {
     import EventStreams.UserEvent
     import org.apache.spark.sql.Encoders
