@@ -106,18 +106,31 @@ object Ext3Queries {
 
     // Salted skew join, oracle-checked against the plain join it must
     // equal: lineitem ⋈ orders revenue by priority with the left side
-    // spread over 8 deterministic salt buckets.
+    // spread over 4 deterministic salt buckets. The ~4× right-side
+    // replication vs the plain join is the operator's deliberate cost —
+    // skew insurance is bought per replica; at 100 TB you'd salt only the
+    // hot keys (SkewJoin scaladoc).
     "q83_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 8)
+      SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 4)
         .groupBy("o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
                .as("revenue"),
              count(lit(1)).as("n_items"))
-    }))
+    }),
+
+    // Contrastive corpus comparison: top-40 terms most over/under-
+    // represented in the English slice vs the rest (Dunning G² keyness).
+    "q84_keyness" -> ((s, dir) =>
+      TermWeighting.keyness(t(s, dir, "documents"), "lang", "en", topK = 40)),
+
+    // Perplexity-style quality signal: per-doc average negative
+    // log-likelihood under the corpus's own unigram model.
+    "q85_unigram_logloss" -> ((s, dir) =>
+      TermWeighting.unigramLogLoss(t(s, dir, "documents"))))
 
   /** Shared tokenizer twin: non-empty whitespace tokens of lower(trim(text)),
     * exactly [[graft.operators.TermWeighting]]'s `termsOf`. */
@@ -253,5 +266,42 @@ object Ext3Queries {
                 round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderpriority""")
+         GROUP BY o_orderpriority""",
+
+    // Expected counts as exact integer products divided once (mirrors the
+    // Spark arithmetic bit for bit); overused via integer cross-product.
+    "q84_keyness" ->
+      """WITH tok AS (SELECT (lang = 'en') AS is_t,
+                unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                   x -> x <> '')) AS term
+              FROM documents),
+         counts AS (SELECT term,
+                CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt,
+                CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS rest_cnt
+              FROM tok GROUP BY term),
+         totals AS (SELECT CAST(sum(target_cnt) AS BIGINT) AS ta,
+                           CAST(sum(rest_cnt) AS BIGINT) AS tb FROM counts)
+         SELECT term, target_cnt, rest_cnt,
+                round(2.0 * (
+                  CASE WHEN target_cnt > 0
+                       THEN target_cnt * ln(target_cnt /
+                            (CAST((target_cnt + rest_cnt) * ta AS DOUBLE) / (ta + tb)))
+                       ELSE 0.0 END +
+                  CASE WHEN rest_cnt > 0
+                       THEN rest_cnt * ln(rest_cnt /
+                            (CAST((target_cnt + rest_cnt) * tb AS DOUBLE) / (ta + tb)))
+                       ELSE 0.0 END), 4) AS g2,
+                (target_cnt * tb > rest_cnt * ta) AS overused
+         FROM counts, totals
+         ORDER BY g2 DESC, term LIMIT 40""",
+
+    "q85_unigram_logloss" ->
+      s"""WITH tok AS ($sqlTok),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnt)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                round(sum(tf * -ln(CAST(cnt AS DOUBLE) / n)) / sum(tf), 4) AS avg_nll
+         FROM tf JOIN cnt USING (term), n
+         GROUP BY doc_id""")
 }

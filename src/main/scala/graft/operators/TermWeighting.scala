@@ -93,4 +93,73 @@ object TermWeighting {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
+
+  /** Dunning log-likelihood keyness (G²): which terms are over/under-
+    * represented in the `target` sub-corpus (`partCol == target`) vs the
+    * rest — contrastive corpus comparison for domain/source curation
+    * ("what does this crawl slice talk about that the rest doesn't").
+    *
+    * Output: top-`topK` terms by `(g2 desc, term asc)` as
+    * `(term, target_cnt, rest_cnt, g2, overused)`; `overused` is the exact
+    * integer cross-product comparison `a·tb > b·ta` (rate in target above
+    * rate in rest), so the flag is engine-exact.
+    *
+    * Shuffle shape: explode → ONE vocabulary-sized term aggregation
+    * (map-side combined — the exchange carries per-task partials, not
+    * tokens) → broadcast single-row totals → global top-k. Expected counts
+    * are computed as exact integer products divided once (`(a+b)·ta` stays
+    * under 2^53 for any corpus whose token count fits a long × vocabulary
+    * term count), so both engines divide identical integers. */
+  def keyness(docs: DataFrame, partCol: String, target: String,
+              topK: Int = 50, textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select((col(partCol) === target).as("is_t"), termsOf(textCol).as("__terms"))
+      .select(col("is_t"), explode(col("__terms")).as("term"))
+    val counts = tok.groupBy("term").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("target_cnt"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("rest_cnt"))
+    val totals = counts.agg(
+      sum("target_cnt").as("__ta"), sum("rest_cnt").as("__tb"))
+    val a = col("target_cnt"); val b = col("rest_cnt")
+    val ta = col("__ta"); val tb = col("__tb")
+    val ea = ((a + b) * ta).cast("double") / (ta + tb)
+    val eb = ((a + b) * tb).cast("double") / (ta + tb)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("g2", round(lit(2.0) * (
+        when(a > 0, a * log(a / ea)).otherwise(lit(0.0)) +
+          when(b > 0, b * log(b / eb)).otherwise(lit(0.0))), 4))
+      .withColumn("overused", a * tb > b * ta)
+      .select(col("term"), a, b, col("g2"), col("overused"))
+      .orderBy(col("g2").desc, col("term").asc)
+      .limit(topK)
+  }
+
+  /** Per-document unigram negative log-likelihood under the corpus's own
+    * unigram model — the self-contained form of perplexity-based quality
+    * filtering (CCNet-style: documents whose token distribution is far
+    * from the corpus read as noise/boilerplate/wrong-language). No
+    * smoothing needed: every scored token is in the model by construction.
+    *
+    * Output: `(doc_id, n_tokens, avg_nll)` with
+    * `avg_nll = Σ tf·(−ln(cnt/N)) / Σ tf`, rounded to 4.
+    *
+    * Shuffle shape: ONE doc_id exchange of the pre-explode rows (reused by
+    * the (doc,term) aggregate and the final per-doc aggregate) + one
+    * vocabulary-sized count aggregate joined back by broadcast — same
+    * broadcast-vocab stance as [[tfidfTopTerms]]. */
+  def unigramLogLoss(docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__terms"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("__terms")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val n = cnt.agg(sum("cnt").as("__n"))
+    tf.join(broadcast(cnt), "term").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf") * -log(col("cnt").cast("double") / col("__n"))) /
+          sum("tf"), 4).as("avg_nll"))
+  }
 }

@@ -53,4 +53,45 @@ class TermWeightingSpec extends AnyFunSuite with SparkSpec {
     // between apple/banana broken by term)
     assert(out === Array(("cherry", 4L), ("apple", 2L)))
   }
+
+  private val langSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("text", StringType)))
+
+  test("keyness: hand-computed G2, overuse direction, zero-count sides") {
+    val corpus = df(langSchema, Seq(
+      Seq(1L, "en", "aa aa aa bb"),
+      Seq(2L, "de", "bb bb cc cc cc cc")))
+    val out = TermWeighting.keyness(corpus, "lang", "en", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    // ta=4, tb=6. aa: a=3,b=0 → G2 = 2*3*ln(3/(3*4/10)) = 6*ln(2.5)
+    def g2(a: Long, b: Long): Double = {
+      val (ta, tb) = (4.0, 6.0)
+      val x = if (a > 0) a * math.log(a / ((a + b) * ta / (ta + tb))) else 0.0
+      val y = if (b > 0) b * math.log(b / ((a + b) * tb / (ta + tb))) else 0.0
+      BigDecimal(2.0 * (x + y)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out === Array(
+      ("aa", 3L, 0L, g2(3, 0), true),   // only in target → overused
+      ("bb", 1L, 2L, g2(1, 2), false),  // rate 1/4 < 2/6 → underused
+      ("cc", 0L, 4L, g2(0, 4), false))) // only in rest
+  }
+
+  test("unigramLogLoss: hand-computed NLL, common tokens score low") {
+    val corpus = df(langSchema, Seq(
+      Seq(1L, "en", "the the the the"), // all high-probability tokens
+      Seq(2L, "en", "the rare"),
+      Seq(3L, "en", "   ")))            // empty after tokenize → no row
+    val out = TermWeighting.unigramLogLoss(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // N=6: p(the)=5/6, p(rare)=1/6
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllThe = -math.log(5.0 / 6.0)
+    assert(out === Array(
+      (1L, 4L, r4(nllThe)),
+      (2L, 2L, r4((nllThe + -math.log(1.0 / 6.0)) / 2.0))))
+    assert(out(0)._3 < out(1)._3) // the repetitive-common doc is less surprising
+  }
 }
