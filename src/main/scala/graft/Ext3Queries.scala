@@ -130,7 +130,15 @@ object Ext3Queries {
     // Perplexity-style quality signal: per-doc average negative
     // log-likelihood under the corpus's own unigram model.
     "q85_unigram_logloss" -> ((s, dir) =>
-      TermWeighting.unigramLogLoss(t(s, dir, "documents"))))
+      TermWeighting.unigramLogLoss(t(s, dir, "documents"))),
+
+    // Temperature-flattened language mix (alpha=0.5): rare languages keep
+    // more of their rows; rates derive from observed counts, selection is
+    // the deterministic hash filter (reproducible across engines/runs).
+    "q86_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        t(s, dir, "documents"), col("lang"), col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"))))
 
   /** Shared tokenizer twin: non-empty whitespace tokens of lower(trim(text)),
     * exactly [[graft.operators.TermWeighting]]'s `termsOf`. */
@@ -303,5 +311,16 @@ object Ext3Queries {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
                 round(sum(tf * -ln(CAST(cnt AS DOUBLE) / n)) / sum(tf), 4) AS avg_nll
          FROM tf JOIN cnt USING (term), n
-         GROUP BY doc_id""")
+         GROUP BY doc_id""",
+
+    // power(x, 0.5) in both engines (<=1 ulp apart); the hash unit's 1e-6
+    // granularity makes a boundary flip from that ulp practically
+    // impossible, and the min stratum's rate is exactly 1.0 in both.
+    "q86_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT lang, power(CAST(nmin AS DOUBLE) / n, 0.5) AS rate FROM c, m)
+         SELECT doc_id, lang FROM documents JOIN r USING (lang)
+         WHERE (('0x'||substr(md5('graft|'||doc_id),1,8))::BIGINT % 1000000)
+               / 1000000.0 < rate""")
 }

@@ -65,4 +65,60 @@ object Graph {
     e.unpersist()
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Damped PageRank over a directed edge list — link-quality scoring for
+    * web-crawl curation (seed-URL harvesting, spam down-ranking) where the
+    * crawl graph is already an edge list next to the documents.
+    *
+    * Fixed `iterations` of the standard power method with dangling-mass
+    * redistribution: `r' = (1-d)/N + d·(Σ_in r/outdeg + dangling/N)`.
+    * Ranks sum to 1 every round (spec-asserted). Per round: one join of
+    * the edge list with current ranks + one hash aggregation — the same
+    * |E|+|V| shuffle bound, plan depth bounded by `localCheckpoint` every
+    * 4 rounds like [[connectedComponents]]. A fixed iteration count (not a
+    * convergence epsilon) keeps the result deterministic for a given
+    * graph, which is what a reproducible curation pipeline wants.
+    *
+    * No SQL oracle: recursive CTEs cannot re-aggregate per iteration
+    * (PageRankSpec pins hand-computed ranks + the invariants instead).
+    * Output: `(id, rank)`. */
+  def pagerank(vertices: DataFrame, edges: DataFrame,
+               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations > 0, "iterations must be positive")
+    val outdeg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val v = vertices.select(col("id"))
+      .join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    val e = edges.select(col("src"), col("dst")).persist(MEMORY_AND_DISK)
+    val n = v.count().toDouble // one scalar; drives the teleport term
+
+    var ranks = v.select(col("id"), col("outdeg"), lit(1.0 / n).as("rank"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    while (iter < iterations) {
+      // mass each vertex sends per out-edge; dangling vertices (outdeg 0)
+      // spread their whole rank uniformly instead of losing it
+      val dangling = ranks.filter(col("outdeg") === 0)
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_mass"))
+      val next0 = v.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+      val next =
+        if ((iter + 1) % 4 == 0) next0.localCheckpoint(true)
+        else next0.persist(MEMORY_AND_DISK)
+      next.count() // materialize before dropping the parent cache
+      ranks.unpersist()
+      ranks = next
+      iter += 1
+    }
+    v.unpersist(); e.unpersist()
+    ranks.select(col("id"), col("rank"))
+  }
 }

@@ -66,6 +66,37 @@ object Sampling {
     df.filter(hashUnit(seed, id) < frac)
   }
 
+  /** Temperature-flattened domain mixture — the standard LLM-corpus
+    * reweighting where the target share of stratum i is ∝ n_i^alpha
+    * (alpha < 1 upweights rare domains relative to their natural share;
+    * alpha = 1 is a no-op). Realized as per-stratum Bernoulli rates
+    * `r_i = (n_min / n_i)^(1-alpha)`: the smallest stratum keeps every
+    * row, larger strata downsample, and expected kept counts are
+    * `n_min^(1-alpha) · n_i^alpha` — exactly the flattened mix.
+    *
+    * Scale shape: one stratum-count aggregate (map-side combined, output
+    * is #strata rows) broadcast back onto the scan, then the same
+    * shuffle-free hash filter as [[weightedMix]] — two scans total, no
+    * shuffle of data rows. Unlike [[weightedMix]] the rates need no
+    * hand-tuning; they derive from the observed counts. */
+  def temperatureMix(df: DataFrame, stratum: Column, id: Column,
+                     alpha: Double = 0.5, seed: String = "graft"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(stratum.as("__graft_stratum"))
+      .agg(count(lit(1)).as("__graft_n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min("__graft_n").as("__graft_nmin"))))
+      .select(col("__graft_stratum"),
+        pow(col("__graft_nmin").cast("double") / col("__graft_n"), 1.0 - alpha)
+          .as("__graft_rate"))
+    // null-safe match: a null stratum is its own group in the count
+    // aggregate, so it must find its own rate row too (=== would silently
+    // drop every null-stratum row)
+    df.join(broadcast(rates), stratum <=> col("__graft_stratum"))
+      .filter(hashUnit(seed, id) < col("__graft_rate"))
+      .drop("__graft_stratum", "__graft_rate")
+  }
+
   /** Exactly `quota` rows per stratum (fewer when the stratum is smaller),
     * chosen as the first `quota` in deterministic hash order. */
   def stratifiedQuota(df: DataFrame, stratum: Column, id: Column, quota: Int,

@@ -141,6 +141,19 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Stream-static enrichment: left-join the stream against a (small)
+    * dimension table, broadcast so each micro-batch is a map-side hash
+    * join — no shuffle, no state store, and the dimension is re-resolved
+    * per micro-batch (a dim refreshed on disk is picked up without
+    * restarting the query; file-source dims re-list, which is the
+    * behavior Structured Streaming documents for stream-static joins).
+    * Left join: events with no dimension row pass through null-padded
+    * rather than silently dropping (dead-letter routing can filter on the
+    * null downstream). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Watermarked stream-stream interval join: pair each left row with every
     * right row sharing `keys` whose `rightTs` lands in
     * `[leftTs, leftTs + horizon)` — attribution joins (view→purchase,

@@ -50,4 +50,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     val out = Sampling.stratifiedQuota(tiny, col("src"), col("id"), quota = 10)
     assert(out.count() === 3)
   }
+
+  test("temperatureMix: min stratum intact, shares flatten toward n^alpha") {
+    // skewed strata: 1600/300/100
+    val skewed = (1L to 2000L).map { i =>
+      (i, if (i <= 1600) "big" else if (i <= 1900) "mid" else "small")
+    }.toDF("id", "src")
+    val out = Sampling.temperatureMix(skewed, col("src"), col("id"), alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("small") === 100) // rate exactly 1.0: nothing dropped
+    // expected kept: n_min^0.5 * n_i^0.5 → big 400, mid 173 (Bernoulli ±)
+    assert(math.abs(bySrc("big") - 400) < 120)
+    assert(math.abs(bySrc("mid") - 173) < 80)
+    // deterministic: same rows on re-run
+    val again = Sampling.temperatureMix(skewed, col("src"), col("id"), alpha = 0.5)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again === out.map(_._1).toSet)
+    // alpha = 1 keeps the natural mix (rate 1.0 everywhere)
+    assert(Sampling.temperatureMix(skewed, col("src"), col("id"), alpha = 1.0)
+      .count() === 2000L)
+  }
+
+  test("temperatureMix: null stratum is its own group, not dropped") {
+    val withNull = Seq((1L, Some("a")), (2L, Some("a")), (3L, Option.empty[String]))
+      .toDF("id", "src")
+    val out = Sampling.temperatureMix(withNull, col("src"), col("id"), alpha = 0.5)
+    // null stratum is the min (n=1) → rate 1.0 → its row survives
+    assert(out.filter(col("src").isNull).count() === 1L)
+  }
 }

@@ -229,6 +229,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(stateRows <= 2L)
   }
 
+  test("stream-static enrichment: broadcast join per micro-batch, unmatched rows kept") {
+    val dir = tempDir("stream-enrich")
+    val in = s"$dir/in"
+    Seq((1L, "click"), (2L, "view"), (3L, "zzz"))
+      .toDF("event_id", "event_type").coalesce(1).write.parquet(in)
+    val dim = Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight")
+
+    val schema = spark.read.parquet(in).schema
+    val q = EventStreams.enrichStream(
+        spark.readStream.schema(schema).parquet(in), dim, Seq("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.table("enrich_out").collect()
+      .map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    assert(out === Map(1L -> Some(1.0), 2L -> Some(0.5), 3L -> None))
+    // no state store involved: stream-static joins are stateless
+    assert(q.recentProgress.flatMap(_.stateOperators).isEmpty)
+  }
+
   test("intervalJoin on batch frames equals the plain time-bounded join") {
     val views = Seq((1L, new java.sql.Timestamp(3600000L))).toDF("user_id", "view_ts")
     val purch = Seq((1L, new java.sql.Timestamp(5400000L), 4.0),
