@@ -138,7 +138,44 @@ object Ext3Queries {
     "q86_temperature_mix" -> ((s, dir) =>
       graft.operators.Sampling.temperatureMix(
         t(s, dir, "documents"), col("lang"), col("doc_id"), alpha = 0.5)
-        .select(col("doc_id"), col("lang"))))
+        .select(col("doc_id"), col("lang"))),
+
+    // Co-located bucketed join: both sides written bucketed by the join
+    // key (the pay-once layout for 100 TB fact⋈fact joins), joined with
+    // broadcast disabled so the bucket contract — join WITHOUT a shuffle
+    // exchange — is what actually executes; shuffle-freedom of the join
+    // is plan-asserted in LayoutSpec, result equality here.
+    "q87_bucketed_join" -> ((s, dir) => {
+      import graft.operators.Layout
+      // the in-memory catalog forgets managed tables across JVMs but their
+      // warehouse directories survive and block saveAsTable — drop both
+      Seq("graft_q87_li", "graft_q87_ord").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        graft.util.Fs.deleteRecursively(
+          s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + tbl,
+          s.sparkContext.hadoopConfiguration)
+      }
+      Layout.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_q87_li", "l_orderkey", numBuckets = 8)
+      Layout.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_q87_ord", "o_orderkey", numBuckets = 8)
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = s.conf.get(key)
+      s.conf.set(key, "-1")
+      try {
+        val j = Layout.table(s, "graft_q87_li")
+          .join(Layout.table(s, "graft_q87_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(round(sum("l_quantity"), 4).as("total_qty"),
+            count(lit(1)).as("n_items"))
+        j.persist() // materialize under the no-broadcast conf
+        j.count()
+        j
+      } finally s.conf.set(key, saved)
+    }))
 
   /** Shared tokenizer twin: non-empty whitespace tokens of lower(trim(text)),
     * exactly [[graft.operators.TermWeighting]]'s `termsOf`. */
@@ -322,5 +359,11 @@ object Ext3Queries {
          r AS (SELECT lang, power(CAST(nmin AS DOUBLE) / n, 0.5) AS rate FROM c, m)
          SELECT doc_id, lang FROM documents JOIN r USING (lang)
          WHERE (('0x'||substr(md5('graft|'||doc_id),1,8))::BIGINT % 1000000)
-               / 1000000.0 < rate""")
+               / 1000000.0 < rate""",
+
+    "q87_bucketed_join" ->
+      """SELECT o_orderstatus, round(sum(l_quantity), 4) AS total_qty,
+                count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""")
 }
