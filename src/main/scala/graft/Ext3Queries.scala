@@ -140,6 +140,17 @@ object Ext3Queries {
         t(s, dir, "documents"), col("lang"), col("doc_id"), alpha = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // EWMA trend smoothing over the hourly ingest-volume series. The
+    // oracle replays the identical float recurrence via a recursive CTE
+    // (same multiply order, (1.0-0.3) spelled as a subtraction in both
+    // engines), so parity is bit-exact, not merely rounded-close.
+    "q88_ewma" -> ((s, dir) => {
+      val b = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(round(sum("value"), 4).as("hourly_value"))
+      TimeSeries.ewma(b, "event_type", "bucket", "hourly_value", alpha = 0.3)
+    }),
+
     // Co-located bucketed join: both sides written bucketed by the join
     // key (the pay-once layout for 100 TB fact⋈fact joins), joined with
     // broadcast disabled so the bucket contract — join WITHOUT a shuffle
@@ -365,5 +376,24 @@ object Ext3Queries {
       """SELECT o_orderstatus, round(sum(l_quantity), 4) AS total_qty,
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY o_orderstatus""")
+         GROUP BY o_orderstatus""",
+
+    "q88_ewma" ->
+      """WITH RECURSIVE b AS (
+           SELECT event_type, date_trunc('hour', ts) AS bucket,
+                  round(sum(value), 4) AS x
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, bucket, x,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY bucket) AS i
+                 FROM b),
+         rec(event_type, i, bucket, x, e) AS (
+           SELECT event_type, i, bucket, x, x FROM idx WHERE i = 1
+           UNION ALL
+           SELECT idx.event_type, idx.i, idx.bucket, idx.x,
+                  0.3 * idx.x + (1.0 - 0.3) * rec.e
+           FROM rec JOIN idx ON idx.event_type = rec.event_type
+                            AND idx.i = rec.i + 1)
+         SELECT event_type, bucket, x AS hourly_value, round(e, 4) AS ewma
+         FROM rec""")
 }

@@ -72,4 +72,47 @@ object TimeSeries {
         last(col("bucket_value"), ignoreNulls = true).over(fill)
           .as("value_ffill"))
   }
+
+  /** Exponentially-weighted moving average over per-key bucketed series —
+    * trend smoothing for drift monitoring (data-quality dashboards over
+    * ingest volume, loss-curve-style signals over time-bucketed corpora).
+    *
+    * Input is an already-bucketed frame `(key, t, x)` (e.g. [[resample]]'s
+    * rounded bucket sums): the recurrence `e_0 = x_0`,
+    * `e_i = alpha·x_i + (1-alpha)·e_{i-1}` is inherently sequential, so it
+    * runs as ONE codegen'd `aggregate` fold over each key's collected
+    * series — per-key state is the series itself, which is bucket-scale
+    * (a year of hours = 8.8k elements), never event-scale. Do NOT point
+    * this at raw events; bucket first (that pass is the data-sized one and
+    * it map-side combines).
+    *
+    * Output: `(key, t, x, ewma)`, `ewma` rounded to 4. Ordering inside a
+    * key is by `t` via `sort_array` on the collected structs — `t` must be
+    * unique per key (true for any `date_trunc` bucketing). */
+  def ewma(bucketed: DataFrame, keyCol: String, tCol: String, xCol: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val series = bucketed
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tCol).as("t"), col(xCol).as("x"))))
+        .as("__series"))
+    // fold: acc is the array of smoothed points built so far; the lambda
+    // reads acc's last element — O(n^2) array copying per key, fine at
+    // bucket scale (documented above)
+    val folded = series.withColumn("__ewma",
+      aggregate(
+        col("__series"),
+        expr("CAST(array() AS ARRAY<STRUCT<t: TIMESTAMP, x: DOUBLE, ewma: DOUBLE>>)"),
+        (acc, e) => {
+          val prev = element_at(acc, -1)("ewma")
+          val smoothed = when(size(acc) === 0, e("x"))
+            .otherwise(lit(alpha) * e("x") + lit(1.0 - alpha) * prev)
+          concat(acc, array(struct(e("t").as("t"), e("x").as("x"),
+            smoothed.as("ewma"))))
+        }))
+    folded
+      .select(col(keyCol), explode(col("__ewma")).as("__e"))
+      .select(col(keyCol), col("__e.t").as(tCol), col("__e.x").as(xCol),
+        round(col("__e.ewma"), 4).as("ewma"))
+  }
 }

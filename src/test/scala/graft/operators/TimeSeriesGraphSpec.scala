@@ -55,6 +55,23 @@ class TimeSeriesGraphSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).getDouble(4) === 5.0)
   }
 
+  test("ewma: hand-computed recurrence, per-key independence, alpha=1 identity") {
+    val series = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 10.0),
+      ("a", ts("2024-01-01 01:00:00"), 20.0),
+      ("a", ts("2024-01-01 02:00:00"), 10.0),
+      ("b", ts("2024-01-01 00:00:00"), 5.0)
+    ).toDF("k", "t", "x")
+    val out = TimeSeries.ewma(series, "k", "t", "x", alpha = 0.5)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+    // a: 10 → .5*20+.5*10=15 → .5*10+.5*15=12.5 ; b seeds fresh at 5
+    assert(out === Array(("a", 10.0), ("a", 15.0), ("a", 12.5), ("b", 5.0)))
+    val id = TimeSeries.ewma(series, "k", "t", "x", alpha = 1.0)
+      .orderBy("k", "t").collect().map(_.getDouble(3))
+    assert(id === Array(10.0, 20.0, 10.0, 5.0)) // alpha=1 tracks the input
+  }
+
   test("connectedComponents: min labels, isolated vertices, direction-blind") {
     val vertices = (1L to 7L).toDF("id")
     // components {1,2,3}, {4,5} (edge given dst<src), isolated {6}, {7}
