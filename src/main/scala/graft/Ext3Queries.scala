@@ -140,6 +140,37 @@ object Ext3Queries {
         t(s, dir, "documents"), col("lang"), col("doc_id"), alpha = 0.5)
         .select(col("doc_id"), col("lang"))),
 
+    // In-engine weak-label classifier: train hashed-feature logistic
+    // regression to reproduce a substance gate (n_chars >= 300 — the kind
+    // of length heuristic real curation uses) from raw tokens only, then
+    // score every doc. Rows-only (gradient sums are float-order dependent,
+    // no SQL oracle); learnability and the shuffle-free score plan are
+    // pinned in QualityClassifierSpec, and the smoke gate below asserts
+    // the learned scores actually track the label on this corpus.
+    "q89_quality_classifier" -> ((s, dir) => {
+      import graft.operators.QualityClassifier
+      val docs = t(s, dir, "documents")
+      val label = col("n_chars") >= 300
+      // dense channel: scaled whitespace-token count, computed from raw
+      // text (the model never sees n_chars — it re-derives the gate)
+      val tokCount = Seq(
+        size(split(trim(col("text")), "\\s+")).cast("double") / 10.0)
+      val feats = QualityClassifier
+        .hashFeatures(docs, label, dim = 256, denseExprs = tokCount).persist()
+      val model = QualityClassifier.train(feats, dim = 256, denseDims = 2,
+        epochs = 6, learningRate = 1.0)
+      feats.unpersist()
+      val scored = QualityClassifier.score(docs, model, denseExprs = tokCount)
+        .select(col("doc_id"), col("n_chars"), col("quality_score"))
+      // self-check: weak-label agreement must clear 85% or the query
+      // fails loudly rather than shipping an untrained model
+      val acc = scored
+        .agg(avg(((col("quality_score") >= 0.5) === label).cast("double")))
+        .head().getDouble(0)
+      require(acc >= 0.85, f"classifier under-trained: accuracy $acc%.3f")
+      scored
+    }),
+
     // EWMA trend smoothing over the hourly ingest-volume series. The
     // oracle replays the identical float recurrence via a recursive CTE
     // (same multiply order, (1.0-0.3) spelled as a subtraction in both

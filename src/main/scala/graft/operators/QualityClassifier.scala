@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Hashed-feature logistic regression trained inside the engine —
+  * fasttext-style quality/domain classification, the standard curation
+  * move when heuristic gates (TextAnalysis) run out: train on cheap weak
+  * labels (a known-good corpus vs a known-bad one), score everything.
+  *
+  * The model is sparse + dense, like production quality classifiers:
+  * hashed bag-of-tokens weights (which tokens) plus a dense channel
+  * (by default `ln(1 + n_tokens)` — a length prior; callers add more via
+  * `denseExprs`) plus an intercept. The dense channel matters: a signal
+  * like document length is spread thin across every hashed bucket (sum
+  * pooling ≈ count × mean weight) and full-batch GD takes forever to
+  * assemble it from 4096 directions, but learns it in a few epochs as one
+  * dense weight. The intercept matters too: with purely additive token
+  * evidence every margin has the same sign and no origin-crossing
+  * boundary exists.
+  *
+  * Spark-first shapes, no MLlib dependency:
+  *
+  *  - Features: one projection → `(id, features array<int>,
+  *    dense array<double>, label)`; bounded width regardless of
+  *    vocabulary, no shuffle.
+  *  - Training: full-batch gradient descent, ONE distributed pass per
+  *    epoch: residuals `sigma(margin) − y` per doc (codegen'd `aggregate`
+  *    fold against the broadcast weights), then one exploded
+  *    `(index, value)` aggregation carrying sparse counts, dense values
+  *    and the bias row together — map-side combined, `dim`-bounded
+  *    output, one `dim`-sized collect to the driver per epoch. Weights
+  *    stay driver-side; data never moves.
+  *  - Scoring: pure projection against the broadcast model — NO shuffle;
+  *    scoring 100 TB is one codegen'd scan.
+  *
+  * Gradient sums are floating-point and partition-order dependent, so
+  * trained weights are deterministic only up to float reordering — no SQL
+  * oracle can exist; QualityClassifierSpec pins learnability (separable
+  * corpora ≥95% training accuracy) and the shuffle-free score plan, and
+  * the declared query (q89) gates on weak-label agreement at run time.
+  */
+object QualityClassifier {
+
+  /** Trained model: sparse hashed-token weights, dense-channel weights +
+    * the per-dim dense means they were centered on (all-positive dense
+    * features with small contrast make plain GD zigzag in the
+    * (weight, bias) plane; centering removes the coupling), intercept. */
+  final case class Model(weights: Array[Double], dense: Array[Double],
+                         denseMean: Array[Double], bias: Double)
+
+  private def sparseFeats(textCol: Column, dim: Int): Column =
+    transform(
+      filter(tokens(textCol), t => t =!= ""),
+      t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
+
+  private def denseFeats(featCol: Column, extra: Seq[Column]): Column =
+    array((log(lit(1.0) + size(featCol)) +: extra.map(_.cast("double"))): _*)
+
+  /** `(idCol, features array<int>, dense array<double>, label)` from raw
+    * text + a boolean/0-1 label expression. One projection, no shuffle;
+    * duplicate hashed indices are kept (a token occurring twice
+    * contributes twice — the hashed analogue of term frequency). */
+  def hashFeatures(docs: DataFrame, labelExpr: Column, dim: Int = 4096,
+                   denseExprs: Seq[Column] = Nil,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    // extra dense expressions are evaluated against the caller's frame
+    // (they may reference any of its columns), features against the text
+    val extras = denseExprs.zipWithIndex
+      .map { case (e, i) => e.cast("double").as(s"__graft_x$i") }
+    docs
+      .select(col(idCol) +: sparseFeats(col(textCol), dim).as("features") +:
+        labelExpr.cast("double").as("label") +: extras: _*)
+      .withColumn("dense", denseFeats(col("features"),
+        denseExprs.indices.map(i => col(s"__graft_x$i"))))
+      .drop(denseExprs.indices.map(i => s"__graft_x$i"): _*)
+  }
+
+  /** Margin of one row against broadcast weights: MEAN-pooled sparse fold
+    * (fasttext-style — bounded regardless of document length, which is
+    * what keeps full-batch steps stable; length itself belongs to the
+    * dense channel) + dense dot + bias (weights ride into the plan as
+    * literals). */
+  private def margin(featCol: Column, denseCol: Column, m: Model): Column = {
+    val sparse = aggregate(featCol, lit(0.0).cast("double"),
+      (acc, f) => acc + element_at(lit(m.weights), f + 1)) /
+      greatest(size(featCol), lit(1)).cast("double")
+    val dense = m.dense.zipWithIndex
+      .map { case (w, i) =>
+        lit(w) * (element_at(denseCol, i + 1) - lit(m.denseMean(i))) }
+      .foldLeft(lit(0.0).cast("double"))(_ + _)
+    sparse + dense + lit(m.bias)
+  }
+
+  private def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Full-batch GD on the logistic loss. `denseDims` must match the arity
+    * `hashFeatures` produced (1 + its `denseExprs` size). Cache `features`
+    * — training runs `epochs` passes over it. */
+  def train(features: DataFrame, dim: Int = 4096, denseDims: Int = 1,
+            epochs: Int = 20, learningRate: Double = 0.5): Model = {
+    require(epochs > 0, "epochs must be positive")
+    val n = features.count().toDouble
+    require(n > 0, "cannot train on an empty frame")
+    val mu = features
+      .select((0 until denseDims).map(k =>
+        avg(element_at(col("dense"), k + 1)).as(s"m$k")): _*)
+      .head()
+    val denseMean = Array.tabulate(denseDims)(mu.getDouble)
+    var m = Model(new Array[Double](dim), new Array[Double](denseDims),
+      denseMean, 0.0)
+    // gradient indices: 0..dim-1 sparse (each instance weighted 1/len to
+    // match the mean-pooled margin), -1 bias, -(k+2) dense dim k
+    val invLen = lit(1.0) / greatest(size(col("features")), lit(1)).cast("double")
+    val gradIndex = concat(
+      transform(col("features"), f => struct(f.as("i"), invLen.as("v"))),
+      array(struct(lit(-1).as("i"), lit(1.0).as("v"))),
+      transform(sequence(lit(0), lit(denseDims - 1)),
+        k => struct((-k - 2).as("i"),
+          (element_at(col("dense"), k + 1) -
+            element_at(lit(denseMean), k + 1)).as("v"))))
+    for (_ <- 1 to epochs) {
+      val grad = features
+        .select(gradIndex.as("__gi"),
+          (sigmoid(margin(col("features"), col("dense"), m)) - col("label"))
+            .as("__resid"))
+        .select(explode(col("__gi")).as("__e"), col("__resid"))
+        .groupBy(col("__e.i").as("__i"))
+        .agg(sum(col("__resid") * col("__e.v")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      def step(old: Double, idx: Int) =
+        old - learningRate * grad.getOrElse(idx, 0.0) / n
+      m = Model(
+        Array.tabulate(dim)(i => step(m.weights(i), i)),
+        Array.tabulate(denseDims)(k => step(m.dense(k), -k - 2)),
+        denseMean,
+        step(m.bias, -1))
+    }
+    m
+  }
+
+  /** Score `docs`: adds `quality_score` = P(label=1 | text). Pure
+    * projection — shuffle-free at any scale. Feature arrays are projected
+    * into their own columns BEFORE the fold consumes them (Spark does not
+    * CSE inside higher-order-function lambdas; folding directly over the
+    * transform expression re-tokenizes per element). `denseExprs` must be
+    * the same expressions used at `hashFeatures` time. */
+  def score(docs: DataFrame, model: Model, denseExprs: Seq[Column] = Nil,
+            textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__graft_feats", sparseFeats(col(textCol), model.weights.length))
+      .withColumn("__graft_dense", denseFeats(col("__graft_feats"), denseExprs))
+      .withColumn("quality_score",
+        round(sigmoid(margin(col("__graft_feats"), col("__graft_dense"), model)), 4))
+      .drop("__graft_feats", "__graft_dense")
+}

@@ -27,7 +27,8 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
   /** Queries with deliberately no SQL oracle (driver does a rows-only
     * check); each must have a behavior spec instead. */
   private val oracleless =
-    Set("q25_ann_topk", "q36_ivf_topk", "q42_approx_distinct", "q80_compressibility")
+    Set("q25_ann_topk", "q36_ivf_topk", "q42_approx_distinct",
+      "q80_compressibility", "q89_quality_classifier")
 
   test("q42 approx distinct is within 5% of exact") {
     val row = Queries.all("q42_approx_distinct")(spark, sfDir).head()

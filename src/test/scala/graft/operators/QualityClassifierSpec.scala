@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** No SQL oracle can exist (gradient sums are float-order dependent), so
+  * this spec is the correctness authority: separable corpora must be
+  * learned, scoring must be a shuffle-free projection, and the hashed
+  * feature space must be bounded. */
+class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies → linearly separable in hashed space
+  // (collisions across 8 tokens in dim 512 are possible but cannot make
+  // the classes inseparable unless a good token collides with a bad one;
+  // fixed vocab + fixed hash makes this deterministic — it either always
+  // works or never does, and it works)
+  private def corpus = (1L to 200L).map { i =>
+    if (i % 2 == 0) (i, "alpha beta gamma delta", 1)
+    else (i, "zork grum blart feeb", 0)
+  }.toDF("doc_id", "text", "is_good")
+
+  test("train learns separable corpora; score is calibrated to the classes") {
+    val feats = QualityClassifier.hashFeatures(corpus, col("is_good") === 1, dim = 512)
+      .persist()
+    val model = QualityClassifier.train(feats, dim = 512, epochs = 30, learningRate = 1.0)
+    feats.unpersist()
+    assert(model.weights.length === 512)
+
+    val scored = QualityClassifier.score(corpus, model)
+      .select(col("doc_id"), col("is_good"), col("quality_score")).collect()
+    val correct = scored.count { r =>
+      (r.getDouble(2) >= 0.5) == (r.getInt(1) == 1)
+    }
+    assert(correct >= 190, s"training accuracy ${correct / 200.0}") // ≥95%
+    // calibration direction: mean good score above mean bad score
+    val (good, bad) = scored.partition(_.getInt(1) == 1)
+    assert(good.map(_.getDouble(2)).sum / good.length >
+           bad.map(_.getDouble(2)).sum / bad.length + 0.5)
+  }
+
+  test("score is a shuffle-free projection") {
+    val model = QualityClassifier.Model(new Array[Double](64), Array(0.0), Array(0.0), 0.0)
+    val plan = QualityClassifier.score(corpus, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("dense channel learns a length gate the sparse buckets cannot") {
+    // identical vocabulary everywhere, label = long doc: only the dense
+    // ln(1+n_tokens) feature separates
+    val lenCorpus = (1L to 200L).map { i =>
+      val words = if (i % 2 == 0) 40 else 10
+      (i, Seq.fill(words)("tok").mkString(" "), if (i % 2 == 0) 1 else 0)
+    }.toDF("doc_id", "text", "is_good")
+    val feats = QualityClassifier
+      .hashFeatures(lenCorpus, col("is_good") === 1, dim = 128).persist()
+    val model = QualityClassifier.train(feats, dim = 128, epochs = 30,
+      learningRate = 1.0)
+    feats.unpersist()
+    val scored = QualityClassifier.score(lenCorpus, model).collect()
+    val correct = scored.count { r =>
+      (r.getAs[Double]("quality_score") >= 0.5) == (r.getInt(2) == 1)
+    }
+    assert(correct >= 190, s"length-gate accuracy ${correct / 200.0}")
+  }
+
+  test("hashFeatures bounds indices to dim and keeps duplicates") {
+    val one = Seq((1L, "x y x", 1)).toDF("doc_id", "text", "is_good")
+    val row = QualityClassifier.hashFeatures(one, col("is_good") === 1, dim = 7)
+      .head()
+    val feats = row.getSeq[Int](1)
+    assert(feats.length === 3) // duplicate token kept
+    assert(feats.forall(f => f >= 0 && f < 7))
+    assert(feats(0) === feats(2)) // same token, same bucket
+    assert(row.getDouble(2) === 1.0)
+  }
+}
