@@ -171,6 +171,14 @@ object Ext3Queries {
       scored
     }),
 
+    // Evaluate the heuristic quality score as a ranker for the substance
+    // gate: tie-aware AUC + precision/recall/F1 at 0.75 — the measurement
+    // half of the curation loop, integer-exact until single divisions.
+    "q90_eval_metrics" -> ((s, dir) =>
+      graft.operators.Evaluation.binaryMetrics(
+        graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents")),
+        col("quality_score"), col("n_chars") >= 300, threshold = 0.75)),
+
     // EWMA trend smoothing over the hourly ingest-volume series. The
     // oracle replays the identical float recurrence via a recursive CTE
     // (same multiply order, (1.0-0.3) spelled as a subtraction in both
@@ -408,6 +416,31 @@ object Ext3Queries {
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+
+    "q90_eval_metrics" ->
+      s"""WITH q AS (${ExtQueries.qualityOracle}),
+         r AS (SELECT quality_score AS s,
+                      CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y FROM q),
+         rk AS (SELECT s, y, rank() OVER (ORDER BY s) AS rk,
+                       count(*) OVER (PARTITION BY s) AS tc FROM r),
+         a AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                      CAST(sum(1 - y) AS BIGINT) AS n_neg,
+                      sum(CASE WHEN y = 1 THEN rk + (tc - 1) / 2.0 END) AS possum,
+                      CAST(sum(CASE WHEN s >= 0.75 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(sum(CASE WHEN s >= 0.75 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(sum(CASE WHEN s < 0.75 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+               FROM rk)
+         SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round((possum - n_pos * (n_pos + 1) / 2.0)
+                           / CAST(n_pos * n_neg AS DOUBLE), 4) END AS auc,
+           CASE WHEN tp + fp > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fp), 4) END AS precision,
+           CASE WHEN tp + fn > 0
+                THEN round(CAST(tp AS DOUBLE) / (tp + fn), 4) END AS recall,
+           CASE WHEN 2.0 * tp + fp + fn > 0
+                THEN round(2.0 * tp / (2.0 * tp + fp + fn), 4) END AS f1
+         FROM a""",
 
     "q88_ewma" ->
       """WITH RECURSIVE b AS (
