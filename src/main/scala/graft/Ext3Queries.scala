@@ -82,11 +82,15 @@ object Ext3Queries {
       import org.apache.spark.sql.streaming.Trigger
       val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-j").toString
       val name = "graft_q82_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val views = Tables.loadStream(s, dir, "events")
+      // ONE stream source, self-joined (both sides share the file listing
+      // and scan; Spark plans stream self-joins since 3.x) — two separate
+      // readStream instances measurably doubled the per-batch source cost
+      val events = Tables.loadStream(s, dir, "events")
+      val views = events
         .filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"),
           col("ts").as("view_ts"))
-      val purchases = Tables.loadStream(s, dir, "events")
+      val purchases = events
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts").as("purchase_ts"), round(col("value"), 4).as("purchase_value"))
