@@ -71,4 +71,24 @@ object Cdc {
       .filter(col(opCol).isNotNull)
       .select(col(opCol) +: out: _*)
   }
+
+  /** Apply a [[snapshotDiff]] change stream to a base snapshot — the
+    * consumer side, as one [[Merge]] (one full-outer shuffle): D deletes
+    * the matched row, I/U upsert the carried values. Round-trip invariant
+    * (spec-asserted): `applyDiff(old, snapshotDiff(old, new), keys) == new`
+    * — which is what makes the diff a faithful replication format. */
+  def applyDiff(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                opCol: String = "op"): DataFrame = {
+    val cols = base.columns.toSeq
+    Merge.merge(base, changes, keys,
+      matched = Seq(
+        Merge.MatchedDelete(Some(Merge.src(opCol) === "D")),
+        Merge.MatchedUpdate(cols.map(c => c -> Merge.src(c)).toMap)),
+      notMatched = Some(Merge.NotMatchedInsert(
+        condition = Some(Merge.src(opCol) =!= "D"),
+        values = cols.map(c => c -> Merge.src(c)).toMap)),
+      // sourcePriority is evaluated on the RAW change frame (pre-struct),
+      // so it uses the plain column, not Merge.src
+      sourcePriority = Seq(col(opCol)))
+  }
 }

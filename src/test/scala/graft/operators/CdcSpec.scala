@@ -45,6 +45,18 @@ class CdcSpec extends AnyFunSuite with SparkSpec {
     assert(out === Set(("D", 1L), ("I", 3L)))
   }
 
+  test("applyDiff round-trip: old + snapshotDiff(old,new) == new") {
+    val oldS = Seq((Option(1L), Option("a")), (Option(2L), Option("b")),
+      (Option(3L), Option("c")), (Option.empty[Long], Option("n"))).toDF("id", "v")
+    val newS = Seq((Option(1L), Option("a")), (Option(2L), Option.empty[String]),
+      (Option(4L), Option("d")), (Option.empty[Long], Option("N"))).toDF("id", "v")
+    val diff = Cdc.snapshotDiff(oldS, newS, Seq("id"))
+    val applied = Cdc.applyDiff(oldS, diff, Seq("id"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    val want = newS.collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(applied === want) // faithful replication incl. null key + null values
+  }
+
   test("snapshotDiff rejects mismatched schemas and op-column collisions") {
     val a = Seq((1L, "x")).toDF("id", "v")
     intercept[IllegalArgumentException] {
