@@ -194,6 +194,16 @@ object Ext3Queries {
       TimeSeries.ewma(b, "event_type", "bucket", "hourly_value", alpha = 0.3)
     }),
 
+    // Rolling median (width 5) over the hourly series — the outlier-robust
+    // twin of q88's EWMA; DuckDB has median() OVER natively, Spark side is
+    // collect_list + array_sort + middle selection.
+    "q91_rolling_median" -> ((s, dir) => {
+      val b = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(round(sum("value"), 4).as("hourly_value"))
+      TimeSeries.rollingMedian(b, "event_type", "bucket", "hourly_value", width = 5)
+    }),
+
     // Co-located bucketed join: both sides written bucketed by the join
     // key (the pay-once layout for 100 TB fact⋈fact joins), joined with
     // broadcast disabled so the bucket contract — join WITHOUT a shuffle
@@ -420,6 +430,17 @@ object Ext3Queries {
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus""",
+
+    "q91_rolling_median" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+                           round(sum(value), 4) AS hourly_value
+                    FROM events GROUP BY 1, 2)
+         SELECT event_type, bucket, hourly_value,
+                round(median(hourly_value) OVER
+                  (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+                  AS rolling_median
+         FROM b""",
 
     "q90_eval_metrics" ->
       s"""WITH q AS (${ExtQueries.qualityOracle}),

@@ -115,4 +115,31 @@ object TimeSeries {
       .select(col(keyCol), col("__e.t").as(tCol), col("__e.x").as(xCol),
         round(col("__e.ewma"), 4).as("ewma"))
   }
+
+  /** Exact rolling median over the trailing `width` buckets per key — the
+    * outlier-robust twin of [[ewma]] (one spiked bucket drags a mean or
+    * EWMA, not a median). Standard SQL has `median(...) OVER`, Spark does
+    * not: here it's `collect_list` over the rows-window, `array_sort`, and
+    * middle-element selection (avg of the two middles for even counts —
+    * matching the SQL median). Window state is `width` doubles per row —
+    * bounded by construction; the one shuffle is the per-key window sort,
+    * which any trailing-window statistic pays.
+    *
+    * Output: `(key, t, x, rolling_median)` rounded to 4; input must be
+    * null-free in `x` (bucketed aggregates are — SQL `median` skips nulls
+    * where this would sort them, so parity requires none). */
+  def rollingMedian(bucketed: DataFrame, keyCol: String, tCol: String,
+                    xCol: String, width: Int = 5): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tCol))
+      .rowsBetween(-(width - 1), Window.currentRow)
+    val sorted = array_sort(collect_list(col(xCol)).over(w))
+    val n = size(sorted)
+    // Column `/` is double division — truncate back to int indices
+    // ((5+1)/2, 5/2+1) -> (3,3); ((4+1)/2, 4/2+1) -> (2,3)
+    val mid = (element_at(sorted, ((n + 1) / 2).cast("int")) +
+      element_at(sorted, (n / 2 + 1).cast("int"))) / 2.0
+    bucketed.select(col(keyCol), col(tCol), col(xCol),
+      round(mid, 4).as("rolling_median"))
+  }
 }

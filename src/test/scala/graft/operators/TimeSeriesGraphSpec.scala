@@ -72,6 +72,20 @@ class TimeSeriesGraphSpec extends AnyFunSuite with SparkSpec {
     assert(id === Array(10.0, 20.0, 10.0, 5.0)) // alpha=1 tracks the input
   }
 
+  test("rollingMedian: odd/even window middles, spike robustness, per-key") {
+    val series = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 01:00:00"), 3.0),   // even window {1,3} → 2.0
+      ("a", ts("2024-01-01 02:00:00"), 100.0), // spike; {1,3,100} → 3.0
+      ("a", ts("2024-01-01 03:00:00"), 5.0),   // {1,3,5,100} → 4.0
+      ("b", ts("2024-01-01 00:00:00"), 7.0)
+    ).toDF("k", "t", "x")
+    val out = TimeSeries.rollingMedian(series, "k", "t", "x", width = 3)
+      .orderBy("k", "t").collect().map(r => (r.getString(0), r.getDouble(3)))
+    // width 3: windows {1},{1,3},{1,3,100},{3,100,5},{b:7}
+    assert(out === Array(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 5.0), ("b", 7.0)))
+  }
+
   test("connectedComponents: min labels, isolated vertices, direction-blind") {
     val vertices = (1L to 7L).toDF("id")
     // components {1,2,3}, {4,5} (edge given dst<src), isolated {6}, {7}
