@@ -42,9 +42,21 @@ object ExtQueries {
   private val K = 12 // minhash functions
   private val BANDS = 4
 
+  /** Twin of [[TextDedup.minhashSignatures]]'s multiply-XOR hashing: one
+    * md5 per shingle split into four 28-bit chunks, h_j = XORᵢ c_{j,i}·vᵢ
+    * with the same [[TextDedup.mixConst]] constants — every product
+    * < 2^57, exact BIGINT arithmetic in both engines. */
   private def minhashSigSql: String = {
-    val mins = (0 until K).map(j => s"min(md5('$j|'||s)) AS mh$j").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    val chunks = (0 until 4).map(i =>
+      s"('0x'||substr(md5(s),${1 + 7 * i},7))::BIGINT AS v$i").mkString(", ")
+    val mins = (0 until K).map { j =>
+      val h = (0 until 4)
+        .map(i => s"((${TextDedup.mixConst(j, i)}*v$i >> 14) & 536870911)")
+        .reduce((a, b) => s"xor($a, $b)")
+      s"min($h) AS mh$j"
+    }.mkString(", ")
+    s"""shh AS (SELECT doc_id, $chunks FROM sh),
+        sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)"""
   }
 
   private def bandSql: String = {

