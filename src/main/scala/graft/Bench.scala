@@ -4,20 +4,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Prints ONE JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
-  * where `queries` carries the per-query MEDIAN of `SPARK_GRAFT_BENCH_RUNS`
-  * (default 3) timed passes and `value` is the sum of medians.
+  * where `queries` carries the per-query MEDIAN of the timed passes and
+  * `value` is the sum of medians.
   *
   * Methodology (round-3 lesson: min-of-2 could not tell a 47% regression
-  * from VM noise):
-  *  - median-of-N headline — robust to one noisy pass in either direction;
-  *  - `queries_min` / `queries_spread` (max−min) published alongside, so a
+  * from VM noise; round-6 lesson: median-of-3 with a cold first pass
+  * couldn't either — 10s spreads on 4s medians):
+  *  - WARM protocol: every query runs ONE untimed warm-up pass before the
+  *    timed passes. The warm-up absorbs first-run codegen/JIT/FS-metadata
+  *    cost and any pay-once build the query owns (ANN index, bucketed
+  *    layout); its duration is still published as `queries_cold`.
+  *  - median of `SPARK_GRAFT_BENCH_RUNS` (default 3) timed passes; if the
+  *    spread (max−min) still exceeds the median, extra passes run up to
+  *    `SPARK_GRAFT_BENCH_MAX_RUNS` (default 7) total — variance has to be
+  *    beaten by evidence, not hoped away.
+  *  - `queries_min` / `queries_spread` published alongside, so a
   *    cross-round delta can be judged against the measured same-run spread:
   *    a delta inside the spread is noise, not a regression;
-  *  - ANN index build is timed SEPARATELY (`ann_build`): the persisted index
-  *    store is wiped first, one untimed-for-the-headline build pass runs,
-  *    and the timed passes measure the steady-state probe — "build once,
-  *    query many" measured as such, instead of the build landing in
-  *    whichever pass ran first.
+  *  - pay-once builds are reported SEPARATELY (`ann_build`: the persisted
+  *    index store is wiped, so the warm-up pass IS the build;
+  *    `layout_build`: q87's bucketed-table write, same treatment) —
+  *    "build once, query many" measured as such.
+  * The DuckDB side of the comparison is persisted by
+  * `tools/bench_duckdb.py` to `target/bench_duckdb.json` — committed per
+  * round so the spark-vs-duck ratio is an artifact, not a one-window claim.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -73,29 +83,38 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(f => SparkEntry.queries.filter(q => f(q._1)))
 
-    // ANN queries persist their index; wipe the store and time the first
-    // (building) pass explicitly, so the later timed passes are pure probes.
-    // Honors the focus filter — a focused non-ANN run must not wipe (and
-    // rebuild) the persisted indexes it never measures.
+    // ANN queries persist their index; wipe the store so their warm-up
+    // pass is the (separately reported) build and the timed passes are
+    // pure probes. Honors the focus filter — a focused non-ANN run must
+    // not wipe (and rebuild) the persisted indexes it never measures.
     val annQueries = Seq("q25_ann_topk", "q36_ivf_topk")
       .filter(selected.contains)
     if (annQueries.nonEmpty)
       graft.util.Fs.deleteRecursively(
         s"${sys.props("java.io.tmpdir")}/graft-index",
         spark.sparkContext.hadoopConfiguration)
-    val annBuild = annQueries.map { name =>
-      name -> timeOnce(name, SparkEntry.queries(name))
-    }.toMap
+    // q87 builds its bucketed tables on first call per JVM — its warm-up
+    // pass is the layout build, its timed passes the co-located join.
+    val layoutQueries = Seq("q87_bucketed_join").filter(selected.contains)
 
-    final case class Timing(median: Double, min: Double, spread: Double)
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "7").toInt
+    final case class Timing(median: Double, min: Double, spread: Double,
+                            cold: Double)
+    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val results = selected.map { case (name, fn) =>
-      val passes = Seq.fill(runs)(timeOnce(name, fn))
-      name -> (if (passes.exists(_ < 0)) Timing(-1.0, -1.0, -1.0)
-               else {
-                 val s = passes.sorted
-                 Timing(s(s.length / 2), s.head, s.last - s.head)
-               })
+      val cold = timeOnce(name, fn) // warm-up: untimed for the median
+      var passes = Seq.fill(runs)(timeOnce(name, fn))
+      // adaptive: buy down variance with evidence, bounded by maxRuns
+      while (passes.forall(_ >= 0) && passes.length < maxRuns &&
+             (passes.max - passes.min) > med(passes))
+        passes :+= timeOnce(name, fn)
+      name -> (if (cold < 0 || passes.exists(_ < 0))
+                 Timing(-1.0, -1.0, -1.0, -1.0)
+               else
+                 Timing(med(passes), passes.min, passes.max - passes.min, cold))
     }
+    val annBuild = annQueries.map(n => n -> results(n).cold).toMap
+    val layoutBuild = layoutQueries.map(n => n -> results(n).cold).toMap
 
     val calEnd = calibrate()
 
@@ -109,7 +128,9 @@ object Bench {
       s""","queries":${jsonMap(results.map { case (k, t) => k -> t.median })}""" +
       s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
       s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
+      s""","queries_cold":${jsonMap(results.map { case (k, t) => k -> t.cold })}""" +
       s""","ann_build":${jsonMap(annBuild)}""" +
+      s""","layout_build":${jsonMap(layoutBuild)}""" +
       s""","calibration_start":${num(calStart)},"calibration_end":${num(calEnd)}""" +
       s""","runs":$runs,"sf":"$sfDir"}"""
     println(json)

@@ -1,10 +1,16 @@
 #!/usr/bin/env python3
-"""Time each oracle SQL in DuckDB over the sf-dir tables — a single-node
-throughput reference to sanity-check the Spark bench numbers against.
+"""Time each oracle SQL in DuckDB over the sf-dir tables — the single-node
+throughput reference the Spark bench is compared against — and PERSIST the
+comparison to target/bench_duckdb.json so the spark-vs-duck ratio is a
+committed artifact, not a one-window claim.
 
-    python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [sparkBenchJson]
+    python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [sparkBenchJson] [runs]
+
+Protocol mirrors graft.Bench: one untimed warm-up pass per query, then
+`runs` (default 3) timed passes; median reported, min/spread alongside.
 """
 import json
+import os
 import sys
 import time
 
@@ -14,34 +20,57 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir, spark_json=None):
+def main(sf_dir, out_dir, spark_json=None, runs="3"):
+    runs = int(runs)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
-    spark_times = {}
+    spark = {}
     if spark_json:
-        spark_times = json.load(open(spark_json)).get("queries", {})
-    total = 0.0
-    rows = []
+        spark = json.load(open(spark_json))
+    spark_times = spark.get("queries", {})
+    report = {"sf": sf_dir, "runs": runs, "queries": {}}
     for name, sql in sorted(oracle_sql.items()):
-        t0 = time.time()
         try:
-            con.sql(sql).fetchall()
-            dt = time.time() - t0
-            total += dt
-            rows.append((name, dt, spark_times.get(name)))
+            con.sql(sql).fetchall()  # warm-up, untimed (mirrors Bench)
+            ts = []
+            for _ in range(runs):
+                t0 = time.time()
+                con.sql(sql).fetchall()
+                ts.append(time.time() - t0)
+            ts.sort()
+            entry = {"median": round(ts[len(ts) // 2], 4),
+                     "min": round(ts[0], 4),
+                     "spread": round(ts[-1] - ts[0], 4)}
         except Exception as e:
-            rows.append((name, None, spark_times.get(name)))
             print(f"{name}: DUCKDB ERROR {e}")
-    for name, dt, st in rows:
-        ratio = f"  spark/duck={st/dt:5.1f}x" if (dt and st) else ""
-        print(f"{name:28s} duckdb={dt:7.3f}s" +
-              (f" spark={st:7.3f}s{ratio}" if st else ""))
-    print(f"\nDuckDB total: {total:.1f}s")
+            entry = {"median": None, "min": None, "spread": None,
+                     "error": str(e)[:200]}
+        st = spark_times.get(name)
+        if st is not None:
+            entry["spark"] = st
+            if entry["median"]:
+                entry["ratio"] = round(st / entry["median"], 2)
+        report["queries"][name] = entry
+    duck_total = sum(q["median"] for q in report["queries"].values()
+                     if q["median"])
+    report["duckdb_total"] = round(duck_total, 2)
     if spark_times:
-        print(f"Spark total:  {sum(spark_times.values()):.1f}s")
+        report["spark_total"] = round(sum(spark_times.values()), 2)
+    for name, q in report["queries"].items():
+        ratio = f"  spark/duck={q['ratio']:5.1f}x" if q.get("ratio") else ""
+        st = f" spark={q['spark']:7.3f}s" if q.get("spark") is not None else ""
+        dt = f"{q['median']:7.3f}" if q["median"] is not None else "  ERROR"
+        print(f"{name:28s} duckdb={dt}s{st}{ratio}")
+    print(f"\nDuckDB total: {duck_total:.1f}s")
+    if spark_times:
+        print(f"Spark total:  {report['spark_total']:.1f}s")
+    os.makedirs("target", exist_ok=True)
+    with open("target/bench_duckdb.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print("wrote target/bench_duckdb.json")
 
 
 if __name__ == "__main__":
