@@ -104,7 +104,10 @@ object Ext3Queries {
           .trigger(Trigger.AvailableNow())
           .start()
       }
-      q.awaitTermination(300000)
+      // a timeout must fail LOUDLY: returning the half-filled memory table
+      // would surface as a baffling oracle hash diff instead of the cause
+      require(q.awaitTermination(300000),
+        "q82 stream did not terminate within 300s")
       s.table(name)
     }),
 
@@ -403,13 +406,13 @@ object Ext3Queries {
                 round(2.0 * (
                   CASE WHEN target_cnt > 0
                        THEN target_cnt * ln(target_cnt /
-                            (CAST((target_cnt + rest_cnt) * ta AS DOUBLE) / (ta + tb)))
+                            (CAST(target_cnt + rest_cnt AS DOUBLE) * ta / (ta + tb)))
                        ELSE 0.0 END +
                   CASE WHEN rest_cnt > 0
                        THEN rest_cnt * ln(rest_cnt /
-                            (CAST((target_cnt + rest_cnt) * tb AS DOUBLE) / (ta + tb)))
+                            (CAST(target_cnt + rest_cnt AS DOUBLE) * tb / (ta + tb)))
                        ELSE 0.0 END), 4) AS g2,
-                (target_cnt * tb > rest_cnt * ta) AS overused
+                (CAST(target_cnt AS DOUBLE) * tb > CAST(rest_cnt AS DOUBLE) * ta) AS overused
          FROM counts, totals
          ORDER BY g2 DESC, term LIMIT 40""",
 

@@ -181,7 +181,8 @@ object ExtQueries {
           .trigger(Trigger.AvailableNow())
           .start()
       }
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000),
+        "q35 stream did not terminate within 300s")
       s.table(name)
     }),
 
@@ -205,7 +206,8 @@ object ExtQueries {
           .trigger(Trigger.AvailableNow())
           .start()
       }
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000),
+        "q72 stream did not terminate within 300s")
       s.table(name)
     }),
 

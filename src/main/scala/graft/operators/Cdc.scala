@@ -28,10 +28,27 @@ object Cdc {
     * join), "U" (present in both, any non-key column differs null-safely).
     * Unchanged keys emit nothing. Snapshots must share a schema; keys are
     * matched null-safely (`<=>`), so a null-keyed row diffs against its
-    * null-keyed counterpart instead of always re-inserting. */
+    * null-keyed counterpart instead of always re-inserting.
+    *
+    * PRECONDITION: each snapshot is key-UNIQUE. A duplicated key would fan
+    * out through the full-outer join into contradictory change rows, and
+    * a downstream [[Merge]] would then pick one arbitrarily — wrong data
+    * with no error. `checkUniqueKeys` (default on) spends one counting
+    * aggregation per side to fail loudly instead; disable it only when
+    * the snapshots come from a source that already enforces the key. */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
-                   opCol: String = "op"): DataFrame = {
+                   opCol: String = "op",
+                   checkUniqueKeys: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff requires at least one key column")
+    if (checkUniqueKeys)
+      Seq("old" -> oldSnap, "new" -> newSnap).foreach { case (side, df) =>
+        val dup = df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        require(dup.isEmpty,
+          s"snapshotDiff: duplicate key(s) in the $side snapshot (keys=" +
+            s"${keys.mkString(",")}) — the diff would emit contradictory " +
+            "change rows; dedup first or pass checkUniqueKeys=false")
+      }
     val cols = newSnap.columns.toSeq
     require(oldSnap.columns.toSeq == cols,
       s"snapshot schemas must match: old=${oldSnap.columns.mkString(",")} " +

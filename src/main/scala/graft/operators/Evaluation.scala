@@ -9,19 +9,25 @@ import org.apache.spark.sql.functions._
   * produce scores; this grades them against a reference label without
   * collecting anything to the driver).
   *
-  * AUC is the tie-aware Mann–Whitney rank-sum: rank every row by score
-  * once (ONE global sort — the only exchange; ties get their average
-  * rank via a per-score-value count), then
+  * AUC is the tie-aware Mann–Whitney rank-sum, computed WITHOUT ranking
+  * rows: rows first collapse to one aggregate per DISTINCT SCORE VALUE
+  * (a hash aggregation — fully distributed), then a cumulative-count
+  * window over that per-score frame yields each score's average rank
+  * (`rows_below + (cnt+1)/2`), and
   * `AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺ n⁻)`. Threshold metrics
   * (precision/recall/F1) are exact integer counts divided once. Every
-  * arithmetic step is integer-exact until a single final division, so a
-  * SQL oracle reproduces the numbers bit for bit.
+  * arithmetic step is integer-exact (or an exact IEEE half) until a
+  * single final division, so a SQL oracle reproduces the numbers bit
+  * for bit.
   *
-  * Scale note: rank() needs a total order over all scored rows — at
-  * 100 TB that's a range-partitioned sort, the same cost class as any
-  * global ORDER BY. For monitoring at that scale, evaluate on a
-  * [[Sampling.hashSample]] of the corpus (deterministic, so the metric is
-  * reproducible run to run).
+  * Scale note: the unpartitioned cumulative window runs in a SINGLE task
+  * over the per-score aggregate — fine when the score domain is bounded
+  * (quantized/calibrated scores, the common case), NOT when scores are
+  * continuous and distinct per row. At corpus scale either quantize the
+  * score (round to a fixed precision) or evaluate on a
+  * [[Sampling.hashSample]] of the corpus (deterministic, so the metric
+  * is reproducible run to run); the data-sized work — the per-score
+  * aggregation and the threshold counts — is distributed either way.
   */
 object Evaluation {
 
@@ -34,20 +40,27 @@ object Evaluation {
                     threshold: Double): DataFrame = {
     val base = scored.select(scoreCol.as("__s"),
       labelExpr.cast("int").as("__y"))
-    val ranked = base
-      .withColumn("__rk", rank().over(Window.orderBy(col("__s"))))
-      .withColumn("__tc", count(lit(1)).over(Window.partitionBy(col("__s"))))
+    // distributed reduction first: one row per distinct score value
+    val perScore = base.groupBy(col("__s")).agg(
+      count(lit(1)).as("__cnt"),
+      sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__pos"),
+      sum(when(col("__y") =!= 1, 1L).otherwise(0L)).as("__neg"))
+    // single-task window ONLY over the per-score frame (see scale note):
+    // avg rank of a tie group = rows strictly below + (cnt+1)/2
+    val below = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perScore
+      .withColumn("__below", coalesce(sum(col("__cnt")).over(below), lit(0L)))
       .withColumn("__avgrk",
-        col("__rk") + (col("__tc") - lit(1)) / lit(2.0))
-    val pos = col("__y") === 1
+        col("__below") + (col("__cnt") + lit(1)) / lit(2.0))
     val pred = col("__s") >= threshold
     val agg = ranked.agg(
-      sum(when(pos, 1L).otherwise(0L)).as("n_pos"),
-      sum(when(!pos, 1L).otherwise(0L)).as("n_neg"),
-      sum(when(pos, col("__avgrk"))).as("__possum"),
-      sum(when(pred && pos, 1L).otherwise(0L)).as("__tp"),
-      sum(when(pred && !pos, 1L).otherwise(0L)).as("__fp"),
-      sum(when(!pred && pos, 1L).otherwise(0L)).as("__fn"))
+      sum(col("__pos")).as("n_pos"),
+      sum(col("__neg")).as("n_neg"),
+      sum(col("__pos") * col("__avgrk")).as("__possum"),
+      sum(when(pred, col("__pos")).otherwise(0L)).as("__tp"),
+      sum(when(pred, col("__neg")).otherwise(0L)).as("__fp"),
+      sum(when(!pred, col("__pos")).otherwise(0L)).as("__fn"))
     val tp = col("__tp"); val fp = col("__fp"); val fn = col("__fn")
     val nPos = col("n_pos"); val nNeg = col("n_neg")
     // guards make degenerate metrics NULL in BOTH engines (a bare double

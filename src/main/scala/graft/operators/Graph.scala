@@ -72,7 +72,13 @@ object Graph {
     *
     * Fixed `iterations` of the standard power method with dangling-mass
     * redistribution: `r' = (1-d)/N + d·(Σ_in r/outdeg + dangling/N)`.
-    * Ranks sum to 1 every round (spec-asserted). Per round: one join of
+    * Ranks sum to 1 every round (spec-asserted) — an invariant that
+    * REQUIRES edges ⊆ V×V: an edge whose endpoint is missing from
+    * `vertices` would silently drop its contribution in the join and
+    * deflate total rank. A malformed crawl edge list is the norm, not the
+    * exception, so endpoints are validated by default (one-time anti-join
+    * before the loop; pass `validateEdges = false` for pre-cleaned
+    * graphs). Per round: one join of
     * the edge list with current ranks + one hash aggregation — the same
     * |E|+|V| shuffle bound, plan depth bounded by `localCheckpoint` every
     * 4 rounds like [[connectedComponents]]. A fixed iteration count (not a
@@ -83,7 +89,8 @@ object Graph {
     * (PageRankSpec pins hand-computed ranks + the invariants instead).
     * Output: `(id, rank)`. */
   def pagerank(vertices: DataFrame, edges: DataFrame,
-               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 10, damping: Double = 0.85,
+               validateEdges: Boolean = true): DataFrame = {
     require(iterations > 0, "iterations must be positive")
     val outdeg = edges.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("outdeg"))
@@ -92,6 +99,15 @@ object Graph {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .persist(MEMORY_AND_DISK)
     val e = edges.select(col("src"), col("dst")).persist(MEMORY_AND_DISK)
+    if (validateEdges) {
+      val bad = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .join(vertices.select(col("id")), Seq("id"), "left_anti").count()
+      require(bad == 0L,
+        s"pagerank: $bad edge endpoint(s) missing from `vertices` — their " +
+          "rank mass would silently vanish in the contribution join; add " +
+          "the vertices or clean the edge list (validateEdges=false skips)")
+    }
     val n = v.count().toDouble // one scalar; drives the teleport term
 
     var ranks = v.select(col("id"), col("outdeg"), lit(1.0 / n).as("rank"))

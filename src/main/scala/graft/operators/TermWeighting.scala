@@ -100,16 +100,19 @@ object TermWeighting {
     * ("what does this crawl slice talk about that the rest doesn't").
     *
     * Output: top-`topK` terms by `(g2 desc, term asc)` as
-    * `(term, target_cnt, rest_cnt, g2, overused)`; `overused` is the exact
-    * integer cross-product comparison `a·tb > b·ta` (rate in target above
-    * rate in rest), so the flag is engine-exact.
+    * `(term, target_cnt, rest_cnt, g2, overused)`; `overused` is the
+    * cross-product rate comparison `a·tb > b·ta` evaluated in DOUBLE.
     *
     * Shuffle shape: explode → ONE vocabulary-sized term aggregation
     * (map-side combined — the exchange carries per-task partials, not
-    * tokens) → broadcast single-row totals → global top-k. Expected counts
-    * are computed as exact integer products divided once (`(a+b)·ta` stays
-    * under 2^53 for any corpus whose token count fits a long × vocabulary
-    * term count), so both engines divide identical integers. */
+    * tokens) → broadcast single-row totals → global top-k. All products
+    * are evaluated in double: the operator is advertised for trillion-
+    * token corpora, where `(a+b)·ta`-style 64-bit INTEGER products exceed
+    * Long.MaxValue and Spark (non-ANSI arithmetic) would wrap silently,
+    * corrupting g2 and flipping `overused` with no error. Doubles cost
+    * ulp-level precision above 2^53 (the comparison could flip only for
+    * rates equal to ~1e-16 relative) but both engines run the identical
+    * IEEE ops, so results stay engine-exact. */
   def keyness(docs: DataFrame, partCol: String, target: String,
               topK: Int = 50, textCol: String = "text"): DataFrame = {
     val tok = docs
@@ -122,13 +125,13 @@ object TermWeighting {
       sum("target_cnt").as("__ta"), sum("rest_cnt").as("__tb"))
     val a = col("target_cnt"); val b = col("rest_cnt")
     val ta = col("__ta"); val tb = col("__tb")
-    val ea = ((a + b) * ta).cast("double") / (ta + tb)
-    val eb = ((a + b) * tb).cast("double") / (ta + tb)
+    val ea = (a + b).cast("double") * ta / (ta + tb)
+    val eb = (a + b).cast("double") * tb / (ta + tb)
     counts.crossJoin(broadcast(totals))
       .withColumn("g2", round(lit(2.0) * (
         when(a > 0, a * log(a / ea)).otherwise(lit(0.0)) +
           when(b > 0, b * log(b / eb)).otherwise(lit(0.0))), 4))
-      .withColumn("overused", a * tb > b * ta)
+      .withColumn("overused", a.cast("double") * tb > b.cast("double") * ta)
       .select(col("term"), a, b, col("g2"), col("overused"))
       .orderBy(col("g2").desc, col("term").asc)
       .limit(topK)
