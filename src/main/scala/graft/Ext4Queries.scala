@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cdc, Graph}
+
+/** Round-7 declarations: the four components that previously lived as
+  * spec-only operators, now on the oracle-checked surface (the driver's
+  * correctness gate is what protects declared queries from rot; specs
+  * alone can drift).
+  *
+  *  - q92: damped PageRank over a REAL derived graph (nation trade edges
+  *    from lineitem⋈orders⋈customer⋈supplier), oracle = the same fixed
+  *    iteration count unrolled as chained CTEs replaying identical IEEE
+  *    ops.
+  *  - q93: CDC round-trip — `applyDiff(old, snapshotDiff(old,new)) == new`
+  *    with inserts, updates AND deletes all exercised; oracle is simply
+  *    the new snapshot.
+  *  - q94: streaming dedup (AvailableNow) == batch DISTINCT oracle.
+  *  - q95: stream-static broadcast enrichment == batch left join oracle.
+  */
+object Ext4Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val PR_ITERS = 5
+
+  // ------------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PageRank over the nation trade graph: edge src→dst when a supplier
+    // in nation src ships a lineitem of an order placed by a customer in
+    // nation dst. The DERIVATION is the data-heavy, fully distributed part
+    // (three joins over lineitem before a distinct); the rank loop then
+    // runs on the aggregated graph. Fixed iterations keep the result
+    // deterministic and SQL-reproducible (the oracle unrolls them).
+    "q92_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .distinct()
+      val vertices = t(s, dir, "nation").select(col("n_nationkey").as("id"))
+      Graph.pagerank(vertices, edges, iterations = PR_ITERS)
+        .select(col("id").cast("bigint").as("id"),
+          round(col("rank"), 8).as("rank"))
+    }),
+
+    // CDC round-trip: build an "old" snapshot from orders with planted
+    // divergence — missing keys (→ I), +100.0 price drift on keys %5==0
+    // (→ U; +100.0 is a single exact IEEE add, the q81 lesson), phantom
+    // keys shifted out of range (→ D) — then diff old→new and apply the
+    // diff back. The result must BE the new snapshot, so the oracle is a
+    // plain projection of orders: the whole diff+merge machinery sits
+    // under an exact equality gate.
+    "q93_cdc_roundtrip" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      val newSnap = t(s, dir, "orders").select(cols.map(col): _*)
+      val mutated = newSnap
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(100.0))
+            .otherwise(col("o_totalprice")))
+      val phantoms = newSnap.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      val oldSnap = mutated.unionByName(phantoms)
+      Cdc.applyDiff(oldSnap,
+          Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")),
+          Seq("o_orderkey"))
+        .select(cols.map(col): _*)
+    }),
+
+    // Streaming exact dedup, AvailableNow == batch DISTINCT: the stream
+    // is projected to exactly the dedup key (user_id, event_type, minute
+    // bucket) so every row of a tie group is identical and the emitted
+    // set is order-independent. The watermark delay is sized past the
+    // events table's 30-day span: determinism of the oracle must not
+    // depend on how the source happens to split into micro-batches
+    // (a mid-stream watermark advance would drop/re-emit late tie groups
+    // file-split-dependently). Production keeps the short horizon;
+    // DedupStreamSpec pins the bounded-state eviction behavior.
+    "q94_streaming_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-d").toString
+      val name = "graft_q94_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val keyed = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("bucket"))
+      val q = ExtQueries.withStatePartitions(s, 8) {
+        graft.streaming.EventStreams
+          .dedupStream(keyed, Seq("user_id", "event_type", "bucket"),
+            tsCol = "bucket", watermarkDelay = "35 days")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      require(q.awaitTermination(300000),
+        "q94 stream did not terminate within 300s")
+      s.table(name)
+    }),
+
+    // Stream-static broadcast enrichment, AvailableNow == batch left
+    // join: events enriched against the customer dimension; misses pass
+    // through null-padded (both hit and miss paths exercised — the
+    // synthetic user_id range only partially overlaps c_custkey).
+    // Stateless: no watermark, no state store, map-side hash join per
+    // micro-batch.
+    "q95_stream_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-e").toString
+      val name = "graft_q95_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"),
+          col("c_nationkey"))
+      val q = graft.streaming.EventStreams
+        .enrichStream(stream, dim, Seq("user_id"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q95 stream did not terminate within 300s")
+      s.table(name)
+    }))
+
+  // ------------------------------------------------------------------ oracles
+
+  /** Unrolled fixed-iteration PageRank as chained CTEs — each iteration
+    * replays EXACTLY the Spark loop's IEEE ops in the same order:
+    * dangling sum → /n in a scalar, contributions sum(rank/outdeg) per
+    * dst, then `(1.0-0.85)/n + 0.85*(in_mass + dangling/n)` spelled
+    * identically (never pre-folded constants — (1.0-0.85) ≠ 0.15 in
+    * binary). */
+  private def pagerankOracle(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         v AS (SELECT n_nationkey AS id FROM nation),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         outd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+         deg AS (SELECT v.id, COALESCE(o.outdeg, 0) AS outdeg
+                 FROM v LEFT JOIN outd o ON v.id = o.id),
+         r0 AS (SELECT id, outdeg, 1.0 / nn.n AS rank FROM deg CROSS JOIN nn)"""
+    for (i <- 1 to iters) {
+      val p = s"r${i - 1}"
+      sb ++= s""",
+         dang$i AS (SELECT COALESCE(sum(rank), 0.0) / (SELECT n FROM nn) AS dn
+                    FROM $p WHERE outdeg = 0),
+         c$i AS (SELECT e.dst AS id, sum(r.rank / r.outdeg) AS in_mass
+                 FROM e JOIN $p r ON e.src = r.id GROUP BY e.dst),
+         r$i AS (SELECT d.id, d.outdeg,
+                        (1.0 - 0.85) / nn.n
+                          + 0.85 * (COALESCE(c.in_mass, 0.0) + dang$i.dn) AS rank
+                 FROM deg d CROSS JOIN nn CROSS JOIN dang$i
+                 LEFT JOIN c$i c ON d.id = c.id)"""
+    }
+    sb ++= s"\n SELECT CAST(id AS BIGINT) AS id, round(rank, 8) AS rank FROM r$iters"
+    sb.toString
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q92_pagerank" -> pagerankOracle(PR_ITERS),
+
+    "q93_cdc_roundtrip" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+
+    "q94_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+                date_trunc('minute', ts) AS bucket
+         FROM events""",
+
+    "q95_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+                round(e.value, 4) AS value, c.c_mktsegment, c.c_nationkey
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""")
+}

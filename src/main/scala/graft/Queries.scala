@@ -640,7 +640,9 @@ object Queries {
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ ExtQueries.queries ++ Ext2Queries.queries ++ Ext3Queries.queries
+    core ++ ExtQueries.queries ++ Ext2Queries.queries ++ Ext3Queries.queries ++
+      Ext4Queries.queries
   def oracles: Map[String, String] =
-    coreOracles ++ ExtQueries.oracles ++ Ext2Queries.oracles ++ Ext3Queries.oracles
+    coreOracles ++ ExtQueries.oracles ++ Ext2Queries.oracles ++
+      Ext3Queries.oracles ++ Ext4Queries.oracles
 }
