@@ -164,8 +164,11 @@ object Ext3Queries {
         size(split(trim(col("text")), "\\s+")).cast("double") / 10.0)
       val feats = QualityClassifier
         .hashFeatures(docs, label, dim = 256, denseExprs = tokCount).persist()
+      // half-sample gradients (deterministic hash sample): the 85% gate
+      // below is the arbiter of whether accuracy survived the sample —
+      // at corpus scale this halves every epoch's read
       val model = QualityClassifier.train(feats, dim = 256, denseDims = 2,
-        epochs = 6, learningRate = 1.0)
+        epochs = 6, learningRate = 1.0, sampleFraction = 0.5)
       feats.unpersist()
       val scored = QualityClassifier.score(docs, model, denseExprs = tokCount)
         .select(col("doc_id"), col("n_chars"), col("quality_score"))

@@ -99,13 +99,33 @@ object QualityClassifier {
 
   /** Full-batch GD on the logistic loss. `denseDims` must match the arity
     * `hashFeatures` produced (1 + its `denseExprs` size). Cache `features`
-    * — training runs `epochs` passes over it. */
+    * — training runs `epochs` passes over it.
+    *
+    * `sampleFraction < 1` trains on a deterministic [[Sampling.hashSample]]
+    * of the frame (keyed on `sampleIdCol`, drawn ONCE and cached for the
+    * epoch loop) — the standard move at corpus scale, where an epoch is a
+    * full corpus pass and 20 epochs × 100 TB is 20 reads for a model whose
+    * gradient saturates on a fraction of the rows. The runtime quality
+    * gate (q89's ≥85% agreement `require`, or the caller's own eval via
+    * [[Evaluation.binaryMetrics]]) decides whether accuracy survived the
+    * sample; QualityClassifierSpec pins a 25% sample within one AUC point
+    * of full-batch on the test corpus. */
   def train(features: DataFrame, dim: Int = 4096, denseDims: Int = 1,
-            epochs: Int = 20, learningRate: Double = 0.5): Model = {
+            epochs: Int = 20, learningRate: Double = 0.5,
+            sampleFraction: Double = 1.0,
+            sampleIdCol: String = "doc_id"): Model = {
     require(epochs > 0, "epochs must be positive")
-    val n = features.count().toDouble
-    require(n > 0, "cannot train on an empty frame")
-    val mu = features
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val sampled = sampleFraction < 1.0
+    val base =
+      if (!sampled) features
+      else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
+        seed = "graft-train")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count().toDouble
+    require(n > 0, "cannot train on an empty frame (sample too small?)")
+    val mu = base
       .select((0 until denseDims).map(k =>
         avg(element_at(col("dense"), k + 1)).as(s"m$k")): _*)
       .head()
@@ -123,7 +143,7 @@ object QualityClassifier {
           (element_at(col("dense"), k + 1) -
             element_at(lit(denseMean), k + 1)).as("v"))))
     for (_ <- 1 to epochs) {
-      val grad = features
+      val grad = base
         .select(gradIndex.as("__gi"),
           (sigmoid(margin(col("features"), col("dense"), m)) - col("label"))
             .as("__resid"))
@@ -139,6 +159,7 @@ object QualityClassifier {
         denseMean,
         step(m.bias, -1))
     }
+    if (sampled) base.unpersist()
     m
   }
 

@@ -67,6 +67,33 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(correct >= 190, s"length-gate accuracy ${correct / 200.0}")
   }
 
+  test("25% hash-sample training lands within one AUC point of full-batch") {
+    // separable core + deterministic label noise on every 7th doc, so the
+    // ranking task is non-trivial and AUC < 1 for both models
+    val noisy = (1L to 300L).map { i =>
+      val good = i % 2 == 0
+      val base = if (good) "alpha beta gamma delta" else "zork grum blart feeb"
+      val noise = if (i % 7 == 0) (if (good) " zork grum" else " alpha beta") else ""
+      (i, base + noise, if (good) 1 else 0)
+    }.toDF("doc_id", "text", "is_good")
+    val feats = QualityClassifier
+      .hashFeatures(noisy, col("is_good") === 1, dim = 512).persist()
+    val full = QualityClassifier.train(feats, dim = 512, epochs = 30,
+      learningRate = 1.0)
+    val smp = QualityClassifier.train(feats, dim = 512, epochs = 30,
+      learningRate = 1.0, sampleFraction = 0.25)
+    feats.unpersist()
+    def auc(m: QualityClassifier.Model): Double =
+      Evaluation.binaryMetrics(
+          QualityClassifier.score(noisy, m),
+          col("quality_score"), col("is_good") === 1, threshold = 0.5)
+        .head().getAs[Double]("auc")
+    val (fullAuc, sampleAuc) = (auc(full), auc(smp))
+    assert(sampleAuc >= 0.95, s"sample-trained AUC $sampleAuc")
+    assert(math.abs(fullAuc - sampleAuc) <= 0.01,
+      s"full=$fullAuc sample=$sampleAuc diverge beyond one point")
+  }
+
   test("hashFeatures bounds indices to dim and keeps duplicates") {
     val one = Seq((1L, "x y x", 1)).toDF("doc_id", "text", "is_good")
     val row = QualityClassifier.hashFeatures(one, col("is_good") === 1, dim = 7)
