@@ -114,6 +114,37 @@ object Multimodal {
       }(Encoders.product[MediaRecord])
   }
 
+  /** Deterministic JPEG tiles — same id-derived geometry/color as
+    * [[pngPayloadFromId]] but through the JDK's JPEG encoder, proving the
+    * decode path is container-agnostic. JPEG is LOSSY: dimensions survive
+    * exactly, pixel values only approximately, so JPEG payloads belong in
+    * specs (tolerance on brightness), not in an exact SQL oracle. */
+  def jpegPayloadFromId(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .repartition(par)
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 48 + 8).toInt
+          val h = ((id / 48) % 48 + 8).toInt
+          val rgb = (((id % 256) << 16) | (((7 * id + 31) % 256) << 8) |
+            ((13 * id + 101) % 256)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bytes = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bytes)
+          MediaRecord(id, "image", bytes.toByteArray)
+        }
+      }(Encoders.product[MediaRecord])
+  }
+
   /** Build a media table from a text corpus for testing: payload = utf-8
     * bytes of the text. Production ingestion would read real blobs
     * (binaryFile source) into the same shape. */
@@ -138,6 +169,46 @@ object Multimodal {
           math.rint(b * 10000) / 10000)
       }
     }(Encoders.product[ImageFeatures])
+
+  /** One decode attempt per row: either features or the decode error —
+    * never both, never an exception. The media twin of V1's dead-letter
+    * validation split (reference etl/validate.py routes bad ROWS the same
+    * way): corrupt blobs are data, not crashes, in a crawl pipeline. */
+  final case class DecodedImage(
+      media_id: Long, n_bytes: Long, width: Int, height: Int,
+      brightness: Double, decode_error: String)
+
+  /** Decode with a dead-letter channel: every payload lands in exactly one
+    * of the returned (valid, rejects) frames. A null from `ImageIO.read`
+    * (unrecognized container) or any decoder throw (truncated/corrupt
+    * bytes) becomes a reject row carrying the error detail; nothing
+    * propagates out of the partition iterator.
+    *
+    * The decode runs ONCE into a combined frame; the two outputs are
+    * filters over it. PERSIST the combined result (it is returned as the
+    * third element for exactly that purpose) before consuming both sides,
+    * or the binary column decodes twice. */
+  def imageFeaturesOrReject(media: Dataset[MediaRecord],
+                            decoder: MediaDecoder = ImageIoDecoder)
+      : (DataFrame, DataFrame, Dataset[DecodedImage]) = {
+    val decoded = media.mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val (w, h, b) = decoder.decodeImage(rec.payload)
+          DecodedImage(rec.media_id, rec.payload.length.toLong, w, h,
+            math.rint(b * 10000) / 10000, null)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DecodedImage(rec.media_id, rec.payload.length.toLong, -1, -1,
+              -1.0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }(Encoders.product[DecodedImage])
+    val valid = decoded.filter(col("decode_error").isNull).drop("decode_error")
+    val rejects = decoded.filter(col("decode_error").isNotNull)
+      .select(col("media_id"), col("n_bytes"), col("decode_error"))
+    (valid, rejects, decoded)
+  }
 
   /** Stubbed resize: re-derives features at a target box, keeping aspect from
     * the fake decode — exercises a second pass over the binary column. */

@@ -352,4 +352,51 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
       Multimodal.ImageIoDecoder.decodeImage("not a png".getBytes)
     }
   }
+
+  test("real JPEG decode: dimensions exact, brightness within lossy tolerance") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 47L, 255L, 2304L).toDF("doc_id")
+    val media = Multimodal.jpegPayloadFromId(ids).collect()
+    // true JFIF payloads: SOI marker 0xFFD8
+    assert(media.forall(m =>
+      (m.payload(0) & 0xff) == 0xff && (m.payload(1) & 0xff) == 0xd8))
+    val feats = Multimodal.imageFeatures(
+        Multimodal.jpegPayloadFromId(ids), Multimodal.ImageIoDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    media.foreach { m =>
+      val id = m.media_id
+      val f = feats(id)
+      assert(f.width === (id % 48 + 8).toInt, s"width of id=$id")
+      assert(f.height === ((id / 48) % 48 + 8).toInt, s"height of id=$id")
+      val expected = ((id % 256) + (7 * id + 31) % 256 + (13 * id + 101) % 256) /
+        (3.0 * 255.0)
+      // JPEG is lossy: dimensions survive exactly, pixels approximately
+      assert(math.abs(f.brightness - expected) < 0.05, s"brightness of id=$id")
+    }
+  }
+
+  test("corrupt media dead-letters: truncated PNG and junk route to rejects with the error") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val good = Multimodal.pngPayloadFromId(ids).collect()
+    val corrupted = good.map { m =>
+      m.media_id match {
+        case 2L => m.copy(payload = m.payload.take(m.payload.length / 2)) // truncated
+        case 3L => m.copy(payload = "junk, not an image".getBytes)        // wrong container
+        case _  => m
+      }
+    }.toSeq.toDS()
+    val (valid, rejects, decoded) =
+      Multimodal.imageFeaturesOrReject(corrupted, Multimodal.ImageIoDecoder)
+    decoded.persist()
+    val v = valid.collect()
+    val r = rejects.collect()
+    decoded.unpersist()
+    assert(v.map(_.getLong(0)).toSet === Set(1L))
+    assert(v.head.getAs[Int]("width") === (1L % 48 + 8).toInt)
+    assert(r.map(_.getLong(0)).toSet === Set(2L, 3L))
+    // every reject carries the decode error detail, never a crash
+    assert(r.forall(row => Option(row.getAs[String]("decode_error"))
+      .exists(_.nonEmpty)))
+  }
 }
