@@ -94,7 +94,14 @@ object Ext3Queries {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts").as("purchase_ts"), round(col("value"), 4).as("purchase_value"))
-      val q = ExtQueries.withStatePartitions(s, 8) {
+      // state partitions sized to the join's ~40 rows of state (the
+      // stream-stream join opens FOUR stores per partition; measured at
+      // sf0.1: 8 partitions ≈ 3.0s, 2 ≈ 2.6s warm). The residual ~2.5s is
+      // the AvailableNow floor — two micro-batches minimum (data +
+      // watermark-flush, the flush costing ~0.6s for zero rows), per-batch
+      // re-planning, and the self-join's double source scan — constant per
+      // RUN, not per row; a long-lived stream pays it per increment.
+      val q = ExtQueries.withStatePartitions(s, 2) {
         graft.streaming.EventStreams
           .intervalJoin(views, purchases, Seq("user_id"), "view_ts", "purchase_ts",
             horizon = "1 hour")
