@@ -17,8 +17,10 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   * edge count the caller already materialized, never squared.
   *
   * Scale notes (100 TB): labels and edges are (long, long) rows; the
-  * per-round shuffle is bounded by |E| + |V|. Plan depth is bounded by a
-  * `localCheckpoint` every 4 rounds (same discipline as
+  * per-round shuffle is bounded by |E| + |V|. Rounds run in PAIRS — two
+  * propagations per materializing action — so the driver-side job count
+  * (the stage-floor unit at local scale) is halved; plan depth is bounded
+  * by a `localCheckpoint` every 4 actions = 8 rounds (same discipline as
   * [[TextDedup.minhashLshGroups]] — persist alone leaves Catalyst a
   * 2-joins-per-round logical tree and analysis time compounds). The
   * fixpoint test is a decimal label-sum (labels only decrease; a long sum
@@ -33,37 +35,69 @@ object Graph {
     * vertex id of the component; isolated vertices map to themselves. */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not just persist): the caller's edge list may be an
+    // arbitrarily expensive subtree (q78 passes a sign-LSH cosine
+    // self-join). persist caches EXECUTION but not the LOGICAL plan, and
+    // the loop below embeds the edge plan in every round — each propagate
+    // references its input twice, so plan size grows 4× per materialized
+    // pair and the analyzer re-walks every embedded copy of the edge
+    // subtree: measured 5s → 170s/run at sf0.1 on q78. Truncating to a
+    // leaf here keeps every round's analyzed plan O(rounds), the same
+    // discipline as minhashLshGroups' membership leaf.
     val e = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
-    var labels = vertices.select(col("id"))
+    // Pre-prune to edge-touched vertices (same discipline as
+    // minhashLshGroups): an isolated vertex is its own component and has
+    // no business inside the loop — in a near-dup graph the touched set
+    // is duplicates-only, a sliver of the corpus. `e` carries both
+    // directions, so src alone covers every endpoint. Isolated vertices
+    // rejoin via one left join at the end.
+    var labels = e.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist(MEMORY_AND_DISK)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO)))
         .head().getDecimal(0)
+    def propagate(l: DataFrame): DataFrame = {
+      val neighborMin = e.join(l, e("src") === l("id"))
+        .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
+      l.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    // The initial labelSum is NOT just the convergence seed — it is the
+    // eager materialization of BOTH caches (labels, and e beneath it)
+    // before the loop's multi-reference plans run. Without it the first
+    // paired-round job references the unpopulated e cache from several
+    // concurrent stages, each racing to recompute the (possibly very
+    // expensive — q78 passes a cosine self-join) edge subtree: measured
+    // 5s → 330s at sf0.1. Labels are monotone, so an unchanged sum across
+    // a PAIR of rounds still ⟺ fixpoint — two propagations per
+    // materializing action halves the loop's driver-side job count (the
+    // stage-floor unit); the inner round's duplicate subtree dedupes via
+    // exchange reuse against the populated caches.
     var curSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val neighborMin = e.join(labels, e("src") === labels("id"))
-        .groupBy(col("dst").as("id")).agg(min("label").as("nmin"))
-      val next0 = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next0 = propagate(propagate(labels))
       val next =
-        if ((iter + 1) % 4 == 0) next0.localCheckpoint(true)
+        if ((iter + 2) % 8 == 0) next0.localCheckpoint(true)
         else next0.persist(MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(curSum) == 0
       curSum = nextSum
       labels.unpersist()
       labels = next
-      iter += 1
+      iter += 2
     }
     e.unpersist()
-    labels.select(col("id"), col("label").as("component"))
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("component"))
   }
 
   /** Damped PageRank over a directed edge list — link-quality scoring for
