@@ -18,6 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    spread (max−min) still exceeds the median, extra passes run up to
   *    `SPARK_GRAFT_BENCH_MAX_RUNS` (default 7) total — variance has to be
   *    beaten by evidence, not hoped away.
+  *  - passes are INTERLEAVED round-robin across queries (pass 1 of every
+  *    query, then pass 2 of every query, …), not query-at-a-time
+  *    (round-7 lesson: a noisy-neighbor window that overlaps one query's
+  *    whole back-to-back pass block poisons ALL of its passes — q78's
+  *    driver-window median read 22.3s against a 5.9s min. Interleaving
+  *    spreads any degraded window thinly across every query's sample
+  *    set instead of concentrating it in one query's median);
+  *  - a cheap fixed calibration probe runs between rounds and is
+  *    published as `calibration_passes`, so each pass index carries its
+  *    own VM-speed reading;
+  *  - per-query `window_ok` flag: false when the adaptive rerun cap was
+  *    hit with spread still > median (or the query failed) — a reader
+  *    can mechanically reject that median as window-degraded instead of
+  *    trusting it;
   *  - `queries_min` / `queries_spread` published alongside, so a
   *    cross-round delta can be judged against the measured same-run spread:
   *    a delta inside the spread is noise, not a regression;
@@ -99,20 +113,43 @@ object Bench {
 
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "7").toInt
     final case class Timing(median: Double, min: Double, spread: Double,
-                            cold: Double)
-    def med(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
-    val results = selected.map { case (name, fn) =>
-      val cold = timeOnce(name, fn) // warm-up: untimed for the median
-      var passes = Seq.fill(runs)(timeOnce(name, fn))
-      // adaptive: buy down variance with evidence, bounded by maxRuns
-      while (passes.forall(_ >= 0) && passes.length < maxRuns &&
-             (passes.max - passes.min) > med(passes))
-        passes :+= timeOnce(name, fn)
-      name -> (if (cold < 0 || passes.exists(_ < 0))
-                 Timing(-1.0, -1.0, -1.0, -1.0)
-               else
-                 Timing(med(passes), passes.min, passes.max - passes.min, cold))
+                            cold: Double, windowOk: Boolean)
+    // conventional median: mean of the two middle elements for even n (an
+    // upper-middle pick would bias even-length pass lists high by up to
+    // one inter-pass gap)
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    def spreadBad(xs: Seq[Double]) = (xs.max - xs.min) > med(xs)
+    val names = selected.keys.toVector
+    // round 0: every query's untimed warm-up (build pass for ANN/layout)
+    val cold = names.map(n => n -> timeOnce(n, selected(n))).toMap
+    val passes = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefault(_ => Vector.empty)
+    val calPasses = scala.collection.mutable.ArrayBuffer[Double]()
+    def failed(n: String) = cold(n) < 0 || passes(n).exists(_ < 0)
+    // interleaved base rounds, then interleaved adaptive rounds over the
+    // still-noisy subset — never the same query back-to-back
+    var round = 0
+    var active = names.filter(!failed(_))
+    while (active.nonEmpty && round < maxRuns) {
+      calPasses += calibrate()
+      for (n <- active) passes(n) = passes(n) :+ timeOnce(n, selected(n))
+      round += 1
+      active = names.filter(n => !failed(n) &&
+        (round < runs || (passes(n).length < maxRuns && spreadBad(passes(n)))))
+    }
+    calPasses += calibrate()
+    val results = names.map { n =>
+      val p = passes(n)
+      n -> (if (failed(n) || p.isEmpty)
+              Timing(-1.0, -1.0, -1.0, -1.0, windowOk = false)
+            else
+              Timing(med(p), p.min, p.max - p.min, cold(n),
+                windowOk = !spreadBad(p)))
+    }.toMap
     val annBuild = annQueries.map(n => n -> results(n).cold).toMap
     val layoutBuild = layoutQueries.map(n => n -> results(n).cold).toMap
 
@@ -129,9 +166,12 @@ object Bench {
       s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
       s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
       s""","queries_cold":${jsonMap(results.map { case (k, t) => k -> t.cold })}""" +
+      s""","queries_window_ok":${results.map { case (k, t) =>
+             "\"" + k + "\":" + t.windowOk }.mkString("{", ",", "}")}""" +
       s""","ann_build":${jsonMap(annBuild)}""" +
       s""","layout_build":${jsonMap(layoutBuild)}""" +
       s""","calibration_start":${num(calStart)},"calibration_end":${num(calEnd)}""" +
+      s""","calibration_passes":${calPasses.map(num).mkString("[", ",", "]")}""" +
       s""","runs":$runs,"sf":"$sfDir"}"""
     println(json)
     // also persist to a file: log tails get truncated (BENCH_r05 lost its

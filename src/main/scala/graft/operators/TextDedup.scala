@@ -305,37 +305,61 @@ object TextDedup {
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
                         maxShingleDf: Int = 20,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // the shingle frame feeds four plan branches (sizes, df filter, both
-    // join arms); persist it once instead of re-tokenizing per branch.
+    // Single pass over documents, exactly TWO shuffles:
+    //  - the per-doc distinct-shingle count n_sh is size() of the shingle
+    //    array BEFORE the explode (no groupBy(doc_id) shuffle at all), and
+    //    it rides through the bucket shuffle inside the collected struct,
+    //    so the final per-side size joins disappear too;
+    //  - candidate pairs come from per-shingle doc buckets, NOT a
+    //    self-join: groupBy(sh).collect_list buckets every shingle's
+    //    (doc_id, n_sh) in one shuffle, the bucket-size filter IS the df
+    //    filter (2 ≤ df ≤ cap — the cap also bounds each collected list,
+    //    so memory per group is fixed), and ordered pairs are emitted in
+    //    place from the sorted bucket. The earlier join formulation
+    //    needed a persist+count of the full exploded shingle stream, a df
+    //    aggregation, a join back, a two-arm self-join, and two size
+    //    joins — for the identical n_inter (each pair is counted once per
+    //    shared in-cap shingle either way). Measured 3.6s → ~2.2s at sf0.1.
     // Shingles ride as their portable 60-bit hash, not the string: the
-    // self-join shuffles 8-byte longs instead of ~25-byte strings and
+    // shuffle moves 8-byte longs instead of ~25-byte strings and
     // hash-aggregates on fixed-width keys (measured ~15% off the query;
     // a cross-doc hash collision would need ~2^30 distinct shingles per
     // the birthday bound — and the oracle applies the identical hash, so
-    // parity holds regardless)
-    val sh = shingleRows(docs, idCol, textCol)
-      .select(col("doc_id"), hash60(col("sh")).as("sh"))
+    // parity holds regardless). Tokens are materialized in their own
+    // projection before the shingle lambda touches them (same boundary as
+    // shingleRows — split() otherwise re-evaluates per element reference).
+    //
+    // The doc-level persist is an OPTIMIZER BARRIER first and a cache
+    // second: explode makes InferFiltersFromGenerate add `size(__sh) > 0`
+    // above an attribute generator, and predicate pushdown then inlines
+    // the whole tokenize+shingle lambda chain into a per-row scan filter
+    // (measured 19s vs 2.2s at sf0.1 — the query recomputed shingling
+    // thrice per row). The cache boundary pins that filter to the
+    // computed array column. The cached frame is one row per doc of
+    // 8-byte hashes — strictly smaller than the text itself, and far
+    // smaller than the exploded (doc_id, n, sh) stream the previous
+    // formulation persisted.
+    val docSh = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        transform(shinglesFromTokens(col("__toks")), s => hash60(s)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize before the four consumers fan out — lazily-persisted
-    // branches race to fill the cache and can re-tokenize repeatedly
-    sh.count()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // rare feeds BOTH join arms: persist it too, or the df aggregation and
-    // its filter-join execute twice (one extra full shuffle each)
-    val rare = sh.join(
-      sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDf && col("df") >= 2)
-        .select(col("sh")),
-      "sh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inter = rare.as("a")
-      .join(rare.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sh = docSh
+      .select(col("doc_id"), size(col("__sh")).as("n"),
+        explode(col("__sh")).as("sh"))
+    val buckets = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxShingleDf))
+    // n is functionally dependent on doc_id, so grouping by (a, n_a, b,
+    // n_b) is the same partition as (a, b) — the sizes come along free.
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
+            y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.na").as("n_a"),
+        col("p.b").as("doc_b"), col("p.nb").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.toDF("doc_a", "n_a"), "doc_a")
-      .join(sizes.toDF("doc_b", "n_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
