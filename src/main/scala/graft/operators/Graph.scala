@@ -32,9 +32,30 @@ object Graph {
   /** Components of the undirected graph over `vertices` (column `id`) with
     * `edges` (columns `src`, `dst`; direction ignored, self-loops and
     * duplicates harmless). Output: `(id, component)`, component = min
-    * vertex id of the component; isolated vertices map to themselves. */
+    * vertex id of the component; isolated vertices map to themselves.
+    *
+    * PRECONDITION: edge endpoints ⊆ `vertices.id`. Labels are seeded from
+    * edge endpoints (so the loop runs on the edge-touched sliver, not the
+    * corpus), which means an endpoint absent from `vertices` still
+    * propagates connectivity — two components could silently merge
+    * through a phantom id, or a component could be labeled by an id that
+    * is not a vertex. Derived graphs (q78's sign-LSH self-join over the
+    * corpus) satisfy this by construction; for an UNTRUSTED edge list
+    * pass `validateEdges = true` to fail loudly instead (one anti-join
+    * count against `vertices` before the loop — |E| shuffle, off by
+    * default so trusted callers don't pay it per run). */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          validateEdges: Boolean = false): DataFrame = {
+    if (validateEdges) {
+      val bad = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id")))
+        .join(vertices.select(col("id")), Seq("id"), "left_anti").count()
+      require(bad == 0L,
+        s"connectedComponents: $bad edge endpoint(s) missing from " +
+          "`vertices` — components would merge through phantom ids; add " +
+          "the vertices or clean the edge list")
+    }
     // localCheckpoint (not just persist): the caller's edge list may be an
     // arbitrarily expensive subtree (q78 passes a sign-LSH cosine
     // self-join). persist caches EXECUTION but not the LOGICAL plan, and
@@ -126,14 +147,14 @@ object Graph {
                iterations: Int = 10, damping: Double = 0.85,
                validateEdges: Boolean = true): DataFrame = {
     require(iterations > 0, "iterations must be positive")
-    val outdeg = edges.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg"))
-    val v = vertices.select(col("id"))
-      .join(outdeg, Seq("id"), "left")
-      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
-      .persist(MEMORY_AND_DISK)
+    // Everything downstream (validation, outdegrees, the loop) consumes
+    // the CACHED edge frame — the caller's `edges` may be an arbitrarily
+    // expensive derivation (q92's is three joins over lineitem), and
+    // referencing the parameter instead of `e` made that derivation run
+    // once per consumer (measured ~2× the derivation cost at sf0.1).
     val e = edges.select(col("src"), col("dst")).persist(MEMORY_AND_DISK)
     if (validateEdges) {
+      // this count also fills the e cache, so the derivation runs once
       val bad = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .join(vertices.select(col("id")), Seq("id"), "left_anti").count()
@@ -142,37 +163,69 @@ object Graph {
           "rank mass would silently vanish in the contribution join; add " +
           "the vertices or clean the edge list (validateEdges=false skips)")
     }
-    val n = v.count().toDouble // one scalar; drives the teleport term
+    val outdeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg"))
+    val v = vertices.select(col("id"))
+      .join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .persist(MEMORY_AND_DISK)
+    // ONE action for both pre-loop scalars (every driver action is ~0.2s
+    // of floor at local scale): N for the teleport term, and the dangling
+    // count — most curation graphs (and the q92 nation trade graph) have
+    // no dangling vertices, and the per-round dangling-mass collect was
+    // half the loop's driver actions. When the set is empty every round's
+    // dangling term is exactly 0.0, and x + 0.0 == x in IEEE for the
+    // strictly positive ranks, so skipping the term is bit-identical to
+    // collecting an empty sum (the unrolled CTE oracle replays the same
+    // ops either way). This action also fills the v cache.
+    val vStats = v.agg(count(lit(1)).as("n"),
+      sum(when(col("outdeg") === 0, 1L).otherwise(0L)).as("dangling")).head()
+    val n = vStats.getLong(0).toDouble
+    val hasDangling = vStats.getLong(1) > 0
+
+    def step(r: DataFrame, dangling: Double): DataFrame = {
+      val contrib = e.join(r, e("src") === r("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_mass"))
+      v.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("outdeg"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+    }
 
     var ranks = v.select(col("id"), col("outdeg"), lit(1.0 / n).as("rank"))
       .persist(MEMORY_AND_DISK)
     var iter = 0
     while (iter < iterations) {
-      // mass each vertex sends per out-edge; dangling vertices (outdeg 0)
-      // spread their whole rank uniformly instead of losing it. The
-      // scalar collect + literal is DELIBERATE (measured at sf0.1): a
-      // broadcast single-row frame spawns an extra broadcast-exchange
-      // stage per round (~+30%), and fusing whole rounds into one lazy
-      // chain races concurrent stages against not-yet-populated caches,
-      // recomputing parents (~1.5× slower). Two small driver actions per
-      // round is the fastest shape local[n] executes.
-      val dangling = ranks.filter(col("outdeg") === 0)
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      val contrib = e.join(ranks, e("src") === ranks("id"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(col("rank") / col("outdeg")).as("in_mass"))
-      val next0 = v.join(contrib, Seq("id"), "left")
-        .select(col("id"), col("outdeg"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) + lit(dangling / n)))
-            .as("rank"))
+      // With dangling vertices, each round needs the dangling scalar from
+      // the PREVIOUS round's result — inherently one materializing action
+      // per round. The scalar collect + literal is DELIBERATE (measured
+      // at sf0.1): a broadcast single-row frame spawns an extra
+      // broadcast-exchange stage per round (~+30%), and fusing whole
+      // rounds into one lazy chain against not-yet-populated caches
+      // recomputes parents (~1.5× slower). Without dangling vertices the
+      // cross-round driver dependency disappears, so up to FOUR rounds
+      // share one materializing action (extending connectedComponents'
+      // pairing; safe here because e and v are eagerly populated before
+      // the loop, so the fused chain's repeated references hit caches,
+      // and 4 aligns with the localCheckpoint cadence bounding plan
+      // depth) — inner rounds' duplicate subtrees dedupe via exchange
+      // reuse.
+      val take = if (hasDangling) 1 else math.min(4, iterations - iter)
+      val next0 =
+        if (hasDangling) {
+          val dangling = ranks.filter(col("outdeg") === 0)
+            .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+          step(ranks, dangling)
+        } else (1 to take).foldLeft(ranks)((r, _) => step(r, 0.0))
       val next =
-        if ((iter + 1) % 4 == 0) next0.localCheckpoint(true)
+        if ((iter + take) % 4 == 0) next0.localCheckpoint(true)
         else next0.persist(MEMORY_AND_DISK)
       next.count() // materialize before dropping the parent cache
       ranks.unpersist()
       ranks = next
-      iter += 1
+      iter += take
     }
     v.unpersist(); e.unpersist()
     ranks.select(col("id"), col("rank"))
