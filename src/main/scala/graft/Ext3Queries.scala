@@ -94,14 +94,20 @@ object Ext3Queries {
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
           col("ts").as("purchase_ts"), round(col("value"), 4).as("purchase_value"))
-      // state partitions sized to the join's ~40 rows of state (the
-      // stream-stream join opens FOUR stores per partition; measured at
-      // sf0.1: 8 partitions ≈ 3.0s, 2 ≈ 2.6s warm). The residual ~2.5s is
-      // the AvailableNow floor — two micro-batches minimum (data +
-      // watermark-flush, the flush costing ~0.6s for zero rows), per-batch
-      // re-planning, and the self-join's double source scan — constant per
-      // RUN, not per row; a long-lived stream pays it per increment.
-      val q = ExtQueries.withStatePartitions(s, 2) {
+      // State partitions DERIVED from expected state volume via the
+      // statePartitionsFor rule (≥32 state rows per partition, clamped to
+      // [2, session parallelism]) — not hardcoded, so a 100× corpus gets
+      // proportionally more partitions. The estimate is the join's
+      // measured sf0.1 state: ~40 rows within the 1h horizon (≈ event
+      // rate × horizon per side) → 2 partitions (the stream-stream join
+      // opens FOUR stores per partition; measured at sf0.1: 8 partitions
+      // ≈ 3.0s, 2 ≈ 2.6s warm). The residual ~2.5s is the AvailableNow
+      // floor — two micro-batches minimum (data + watermark-flush, the
+      // flush costing ~0.6s for zero rows), per-batch re-planning, and
+      // the self-join's double source scan — constant per RUN, not per
+      // row; a long-lived stream pays it per increment.
+      val q = ExtQueries.withStatePartitions(s,
+        ExtQueries.statePartitionsFor(s, expectedStateRows = 40)) {
         graft.streaming.EventStreams
           .intervalJoin(views, purchases, Seq("user_id"), "view_ts", "purchase_ts",
             horizon = "1 hour")
@@ -225,13 +231,19 @@ object Ext3Queries {
     "q87_bucketed_join" -> ((s, dir) => {
       import graft.operators.Layout
       // Pay-once layout, paid once per JVM: the bucketed tables are built
-      // on the first call (per sf dir — the name carries a dir hash so a
-      // Verify at sf0.01 can never reuse a Bench table from sf0.1) and
-      // reused by later calls in the same session, so a timed bench pass
-      // measures the JOIN, not the DDL+write. Fresh JVMs rebuild — the
-      // in-memory catalog forgets managed tables across JVMs while their
-      // warehouse directories survive, hence the drop+delete before write.
-      val sfx = Integer.toHexString(dir.hashCode)
+      // on the first call and reused by later calls in the same session,
+      // so a timed bench pass measures the JOIN, not the DDL+write. The
+      // table name carries the SANITIZED FULL PATH (not a 32-bit hash —
+      // two dirs colliding would silently serve the wrong tables) plus
+      // the source parquet mtimes, so a Verify at sf0.01 never reuses a
+      // Bench table from sf0.1 AND regenerated parquet under the same
+      // path invalidates the cached layout instead of serving stale rows.
+      // Fresh JVMs rebuild — the in-memory catalog forgets managed tables
+      // across JVMs while their warehouse directories survive, hence the
+      // drop+delete before write.
+      val mtimes = Seq("lineitem", "orders")
+        .map(tn => new java.io.File(s"$dir/$tn.parquet").lastModified).max
+      val sfx = s"${dir}_$mtimes".replaceAll("[^A-Za-z0-9]", "_").toLowerCase
       val liTbl = s"graft_q87_li_$sfx"; val ordTbl = s"graft_q87_ord_$sfx"
       if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(ordTbl)) {
         Seq(liTbl, ordTbl).foreach { tbl =>

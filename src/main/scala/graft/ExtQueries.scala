@@ -30,6 +30,25 @@ object ExtQueries {
     try start finally s.conf.set(key, saved)
   }
 
+  /** State-partition count DERIVED from expected state volume, not
+    * hardcoded: ≥`rowsPerPartition` state rows per partition (below that,
+    * per-partition store open/commit overhead dominates — measured ~1s
+    * per micro-batch across 32 near-empty HDFS-backed stores), clamped to
+    * [2, session shuffle partitions] (2 keeps the keyed-state path
+    * genuinely distributed; the upper clamp stops a huge estimate from
+    * exceeding the session's own parallelism). Callers pass the estimate
+    * their query implies — e.g. a stream-stream interval join's state is
+    * ~(event rate × horizon) per side — so a 100× corpus automatically
+    * gets proportionally more state partitions. */
+  private[graft] def statePartitionsFor(s: SparkSession,
+                                        expectedStateRows: Long,
+                                        rowsPerPartition: Long = 32): Int = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val want = math.ceil(expectedStateRows.toDouble /
+      rowsPerPartition.toDouble).toInt
+    math.min(math.max(2, want), math.max(2, cap))
+  }
+
   // Shared oracle fragments ------------------------------------------------
 
   /** DuckDB twin of TextFunctions.shingles (word 3-grams, distinct). */

@@ -308,6 +308,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(out(1).n_events === 1 && out(1).total_value === 5.0)
   }
 
+  test("statePartitionsFor derives partitions from state volume (not hardcoded)") {
+    import graft.ExtQueries.statePartitionsFor
+    // q82's sf0.1 estimate (~40 state rows) → the measured-optimal 2
+    assert(statePartitionsFor(spark, expectedStateRows = 40) === 2)
+    // tiny state stays at the distributed floor of 2
+    assert(statePartitionsFor(spark, expectedStateRows = 0) === 2)
+    // 100× state grows the count proportionally instead of inheriting 2 —
+    // clamped by the session's own parallelism (4 in tests)
+    val big = statePartitionsFor(spark, expectedStateRows = 4000)
+    assert(big === spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // below the clamp the rule is ceil(rows / rowsPerPartition)
+    assert(statePartitionsFor(spark, expectedStateRows = 100) === 4)
+    assert(statePartitionsFor(spark, expectedStateRows = 65,
+      rowsPerPartition = 32) === 3)
+  }
+
   test("sessionize: gap splits sessions, state emits on timeout") {
     import EventStreams.UserEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)

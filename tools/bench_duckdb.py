@@ -41,7 +41,11 @@ def main(sf_dir, out_dir, spark_json=None, runs="3"):
                 con.sql(sql).fetchall()
                 ts.append(time.time() - t0)
             ts.sort()
-            entry = {"median": round(ts[len(ts) // 2], 4),
+            # conventional median (mean of middle two for even n), matching
+            # graft.Bench's med()
+            mid = len(ts) // 2
+            median = ts[mid] if len(ts) % 2 == 1 else (ts[mid - 1] + ts[mid]) / 2
+            entry = {"median": round(median, 4),
                      "min": round(ts[0], 4),
                      "spread": round(ts[-1] - ts[0], 4)}
         except Exception as e:
@@ -49,24 +53,44 @@ def main(sf_dir, out_dir, spark_json=None, runs="3"):
             entry = {"median": None, "min": None, "spread": None,
                      "error": str(e)[:200]}
         st = spark_times.get(name)
-        if st is not None:
+        # Bench reports -1.0 for a failed Spark query — treat as missing,
+        # and `is not None` (not truthiness) so a legit 0.0 median counts
+        if st is not None and st >= 0:
             entry["spark"] = st
-            if entry["median"]:
+            if entry["median"] is not None and entry["median"] > 0:
                 entry["ratio"] = round(st / entry["median"], 2)
         report["queries"][name] = entry
-    duck_total = sum(q["median"] for q in report["queries"].values()
-                     if q["median"])
-    report["duckdb_total"] = round(duck_total, 2)
+    # headline totals over the INTERSECTION of successfully-timed queries on
+    # BOTH engines — summing different query sets would silently skew the
+    # comparison when either side errors
+    both = {n: q for n, q in report["queries"].items()
+            if q["median"] is not None and q.get("spark") is not None}
+    report["compared_queries"] = len(both)
+    report["duckdb_total"] = round(
+        sum(q["median"] for q in both.values()), 2)
     if spark_times:
-        report["spark_total"] = round(sum(spark_times.values()), 2)
+        report["spark_total"] = round(
+            sum(q["spark"] for q in both.values()), 2)
+        # all-queries sums kept for reference (may cover different sets)
+        report["duckdb_total_all"] = round(
+            sum(q["median"] for q in report["queries"].values()
+                if q["median"] is not None), 2)
+        report["spark_total_all"] = round(
+            sum(v for v in spark_times.values() if v >= 0), 2)
+    else:
+        report["duckdb_total"] = round(
+            sum(q["median"] for q in report["queries"].values()
+                if q["median"] is not None), 2)
     for name, q in report["queries"].items():
-        ratio = f"  spark/duck={q['ratio']:5.1f}x" if q.get("ratio") else ""
+        ratio = (f"  spark/duck={q['ratio']:5.1f}x"
+                 if q.get("ratio") is not None else "")
         st = f" spark={q['spark']:7.3f}s" if q.get("spark") is not None else ""
         dt = f"{q['median']:7.3f}" if q["median"] is not None else "  ERROR"
         print(f"{name:28s} duckdb={dt}s{st}{ratio}")
-    print(f"\nDuckDB total: {duck_total:.1f}s")
+    print(f"\nDuckDB total ({report['compared_queries']} compared): "
+          f"{report['duckdb_total']:.1f}s")
     if spark_times:
-        print(f"Spark total:  {report['spark_total']:.1f}s")
+        print(f"Spark total (same set):  {report['spark_total']:.1f}s")
     os.makedirs("target", exist_ok=True)
     with open("target/bench_duckdb.json", "w") as f:
         json.dump(report, f, indent=1)
