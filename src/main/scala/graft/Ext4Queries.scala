@@ -134,6 +134,58 @@ object Ext4Queries {
       require(q.awaitTermination(300000),
         "q95 stream did not terminate within 300s")
       s.table(name)
+    }),
+
+    // Streaming upsert SINK end-to-end (round-8: the last spec-only
+    // streaming component onto the oracle-checked surface): an
+    // AvailableNow stream runs through upsertStream's foreachBatch →
+    // bucketed-parquet upsert, and the FINAL table it leaves behind is
+    // the asserted frame. The table is pre-seeded so both merge paths
+    // execute: keys the stream also carries get OVERWRITTEN (src flips
+    // seed→stream), phantom keys (user_id shifted out of range, the q93
+    // move) survive untouched. Rows are projected to exactly the upsert
+    // key + a key-derived marker, so last-writer-wins within any
+    // micro-batch split is deterministic (the q94 lesson) — the final
+    // state is identical however the source splits into batches.
+    "q96_stream_upsert_sink" -> ((s, dir) => {
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft-q96-table").toString + "/t"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-q96-ckpt").toString
+      val keys = Seq("user_id", "event_type", "bucket")
+      val batchKeys = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("bucket"))
+        .distinct()
+      val seed = batchKeys.withColumn("src", lit("seed"))
+        .unionByName(batchKeys.filter(col("user_id") % 3 === 0)
+          .withColumn("user_id", col("user_id") + lit(100000000L))
+          .withColumn("src", lit("seed")))
+      graft.operators.Upsert.upsertPartitionedTable(
+        s, tableDir, seed, keys, keys.map(col), numBuckets = 16)
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("bucket"))
+        .withColumn("src", lit("stream"))
+      val q = graft.streaming.EventStreams
+        .upsertStream(stream, tableDir, ckpt, keys, numBuckets = 16)
+      require(q.awaitTermination(300000),
+        "q96 stream did not terminate within 300s")
+      graft.operators.Upsert.readPartitionedTable(s, tableDir)
+    }),
+
+    // REAL audio decode end-to-end (round 8): deterministic square-wave
+    // WAVs generated per doc_id, decoded back through the JDK's
+    // javax.sound.sampled via the dead-letter seam. Every decoded feature
+    // is closed-form in doc_id (a square wave's RMS is its amplitude;
+    // n_bytes is the canonical 44-byte header + 2n), so the oracle is
+    // plain arithmetic over documents while real RIFF/WAV bytes flow
+    // through the executors — the audio twin of q73.
+    "q97_audio_decode" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.wavPayloadFromId(t(s, dir, "documents"))
+      val (valid, _, _) = Multimodal.audioFeaturesOrReject(media)
+      valid
     }))
 
   // ------------------------------------------------------------------ oracles
@@ -189,5 +241,32 @@ object Ext4Queries {
     "q95_stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type,
                 round(e.value, 4) AS value, c.c_mktsegment, c.c_nationkey
-         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""")
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+
+    // final upsert-table state: every stream key ends as 'stream' (the
+    // overlapping seed rows were overwritten), only phantom seed keys
+    // survive as 'seed'
+    "q96_stream_upsert_sink" ->
+      """WITH k AS (SELECT DISTINCT user_id, event_type,
+                           date_trunc('minute', ts) AS bucket
+                    FROM events)
+         SELECT user_id, event_type, bucket, 'stream' AS src FROM k
+         UNION ALL
+         SELECT user_id + 100000000 AS user_id, event_type, bucket,
+                'seed' AS src
+         FROM k WHERE user_id % 3 = 0""",
+
+    // decoded WAV features, closed-form in doc_id (see wavPayloadFromId):
+    // rate = 8000+(id%8)·1000, n = 400+(id%100)·20, RMS = amplitude
+    // = 1000+(id%30)·500, n_bytes = 44-byte RIFF header + 2n. All values
+    // terminate before the 4th decimal so round() can't diverge.
+    "q97_audio_decode" ->
+      """SELECT doc_id AS media_id,
+                CAST(44 + 2 * (400 + (doc_id % 100) * 20) AS BIGINT) AS n_bytes,
+                CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+                CAST(400 + (doc_id % 100) * 20 AS BIGINT) AS n_samples,
+                round((400 + (doc_id % 100) * 20) * 1000.0
+                      / (8000 + (doc_id % 8) * 1000), 4) AS duration_ms,
+                CAST(1000 + (doc_id % 30) * 500 AS DOUBLE) AS rms
+         FROM documents""")
 }

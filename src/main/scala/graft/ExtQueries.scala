@@ -145,7 +145,7 @@ object ExtQueries {
     // bucket; the query itself is a partition-pruned probe — build cost
     // amortizes across queries exactly as the operator docs promise.
     "q25_ann_topk" -> ((s, dir) => {
-      val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+      val lsh = Similarity.SignLsh(nBits = AnnLshBits, dim = 64)
       val idx = lsh.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
         Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "signlsh_8_64"))
@@ -276,7 +276,7 @@ object ExtQueries {
     // ONCE per (table, params): the index persists partitioned by
     // centroid_id and the query probes nProbe pruned cells.
     "q36_ivf_topk" -> ((s, dir) => {
-      val ivf = Similarity.Ivf(nCentroids = 16, nProbe = 4)
+      val ivf = Similarity.Ivf(nCentroids = IvfCentroids, nProbe = IvfProbe)
       val (centers, index) = ivf.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
         Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "ivf_16_4"))
@@ -285,6 +285,12 @@ object ExtQueries {
       ivf.topK(centers, index, q, k = 10)
     })
   )
+
+  /** ANN index configs, shared with Bench's ann_quality section so the
+    * published probe-cell count can never drift from what the query runs. */
+  private[graft] val AnnLshBits = 8
+  private[graft] val IvfCentroids = 16
+  private[graft] val IvfProbe = 4
 
   /** The canonical ANN query vector (vec_id = 0), collected once per call —
     * one row, driver-side by design (probe-set computation is driver work). */

@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   * recompute the decoded features exactly — the decode is verified
   * end-to-end through real image bytes.
   *
-  * VIDEO/AUDIO codecs are not in the JDK, so those paths keep the
+  * AUDIO decode is REAL too (round 8): [[JavaSoundDecoder]] parses actual
+  * WAV/PCM bytes with the JDK's own `javax.sound.sampled.AudioSystem`,
+  * returning true sample rate, sample count and RMS amplitude;
+  * [[wavPayloadFromId]] generates deterministic square-wave WAVs whose
+  * decoded features are closed-form in the row id (a square wave's RMS IS
+  * its amplitude), so the real decode sits under an exact SQL oracle
+  * (q97) the same way q73 does for PNG.
+  *
+  * VIDEO codecs are not in the JDK, so that path keeps the
   * [[StubDecoder]] (deterministic fake features from the payload md5,
   * oracle-recomputable from md5(text)); the [[MediaDecoder]] seam is the
   * swap point for a JNI/javacv implementation in production.
@@ -204,6 +212,135 @@ object Multimodal {
         }
       }
     }(Encoders.product[DecodedImage])
+    val valid = decoded.filter(col("decode_error").isNull).drop("decode_error")
+    val rejects = decoded.filter(col("decode_error").isNotNull)
+      .select(col("media_id"), col("n_bytes"), col("decode_error"))
+    (valid, rejects, decoded)
+  }
+
+  // ----------------------------------------------------------------- audio
+
+  final case class AudioFeatures(
+      media_id: Long, n_bytes: Long, sample_rate: Int, n_samples: Long,
+      duration_ms: Double, rms: Double)
+
+  /** Audio decoder seam (the audio twin of [[MediaDecoder]]). */
+  trait AudioDecoder extends Serializable {
+    /** Returns (sampleRate, nSamples, rms amplitude in sample units). */
+    def decodeAudio(payload: Array[Byte]): (Int, Long, Double)
+  }
+
+  /** REAL audio decode on the JDK's `javax.sound.sampled` (WAV/PCM/AIFF —
+    * ships with every JRE, zero external dependencies). Expects 16-bit
+    * signed mono PCM; RMS is sqrt(mean(sample²)) in raw sample units.
+    * Undecodable bytes fail loudly (UnsupportedAudioFileException) — wrap
+    * with [[audioFeaturesOrReject]] for the dead-letter split. */
+  object JavaSoundDecoder extends AudioDecoder {
+    override def decodeAudio(payload: Array[Byte]): (Int, Long, Double) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"expected 16-bit signed mono PCM, got $fmt")
+        val data = in.readAllBytes()
+        val n = data.length / 2
+        var i = 0
+        var sq = 0L // exact: |sample| ≤ 2^15, so n·s² fits a long to ~2^33 rows
+        while (i < n) {
+          // WAV is little-endian: low byte unsigned, high byte carries sign
+          val s = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+          sq += s.toLong * s
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sq.toDouble / n)
+        (fmt.getSampleRate.toInt, n.toLong, rms)
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic WAV payloads for the decode oracle: a 16-bit mono PCM
+    * square wave (8 samples +A, 8 samples −A) with
+    * `rate = 8000 + (id%8)·1000`, `n = 400 + (id%100)·20`,
+    * `A = 1000 + (id%30)·500`. Every decoded feature is closed-form in
+    * `id` — a square wave's RMS is exactly A (every sample is ±A, and
+    * sqrt of a perfect-square double is exact), `n_bytes` is the
+    * canonical 44-byte RIFF header + 2n, duration = n·1000/rate — while
+    * the bytes that flow through the pipeline are REAL WAV (RIFF header,
+    * fmt/data chunks) written by `AudioSystem.write`, so
+    * [[JavaSoundDecoder]] is exercised end-to-end. */
+  def wavPayloadFromId(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .repartition(par)
+      .mapPartitions { it =>
+        it.map { id =>
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val n = (400 + (id % 100) * 20).toInt
+          val amp = (1000 + (id % 30) * 500).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = if ((i / 8) % 2 == 0) amp else -amp
+            pcm(2 * i) = (s & 0xff).toByte
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRecord(id, "audio", out.toByteArray)
+        }
+      }(Encoders.product[MediaRecord])
+  }
+
+  /** Partition-batched audio decode → features; iterator→iterator like
+    * [[imageFeatures]]. duration_ms and rms round to 4 decimals (values
+    * from [[wavPayloadFromId]] terminate before the 4th decimal, so the
+    * rounding mode can't diverge between engines). */
+  def audioFeatures(media: Dataset[MediaRecord],
+                    decoder: AudioDecoder = JavaSoundDecoder): Dataset[AudioFeatures] =
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val (rate, n, rms) = decoder.decodeAudio(rec.payload)
+        AudioFeatures(rec.media_id, rec.payload.length.toLong, rate, n,
+          math.rint(n * 1000.0 / rate * 10000) / 10000,
+          math.rint(rms * 10000) / 10000)
+      }
+    }(Encoders.product[AudioFeatures])
+
+  final case class DecodedAudio(
+      media_id: Long, n_bytes: Long, sample_rate: Int, n_samples: Long,
+      duration_ms: Double, rms: Double, decode_error: String)
+
+  /** Audio decode with a dead-letter channel — the audio twin of
+    * [[imageFeaturesOrReject]]: every payload lands in exactly one of
+    * (valid, rejects); truncated/junk bytes become reject rows carrying
+    * the error, never exceptions. Persist the third (combined) frame
+    * before consuming both sides. */
+  def audioFeaturesOrReject(media: Dataset[MediaRecord],
+                            decoder: AudioDecoder = JavaSoundDecoder)
+      : (DataFrame, DataFrame, Dataset[DecodedAudio]) = {
+    val decoded = media.mapPartitions { it =>
+      it.map { rec =>
+        try {
+          val (rate, n, rms) = decoder.decodeAudio(rec.payload)
+          DecodedAudio(rec.media_id, rec.payload.length.toLong, rate, n,
+            math.rint(n * 1000.0 / rate * 10000) / 10000,
+            math.rint(rms * 10000) / 10000, null)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            DecodedAudio(rec.media_id, rec.payload.length.toLong, -1, -1L,
+              -1.0, -1.0, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }(Encoders.product[DecodedAudio])
     val valid = decoded.filter(col("decode_error").isNull).drop("decode_error")
     val rejects = decoded.filter(col("decode_error").isNotNull)
       .select(col("media_id"), col("n_bytes"), col("decode_error"))

@@ -399,4 +399,44 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(r.forall(row => Option(row.getAs[String]("decode_error"))
       .exists(_.nonEmpty)))
   }
+
+  test("real WAV decode: generated square waves round-trip through javax.sound") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 99L, 123L).toDF("doc_id")
+    val feats = Multimodal.audioFeatures(Multimodal.wavPayloadFromId(ids))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet === Set(0L, 7L, 99L, 123L))
+    for ((id, f) <- feats) {
+      val rate = 8000 + (id % 8) * 1000
+      val n = 400 + (id % 100) * 20
+      assert(f.sample_rate === rate.toInt, s"rate for id=$id")
+      assert(f.n_samples === n, s"n for id=$id")
+      assert(f.n_bytes === 44 + 2 * n, s"bytes for id=$id")
+      // a square wave's RMS is exactly its amplitude
+      assert(f.rms === (1000 + (id % 30) * 500).toDouble, s"rms for id=$id")
+      assert(f.duration_ms === math.rint(n * 1000.0 / rate * 10000) / 10000)
+    }
+  }
+
+  test("corrupt audio dead-letters: truncated WAV and junk route to rejects") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val good = Multimodal.wavPayloadFromId(ids).collect()
+    val corrupted = good.map { m =>
+      m.media_id match {
+        case 2L => m.copy(payload = m.payload.take(20))            // truncated header
+        case 3L => m.copy(payload = "junk, not audio".getBytes)    // wrong container
+        case _  => m
+      }
+    }.toSeq.toDS()
+    val (valid, rejects, decoded) = Multimodal.audioFeaturesOrReject(corrupted)
+    decoded.persist()
+    val v = valid.collect()
+    val r = rejects.collect()
+    decoded.unpersist()
+    assert(v.map(_.getLong(0)).toSet === Set(1L))
+    assert(r.map(_.getLong(0)).toSet === Set(2L, 3L))
+    assert(r.forall(row => Option(row.getAs[String]("decode_error"))
+      .exists(_.nonEmpty)))
+  }
 }
