@@ -88,20 +88,23 @@ object ScaleStress {
             .otherwise(col("text")).as("text"))
     }
 
-    def shape(name: String, mk: Int => org.apache.spark.sql.DataFrame,
-              run: org.apache.spark.sql.DataFrame => Long): (String, Map[String, ShapeRun]) = {
-      val out = Seq(1, 10).map { k =>
-        val df = mk(k)
-        val rows = df.count()
-        run(df) // warm-up: JIT + FS metadata out of the measured pass
-        spark.catalog.clearCache()
-        val r = timed(rows)(run(mk(k)))
-        println(f"[stress] $name x$k: in=${r.rowsIn} out=${r.rowsOut} " +
-          f"wall=${r.wallSec}%.1fs")
-        s"x$k" -> r
-      }.toMap
-      name -> out
+    def measure(name: String, label: String,
+                mk: () => org.apache.spark.sql.DataFrame,
+                run: org.apache.spark.sql.DataFrame => Long): (String, ShapeRun) = {
+      val df = mk()
+      val rows = df.count()
+      run(df) // warm-up: JIT + FS metadata out of the measured pass
+      spark.catalog.clearCache()
+      val r = timed(rows)(run(mk()))
+      println(f"[stress] $name $label: in=${r.rowsIn} out=${r.rowsOut} " +
+        f"wall=${r.wallSec}%.1fs")
+      label -> r
     }
+
+    def shape(name: String, mk: Int => org.apache.spark.sql.DataFrame,
+              run: org.apache.spark.sql.DataFrame => Long): (String, Map[String, ShapeRun]) =
+      name -> Seq(1, 10).map(k =>
+        measure(name, s"x$k", () => mk(k), run)).toMap
 
     val shapes = Seq(
       shape("q50_lsh_groups_dense_cluster",
@@ -111,9 +114,25 @@ object ScaleStress {
         k => stressVecs(k, hot = 200),
         df => graft.operators.Similarity
           .semanticDedupGroups(df, threshold = 0.3).count()),
-      shape("q22_ngram_jaccard_df_spike",
-        k => spikeDocs(k),
-        df => TextDedup.ngramJaccardPairs(df).count()))
+      // q22 runs x10 under BOTH cap policies. The synthetic corpus draws
+      // shingles from a small phrase pool, so at 10× replication nearly
+      // every shingle's document frequency crosses the fixed cap of 20
+      // and gets pruned — pairs collapse 186 → 0. That is the measured
+      // recall cliff of an ABSOLUTE df cap under corpus growth (the cap
+      // is fan-out control, and fan-out is relative to corpus size): at
+      // scale the cap must grow with the corpus. x10_scaled_cap keeps
+      // cap/corpus constant (20·k) and is the honest performance number;
+      // x10_fixed_cap documents the cliff.
+      "q22_ngram_jaccard_df_spike" -> Map(
+        measure("q22_ngram_jaccard_df_spike", "x1",
+          () => spikeDocs(1),
+          df => TextDedup.ngramJaccardPairs(df).count()),
+        measure("q22_ngram_jaccard_df_spike", "x10_fixed_cap",
+          () => spikeDocs(10),
+          df => TextDedup.ngramJaccardPairs(df).count()),
+        measure("q22_ngram_jaccard_df_spike", "x10",
+          () => spikeDocs(10),
+          df => TextDedup.ngramJaccardPairs(df, maxShingleDf = 200).count())))
 
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
     val json = shapes.map { case (name, runs) =>

@@ -297,11 +297,25 @@ object TextDedup {
           s => substring(md5(s), 1, 8)).as("__hs"))
       .select(col("doc_id"), explode(winnow(col("__hs"), w)).as("fingerprint"))
 
+  /** Derived df cap for [[ngramJaccardPairs]]: fan-out control is
+    * RELATIVE to corpus size, so an absolute cap must grow with the
+    * corpus — SCALE_r8.json measures the failure mode (10× replication
+    * pushed every shared shingle past a fixed cap of 20 and pair recall
+    * collapsed 186 → 0). Rule: ~`perMille` docs per thousand may share a
+    * join shingle (default 4‰ ≈ 20 at the 5k-doc sf0.1 corpus, keeping
+    * the declared q22 unchanged), floored at 20 so tiny corpora aren't
+    * over-pruned. Callers pass the corpus doc count they already know;
+    * the cap stays a plain parameter so the SQL oracle mirrors it. */
+  def dfCapFor(corpusDocs: Long, perMille: Double = 4.0): Int =
+    math.max(20L, math.round(corpusDocs * perMille / 1000.0)).toInt
+
   /** Exact n-gram Jaccard over candidate pairs found via a shared-shingle
     * join. `maxShingleDf` prunes join shingles whose document frequency
     * exceeds the cap (fan-out control at scale — an ubiquitous shingle is
-    * quadratic cost and no signal). Output: (doc_a, doc_b, jaccard) with
-    * jaccard ≥ `minJaccard`. */
+    * quadratic cost and no signal; derive the cap from corpus size with
+    * [[dfCapFor]] — a FIXED cap prunes toward zero recall as the corpus
+    * grows, measured in SCALE_r8.json). Output: (doc_a, doc_b, jaccard)
+    * with jaccard ≥ `minJaccard`. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
                         maxShingleDf: Int = 20,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -400,6 +400,17 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
       .exists(_.nonEmpty)))
   }
 
+  test("dfCapFor scales the jaccard df cap with corpus size (fixed cap = recall cliff)") {
+    // sf0.1-sized corpus keeps the declared q22 cap of 20
+    assert(TextDedup.dfCapFor(5000) === 20)
+    // tiny corpora floor at 20 rather than over-pruning
+    assert(TextDedup.dfCapFor(100) === 20)
+    // 10× corpus → 10× cap: cap/corpus stays constant, so the SCALE_r8
+    // replication scenario keeps its pairs instead of pruning to zero
+    assert(TextDedup.dfCapFor(50000) === 200)
+    assert(TextDedup.dfCapFor(50000, perMille = 2.0) === 100)
+  }
+
   test("real WAV decode: generated square waves round-trip through javax.sound") {
     import spark.implicits._
     val ids = Seq(0L, 7L, 99L, 123L).toDF("doc_id")
