@@ -198,7 +198,16 @@ object Bench {
           val (centers, index) = ivf.build(corpus)
           val ivfFound = ivf.topK(centers, index, probe, 10)
             .collect().map(_.getLong(0)).toSet
+          // the recall/cost knob, measured: Hamming≤2 probing (37 buckets
+          // at 8 bits vs 9) on the REAL corpus against the q23 truth
+          val corpusReal = emb.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"), col("embedding"))
+          val probe2 = lsh.topK(lsh.index(corpusReal), probe, 10,
+              probeHamming = 2)
+            .collect().map(_.getLong(0)).toSet
           corpusRecall ++ Map(
+            "q25_recall_at_10_probe2" ->
+              probe2.intersect(truth).size.toDouble / truth.size,
             "q25_planted_recall_at_5" ->
               lshFound.intersect(plantedIds).size.toDouble / 5,
             "q36_planted_recall_at_5" ->

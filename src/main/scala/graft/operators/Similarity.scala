@@ -540,16 +540,35 @@ object Similarity {
       }.sum
     }
 
+    /** Probe ball: every bucket within Hamming distance `h` of `sig`.
+      * h=1 → nBits+1 buckets (the classic multi-probe set); h=2 adds the
+      * C(nBits,2) two-bit flips — the RECALL/COST KNOB: each extra
+      * Hamming level multiplies probed buckets (and so candidates
+      * re-scored exactly) by ~nBits/2 while recall climbs toward
+      * brute force. Probe counts stay driver-side literals, so the scan
+      * is statically pruned whatever h is. */
+    private[operators] def probesFor(sig: Int, h: Int): Seq[Int] = {
+      require(h >= 0 && h <= 2, s"probeHamming must be 0..2, got $h")
+      val h0 = Seq(sig)
+      val h1 = if (h >= 1) (0 until nBits).map(j => sig ^ (1 << j)) else Nil
+      val h2 = if (h >= 2)
+        for (i <- 0 until nBits; j <- i + 1 until nBits)
+          yield sig ^ (1 << i) ^ (1 << j)
+      else Nil
+      h0 ++ h1 ++ h2
+    }
+
     /** Top-k through a PERSISTED index: the query signature and its probe
-      * set (Hamming ≤ 1, nBits+1 buckets) are computed on the driver, so
+      * set (Hamming ≤ `probeHamming`) are computed on the driver, so
       * the scan is statically partition-pruned to the probe groups (and
       * row-group-pruned to the probe buckets inside them) — no join, no
       * full sweep. */
-    def topKPruned(indexDf: DataFrame, qv: Array[Double], k: Int = 10): DataFrame = {
+    def topKPruned(indexDf: DataFrame, qv: Array[Double], k: Int = 10,
+                   probeHamming: Int = 1): DataFrame = {
       val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
       val qn = qv.map(_ / n)
       val sig = signatureOf(qv)
-      val probes = sig +: (0 until nBits).map(j => sig ^ (1 << j))
+      val probes = probesFor(sig, probeHamming)
       val grps = probes.map(groupOf).distinct
       // partition-prune on the dir column when present (persisted layout);
       // an in-memory index frame has no bucket_grp and needs no pruning
@@ -564,19 +583,27 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
     }
 
-    /** Top-k through the index: probe the query bucket and all buckets at
-      * Hamming distance 1 (nBits+1 buckets), re-score exactly, take k. */
-    def topK(indexDf: DataFrame, query: DataFrame, k: Int = 10): DataFrame = {
+    /** Top-k through the index: probe every bucket within Hamming
+      * distance `probeHamming` of the query bucket (see [[probesFor]]),
+      * re-score exactly, take k. */
+    def topK(indexDf: DataFrame, query: DataFrame, k: Int = 10,
+             probeHamming: Int = 1): DataFrame = {
+      require(probeHamming >= 0 && probeHamming <= 2,
+        s"probeHamming must be 0..2, got $probeHamming")
       val q = withSignBits(
         normalize(query.withColumn("__qid", lit(0L)), "__qid", "qv")
           .withColumnRenamed("v", "qn").drop("vec_id"),
         "qn", dim, nBits)
         .withColumnRenamed("sig", "qbucket")
+      val xors: Seq[Int] = Seq(0) ++
+        (if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil) ++
+        (if (probeHamming >= 2)
+           for (i <- 0 until nBits; j <- i + 1 until nBits)
+             yield (1 << i) | (1 << j)
+         else Nil)
       val probes = q.select(col("qn"),
-        explode(array((-1 until nBits).map {
-          case -1 => col("qbucket")
-          case j => col("qbucket").bitwiseXOR(lit(1 << j))
-        }: _*)).as("bucket"))
+        explode(array(xors.map(m =>
+          col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
       indexDf.join(broadcast(probes), "bucket")
         .withColumn("cos", dotProduct(col("v"), col("qn")))
         .orderBy(col("cos").desc, col("vec_id").asc)

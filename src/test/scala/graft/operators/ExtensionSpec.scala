@@ -144,6 +144,29 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(foundPlanted === 5)
   }
 
+  test("multi-probe sign-LSH: Hamming<=2 ball is exact and recall is monotone in radius") {
+    val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
+    val ball = lsh.probesFor(0x5a, 2)
+    assert(ball.size === 1 + 8 + 28)
+    assert(ball.distinct.size === ball.size)
+    assert(ball.forall(b => Integer.bitCount(b ^ 0x5a) <= 2))
+    assert(lsh.probesFor(0x5a, 1).toSet ===
+      ball.filter(b => Integer.bitCount(b ^ 0x5a) <= 1).toSet)
+
+    val corpus = embeddings.filter($"vec_id" =!= 0)
+    val q = embeddings.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = Similarity.bruteForceTopK(corpus, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = lsh.index(corpus)
+    def recall(h: Int) = lsh.topK(idx, q, 10, probeHamming = h)
+      .collect().map(_.getLong(0)).toSet.intersect(exact).size
+    val (r1, r2) = (recall(1), recall(2))
+    info(s"corpus recall@10: probe1=$r1/10 probe2=$r2/10")
+    // a wider probe ball re-scores a superset of candidates — recall can
+    // only grow with the radius
+    assert(r2 >= r1)
+  }
+
   test("persisted sign-LSH index probes identically to the in-memory join path") {
     val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
     val corpus = embeddings.filter($"vec_id" =!= 0)
