@@ -205,7 +205,16 @@ object Bench {
           val probe2 = lsh.topK(lsh.index(corpusReal), probe, 10,
               probeHamming = 2)
             .collect().map(_.getLong(0)).toSet
+          val pq = Similarity.Pq(m = 8, nCodes = 16)
+          val cbP = pq.train(corpus)
+          val pqFound = pq.topK(cbP, pq.encode(cbP, corpus), corpus,
+              v0.map(_.toDouble), 10)
+            .collect().map(_.getLong(0)).toSet
           corpusRecall ++ Map(
+            "q98_pq_topk_recall_at_10" ->
+              ids("q98_pq_topk").intersect(truth).size.toDouble / truth.size,
+            "q98_planted_recall_at_5" ->
+              pqFound.intersect(plantedIds).size.toDouble / 5,
             "q25_recall_at_10_probe2" ->
               probe2.intersect(truth).size.toDouble / truth.size,
             "q25_planted_recall_at_5" ->

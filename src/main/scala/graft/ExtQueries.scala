@@ -275,6 +275,17 @@ object ExtQueries {
     // retrieval quality is spec-tested against brute force. Training runs
     // ONCE per (table, params): the index persists partitioned by
     // centroid_id and the query probes nProbe pruned cells.
+    // Product-quantized ANN (rows-only like q25/q36 — k-means has no SQL
+    // oracle; PqSpec pins determinism, compression shape, and planted
+    // near-dup retrieval): train sub-quantizers on a bounded sample,
+    // encode the corpus to m small codes, ADC-shortlist, exact re-rank.
+    "q98_pq_topk" -> ((s, dir) => {
+      val pq = Similarity.Pq(m = 8, nCodes = 16)
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val cb = pq.train(corpus)
+      pq.topK(cb, pq.encode(cb, corpus), corpus, queryVector(s, dir), k = 10)
+    }),
+
     "q36_ivf_topk" -> ((s, dir) => {
       val ivf = Similarity.Ivf(nCentroids = IvfCentroids, nProbe = IvfProbe)
       val (centers, index) = ivf.loadOrBuild(s,

@@ -219,6 +219,40 @@ object Similarity {
       graft.plans.NormalizeVector.normalize(col(vecCol)).as("v"))
   }
 
+  /** Plain Lloyd's iterations over an in-memory sample — deterministic
+    * for a given seed; empty cells keep their previous center. Shared by
+    * the IVF coarse quantizer and the PQ sub-quantizers. */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+                               seed: Long, iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "cannot train centroids on an empty sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    var centers = rnd.shuffle(points.indices.toVector)
+      .take(math.min(k, points.length)).map(points).toArray
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(centers.length, dim)(0.0)
+      val counts = new Array[Long](centers.length)
+      points.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centers = Array.tabulate(centers.length)(c =>
+        if (counts(c) == 0) centers(c) else sums(c).map(_ / counts(c)))
+    }
+    centers
+  }
+
   /** Deterministic pseudo-random hyperplane for plane j: component d is the
     * portable 60-bit md5 hash of "plane_j_d" scaled to [-1, 1) — the exact
     * formula the oracle recomputes in SQL. Evaluated on the driver into a
@@ -393,35 +427,8 @@ object Similarity {
     /** Plain Lloyd's iterations over the in-memory sample — deterministic
       * for a given seed; empty cells keep their previous center. */
     private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
-                      iters: Int): Array[Array[Double]] = {
-      require(points.nonEmpty, "cannot train IVF centroids on an empty table")
-      val dim = points.head.length
-      val rnd = new scala.util.Random(seed)
-      var centers = rnd.shuffle(points.indices.toVector)
-        .take(math.min(k, points.length)).map(points).toArray
-      (0 until iters).foreach { _ =>
-        val sums = Array.fill(centers.length, dim)(0.0)
-        val counts = new Array[Long](centers.length)
-        points.foreach { p =>
-          var best = 0
-          var bd = Double.MaxValue
-          var c = 0
-          while (c < centers.length) {
-            var d = 0.0
-            var i = 0
-            while (i < dim) { val t = p(i) - centers(c)(i); d += t * t; i += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < dim) { sums(best)(i) += p(i); i += 1 }
-        }
-        centers = Array.tabulate(centers.length)(c =>
-          if (counts(c) == 0) centers(c) else sums(c).map(_ / counts(c)))
-      }
-      centers
-    }
+                      iters: Int): Array[Array[Double]] =
+      Similarity.lloyd(points, k, seed, iters)
 
     /** Top-k via probed cells + exact re-score. The centroid shortlist is
       * computed on the driver (centroids are tiny by construction). */
@@ -606,6 +613,101 @@ object Similarity {
           col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
       indexDf.join(broadcast(probes), "bucket")
         .withColumn("cos", dotProduct(col("v"), col("qn")))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+    }
+  }
+
+  /** Product quantization — the ANN MEMORY lever at 100 TB scale. A
+    * 64-dim float vector (256 bytes) compresses to `m` small integer
+    * codes (8 ints at m=8; one byte each on disk after parquet dictionary
+    * encoding), and approximate inner products cost m TABLE LOOKUPS per
+    * row (asymmetric distance computation: the query side stays exact,
+    * the corpus side is reconstructed from per-subspace centroids) — no
+    * per-row vector arithmetic, the whole scoring pass is one
+    * codegen-friendly projection over the codes column.
+    *
+    * Standard scale pipeline: ADC shortlist over ALL codes (cheap,
+    * in-memory-sized corpus representation) → exact re-rank of the
+    * shortlist against the full vectors (a partition-pruned or id-joined
+    * fetch of `shortlist` rows). [[topK]] implements exactly that.
+    *
+    * Sub-quantizers train per subspace via the shared seeded Lloyd's on a
+    * bounded driver sample — deterministic for a given (seed, input
+    * layout); retrieval quality is spec-tested against brute force (no
+    * SQL oracle exists for k-means, same status as IVF/q36). */
+  final case class Pq(m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
+                      maxSample: Int = 65536) {
+
+    /** codebooks(i)(c) = centroid c of subspace i, trained over the
+      * NORMALIZED vectors so ADC approximates cosine. */
+    def train(embeddings: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+      val sample = normalize(embeddings, idCol, vecCol)
+        .select(col("v")).limit(maxSample)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty, "cannot train PQ codebooks on an empty table")
+      val dim = sample.head.length
+      require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+      val sub = dim / m
+      Array.tabulate(m)(i =>
+        lloyd(sample.map(_.slice(i * sub, (i + 1) * sub)), nCodes,
+          seed + i, iters = 5))
+    }
+
+    /** (vec_id, codes array<int>): nearest sub-centroid per subspace,
+      * assigned distributedly by the native nearest-centroid kernel over
+      * array slices — one projection, no shuffle. */
+    def encode(codebooks: Array[Array[Array[Double]]], embeddings: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      val sub = codebooks.head.head.length
+      graft.plans.NearestCentroid.register(embeddings.sparkSession)
+      normalize(embeddings, idCol, vecCol)
+        .select(col("vec_id"),
+          array((0 until m).map(i =>
+            graft.plans.NearestCentroid.assign(
+              slice(col("v"), i * sub + 1, sub), codebooks(i))): _*).as("codes"))
+    }
+
+    /** ADC scores for query `qv` over a codes frame: the m×nCodes lookup
+      * table (inner product of each query sub-vector with each
+      * sub-centroid) is computed on the driver and shipped as ONE flat
+      * array literal; each row's score is m element_at lookups folded by
+      * `aggregate` — fully codegen'd, no join. */
+    def adcScores(codebooks: Array[Array[Array[Double]]], codes: DataFrame,
+                  qv: Array[Double]): DataFrame = {
+      val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
+      val qn = qv.map(_ / n)
+      val sub = codebooks.head.head.length
+      val flat: Seq[Double] = for {
+        i <- 0 until m
+        cb <- codebooks(i)
+      } yield cb.zip(qn.slice(i * sub, (i + 1) * sub))
+        .map { case (c, q) => c * q }.foldLeft(0.0)(_ + _)
+      codes.select(col("vec_id"),
+        aggregate(
+          transform(col("codes"), (c, i) =>
+            element_at(typedLit(flat), (i * nCodes + c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    }
+
+    /** Top-k: ADC shortlist (size `shortlist`) → exact cosine re-rank of
+      * the survivors against the full vectors. Output matches the other
+      * ANN paths: (vec_id, cosine). */
+    def topK(codebooks: Array[Array[Array[Double]]], codes: DataFrame,
+             embeddings: DataFrame, qv: Array[Double], k: Int = 10,
+             shortlist: Int = 100, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+      val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
+      val qn = qv.map(_ / n).toSeq
+      val short = adcScores(codebooks, codes, qv)
+        .orderBy(col("adc").desc, col("vec_id").asc)
+        .limit(shortlist)
+        .select(col("vec_id"))
+      normalize(embeddings, idCol, vecCol)
+        .join(broadcast(short), "vec_id")
+        .withColumn("cos", dotProduct(col("v"), typedLit(qn)))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(k)
         .select(col("vec_id"), round(col("cos"), 6).as("cosine"))

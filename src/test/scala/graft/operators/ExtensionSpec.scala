@@ -167,6 +167,41 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(r2 >= r1)
   }
 
+  test("PQ: deterministic codebooks, 8-int codes, planted near-dups survive ADC+rerank") {
+    val pq = Similarity.Pq(m = 8, nCodes = 16)
+    // determinism: same seed → bit-identical codebooks
+    val cb1 = pq.train(embeddings.filter($"vec_id" =!= 0))
+    val cb2 = pq.train(embeddings.filter($"vec_id" =!= 0))
+    assert(cb1.length === 8)
+    assert(cb1.flatten.flatten.toSeq === cb2.flatten.flatten.toSeq)
+
+    // compression: a 64-float vector becomes exactly m small int codes
+    val codes = pq.encode(cb1, embeddings.filter($"vec_id" =!= 0))
+    val row = codes.head()
+    assert(row.getSeq[Int](1).length === 8)
+    assert(row.getSeq[Int](1).forall(c => c >= 0 && c < 16))
+
+    // retrieval promise (the planted-near-dup recipe): ADC shortlist +
+    // exact re-rank must surface true near-duplicates of the query
+    val v0 = embeddings.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val planted = (1 to 5).map { p =>
+      (9000L + p, v0.zipWithIndex.map { case (x, d) =>
+        x * (1.0f + 0.02f * p * ((d % 3) - 1)) })
+    }
+    val corpus = embeddings.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding")
+      .union(planted.toDF("vec_id", "embedding"))
+    val cb = pq.train(corpus)
+    val corpusCodes = pq.encode(cb, corpus)
+    val qv = v0.map(_.toDouble)
+    val top = pq.topK(cb, corpusCodes, corpus, qv, k = 10, shortlist = 50)
+      .collect().map(_.getLong(0)).toSet
+    val found = planted.map(_._1).toSet intersect top
+    info(s"PQ found $found of 5 planted near-dups in top-10")
+    assert(found.size === 5)
+  }
+
   test("persisted sign-LSH index probes identically to the in-memory join path") {
     val lsh = Similarity.SignLsh(nBits = 8, dim = 64)
     val corpus = embeddings.filter($"vec_id" =!= 0)
