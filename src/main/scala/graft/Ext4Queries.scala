@@ -174,6 +174,44 @@ object Ext4Queries {
       graft.operators.Upsert.readPartitionedTable(s, tableDir)
     }),
 
+    // The JDBC twin of q96 (round 8: the LAST spec-only sink onto the
+    // oracle surface): the AvailableNow stream upserts micro-batches into
+    // a TRANSACTIONAL embedded-Derby table via staged-write + one-txn
+    // ANSI MERGE, and the final table read back over JDBC is the asserted
+    // frame. Same seed construction as q96 — overlapping keys exercise
+    // the MERGE matched-update path, phantom keys survive untouched —
+    // and the same key+marker projection keeps last-writer-wins
+    // deterministic under any micro-batch split.
+    "q99_stream_upsert_jdbc" -> ((s, dir) => {
+      import graft.operators.JdbcUpsert
+      val work = java.nio.file.Files
+        .createTempDirectory("graft-q99").toString
+      val url = s"jdbc:derby:$work/db;create=true"
+      val keys = Seq("user_id", "event_type", "bucket")
+      val colTypes = Map("createTableColumnTypes" ->
+        "event_type VARCHAR(32), src VARCHAR(16)")
+      val batchKeys = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("bucket"))
+        .distinct()
+      val seed = batchKeys.withColumn("src", lit("seed"))
+        .unionByName(batchKeys.filter(col("user_id") % 3 === 0)
+          .withColumn("user_id", col("user_id") + lit(100000000L))
+          .withColumn("src", lit("seed")))
+      JdbcUpsert.upsert(seed, url, "q99_t", keys,
+        dialect = JdbcUpsert.AnsiMerge, stagingOptions = colTypes)
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("bucket"))
+        .withColumn("src", lit("stream"))
+      val q = graft.streaming.EventStreams.upsertStreamJdbc(
+        stream, url, "q99_t", s"$work/ckpt", keys,
+        dialect = JdbcUpsert.AnsiMerge, stagingOptions = colTypes)
+      require(q.awaitTermination(300000),
+        "q99 stream did not terminate within 300s")
+      s.read.jdbc(url, "q99_t", new java.util.Properties)
+    }),
+
     // REAL audio decode end-to-end (round 8): deterministic square-wave
     // WAVs generated per doc_id, decoded back through the JDK's
     // javax.sound.sampled via the dead-letter seam. Every decoded feature
@@ -247,6 +285,17 @@ object Ext4Queries {
     // overlapping seed rows were overwritten), only phantom seed keys
     // survive as 'seed'
     "q96_stream_upsert_sink" ->
+      """WITH k AS (SELECT DISTINCT user_id, event_type,
+                           date_trunc('minute', ts) AS bucket
+                    FROM events)
+         SELECT user_id, event_type, bucket, 'stream' AS src FROM k
+         UNION ALL
+         SELECT user_id + 100000000 AS user_id, event_type, bucket,
+                'seed' AS src
+         FROM k WHERE user_id % 3 = 0""",
+
+    // identical final-state semantics to q96, against the JDBC sink
+    "q99_stream_upsert_jdbc" ->
       """WITH k AS (SELECT DISTINCT user_id, event_type,
                            date_trunc('minute', ts) AS bucket
                     FROM events)
