@@ -190,7 +190,14 @@ object Ext4Queries {
       val keys = Seq("user_id", "event_type", "bucket")
       val colTypes = Map("createTableColumnTypes" ->
         "event_type VARCHAR(32), src VARCHAR(16)")
+      // deterministic 1/8 key sample: the sink path (staged write, batch
+      // dedup, both MERGE branches, one-txn commit) is identical at any
+      // volume, and embedded Derby's single-node transactional write is
+      // the dominant cost — 23k rows measured 12.8s/pass vs ~4s at 1/8.
+      // The oracle applies the same filter; the PARQUET twin (q96) keeps
+      // exercising the sinks at full volume.
       val batchKeys = t(s, dir, "events")
+        .filter(col("user_id") % 8 === 0)
         .select(col("user_id"), col("event_type"),
           date_trunc("minute", col("ts")).as("bucket"))
         .distinct()
@@ -201,6 +208,7 @@ object Ext4Queries {
       JdbcUpsert.upsert(seed, url, "q99_t", keys,
         dialect = JdbcUpsert.AnsiMerge, stagingOptions = colTypes)
       val stream = Tables.loadStream(s, dir, "events")
+        .filter(col("user_id") % 8 === 0)
         .select(col("user_id"), col("event_type"),
           date_trunc("minute", col("ts")).as("bucket"))
         .withColumn("src", lit("stream"))
@@ -295,10 +303,11 @@ object Ext4Queries {
          FROM k WHERE user_id % 3 = 0""",
 
     // identical final-state semantics to q96, against the JDBC sink
+    // (same deterministic 1/8 key sample as the declared query)
     "q99_stream_upsert_jdbc" ->
       """WITH k AS (SELECT DISTINCT user_id, event_type,
                            date_trunc('minute', ts) AS bucket
-                    FROM events)
+                    FROM events WHERE user_id % 8 = 0)
          SELECT user_id, event_type, bucket, 'stream' AS src FROM k
          UNION ALL
          SELECT user_id + 100000000 AS user_id, event_type, bucket,
