@@ -278,8 +278,11 @@ object TextDedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is a cheap bit_count already
+      // in hand, and far-apart chunk-collision pairs (the vast majority)
+      // would otherwise ride through the dedup shuffle just to be dropped
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Winnowed (rolling-window min-hash) fingerprints: (doc_id, fingerprint)
