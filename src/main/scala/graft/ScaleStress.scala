@@ -142,9 +142,12 @@ object ScaleStress {
       val factor = runs("x10").wallSec / math.max(runs("x1").wallSec, 1e-9)
       s""""$name":{$body,"wall_factor_10x":${num(factor)}}"""
     }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic","host_load":"see calibration in BENCH"}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_r8.json"),
+    // per-round artifact name so a later round's run never silently
+    // overwrites an earlier round's committed evidence
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r8.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[stress] wrote SCALE_r8.json")
+    println(s"[stress] wrote $outFile")
     if (!runFull) { spark.stop(); return }
 
     // ------------------------------------------------------- legacy probes
