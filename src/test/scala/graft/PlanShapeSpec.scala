@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the round-8 performance rewrites — the
+  * measured wins live or die on these physical-plan properties, so they
+  * are pinned here against optimizer-interaction regressions (the same
+  * discipline as BloomJoinSpec's filter-below-exchange assert).
+  * Parquet-backed inputs (sf0.001) keep ConvertToLocalRelation from
+  * collapsing the nodes under test. */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q22 plan: two shuffles, cache barrier present, no inlined shingle filter") {
+    val plan = SparkEntry.queries("q22_ngram_jaccard_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // exactly two hash-partitioned exchanges: bucket groupBy + pair groupBy
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 2, s"expected 2 shuffles, got $shuffles in:\n$plan")
+    // the doc-level persist is the optimizer barrier keeping
+    // InferFiltersFromGenerate's size() filter OFF the tokenize chain
+    assert(plan.contains("InMemoryTableScan"),
+      "doc-level cache barrier missing — the inferred generator filter " +
+        "will inline the tokenize+shingle chain into a scan filter (19s " +
+        "vs 2.2s at sf0.1)")
+    // the 19s failure mode: a Filter whose condition re-evaluates the
+    // shingle lambda (split inside element_at) per row
+    assert(!plan.matches("(?s).*Filter [^\\n]*element_at\\(split.*"),
+      s"inlined tokenize chain found in a Filter condition:\n$plan")
+  }
+
+  test("q98 plan: ADC shortlist broadcasts into the re-rank join — no shuffle join") {
+    val plan = SparkEntry.queries("q98_pq_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"re-rank join must broadcast the shortlist:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle join in the re-rank path:\n$plan")
+  }
+
+  test("q02 star join: dims broadcast, predicate pushed to scan") {
+    val plan = SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact-dim join fell back to a shuffle join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull"),
+      s"no pushed filters on the scan:\n$plan")
+  }
+}
