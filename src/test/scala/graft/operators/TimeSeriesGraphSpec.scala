@@ -96,6 +96,23 @@ class TimeSeriesGraphSpec extends AnyFunSuite with SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("connectedComponents: validateEdges fails loudly on phantom endpoints") {
+    val vertices = Seq(5L, 6L).toDF("id")
+    // endpoint 0 is not a vertex: under the documented precondition this
+    // is malformed input — label-seeding from endpoints would let 5 take
+    // component id 0 (not a vertex) silently
+    val edges = Seq((0L, 5L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.connectedComponents(vertices, edges, validateEdges = true)
+    }
+    assert(e.getMessage.contains("edge endpoint"))
+    // clean edges pass validation unchanged
+    val ok = Graph.connectedComponents(Seq(5L, 6L).toDF("id"),
+      Seq((5L, 6L)).toDF("src", "dst"), validateEdges = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("connectedComponents: long chain converges within maxIter") {
     // path graph 0-1-2-...-19: worst-case diameter for label propagation
     val n = 20L
