@@ -64,6 +64,28 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("winnowFingerprints == naive MOSS winnowing (positional shingles, window mins)") {
+    def md5hex(s: String): String =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    def naive(text: String, w: Int): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val sh = if (toks.size < 3) Seq.empty[String]
+               else toks.sliding(3).map(_.mkString(" ")).toSeq
+      val hs = sh.map(s => md5hex(s).substring(0, 8))
+      if (hs.size >= w) hs.sliding(w).map(_.min).toSet
+      else hs.minOption.toSet
+    }
+    for (seed <- Seq(5L, 13L)) {
+      val docs = corpus(seed, 40)
+      val expected = docs.flatMap { case (id, t) =>
+        naive(t, 4).map(f => id -> f) }.toSet
+      val got = TextDedup.winnowFingerprints(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(got === expected, s"seed=$seed")
+      assert(expected.nonEmpty)
+    }
+  }
+
   test("simhashPairs == naive pairwise Hamming at distance <= 3 (exact recall)") {
     for (seed <- Seq(3L, 11L)) {
       val docs = corpus(seed, 50)
