@@ -34,15 +34,29 @@ object Tables {
         .parquet(dir))
   }
 
-  /** The `events` table stores TIMESTAMP(NANOS) which Spark's TimestampType
-    * (microseconds) cannot represent; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
-    * LongType nanos, and this rewrites it to a proper timestamp. The testdata
-    * carries only microsecond precision, so the conversion is lossless. */
+  /** Normalizes timestamp storage shapes a real lake throws at the engine so
+    * every downstream operator sees a plain `TimestampType`:
+    *
+    *   - TIMESTAMP(NANOS), which Spark's TimestampType (microseconds) cannot
+    *     represent: sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    *     so the column arrives as LongType nanos, rewritten here to a proper
+    *     timestamp (the testdata carries only microsecond precision, so the
+    *     conversion is lossless).
+    *   - TIMESTAMP(isAdjustedToUTC=false), i.e. naive/wall-clock timestamps,
+    *     which Spark 4 infers as `TIMESTAMP_NTZ`. Event-time operators reject
+    *     NTZ (`withWatermark`, `unix_millis`, ...), so cast to TimestampType.
+    *     Every entry point pins the session timezone to UTC, making the cast
+    *     wall-clock-preserving — values (and DuckDB-oracle hashes) unchanged.
+    *
+    * Applied by both [[load]] and [[loadStream]], so neither batch plans nor
+    * the file-stream source ever surface an NTZ or raw-long event-time column. */
   private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case (acc, f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
 
