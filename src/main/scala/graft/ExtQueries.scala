@@ -120,9 +120,17 @@ object ExtQueries {
       ColumnStats.profile(t(s, dir, "orders"),
         Seq("o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"))),
 
-    // Exact n-gram Jaccard over shared-shingle candidates.
-    "q22_ngram_jaccard_pairs" -> ((s, dir) =>
-      TextDedup.ngramJaccardPairs(t(s, dir, "documents"), minJaccard = 0.5)),
+    // Exact n-gram Jaccard over shared-shingle candidates. The df cap is
+    // DERIVED from corpus size via [[TextDedup.dfCapFor]] — a fixed cap
+    // prunes toward zero recall as the corpus grows (SCALE_r8.json
+    // measured pairs 186→0 at 10× replication under cap=20). The count()
+    // is parquet footer metadata, not a data scan, so the derivation is
+    // O(files) at any corpus size; the oracle mirrors the same formula.
+    "q22_ngram_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextDedup.ngramJaccardPairs(docs, minJaccard = 0.5,
+        maxShingleDf = TextDedup.dfCapFor(docs.count()))
+    }),
 
     // Brute-force cosine top-10 for the vec_id=0 query vector, scored by the
     // native fused-loop Expression (bit-identical to the HOF formulation,
@@ -146,6 +154,13 @@ object ExtQueries {
     // amortizes across queries exactly as the operator docs promise.
     "q25_ann_topk" -> ((s, dir) => {
       val lsh = Similarity.SignLsh(nBits = AnnLshBits, dim = 64)
+      plantedGate("q25_ann_topk", dir) {
+        val (corpus, _, plantedIds) = plantedFixture(s, dir)
+        val probe = t(s, dir, "embeddings")
+          .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        (lsh.topK(lsh.index(corpus), probe, 10)
+          .collect().map(_.getLong(0)).toSet, plantedIds)
+      }
       val idx = lsh.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
         Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "signlsh_8_64"))
@@ -281,6 +296,12 @@ object ExtQueries {
     // encode the corpus to m small codes, ADC-shortlist, exact re-rank.
     "q98_pq_topk" -> ((s, dir) => {
       val pq = Similarity.Pq(m = 8, nCodes = 16)
+      plantedGate("q98_pq_topk", dir) {
+        val (pc, v0, plantedIds) = plantedFixture(s, dir)
+        val cbP = pq.train(pc)
+        (pq.topK(cbP, pq.encode(cbP, pc), pc, v0.map(_.toDouble), 10)
+          .collect().map(_.getLong(0)).toSet, plantedIds)
+      }
       val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
       val cb = pq.train(corpus)
       pq.topK(cb, pq.encode(cb, corpus), corpus, queryVector(s, dir), k = 10)
@@ -288,6 +309,14 @@ object ExtQueries {
 
     "q36_ivf_topk" -> ((s, dir) => {
       val ivf = Similarity.Ivf(nCentroids = IvfCentroids, nProbe = IvfProbe)
+      plantedGate("q36_ivf_topk", dir) {
+        val (pc, _, plantedIds) = plantedFixture(s, dir)
+        val (c, i) = ivf.build(pc)
+        val probe = t(s, dir, "embeddings")
+          .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        (ivf.topK(c, i, probe, 10)
+          .collect().map(_.getLong(0)).toSet, plantedIds)
+      }
       val (centers, index) = ivf.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
         Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "ivf_16_4"))
@@ -309,6 +338,54 @@ object ExtQueries {
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Any](0)
       .map { case f: Float => f.toDouble; case d: Double => d }.toArray
+
+  /** Planted-recall fixture shared by the ANN hard gates below and Bench's
+    * `ann_quality` trend numbers (one definition — the published number and
+    * the gate can never drift apart): 5 true near-duplicates of the probe
+    * (vec_id 0) with small per-dim phase perturbations, appended to the real
+    * corpus under sentinel ids. An index that can't retrieve a planted
+    * near-duplicate is broken regardless of what the organic corpus looks
+    * like (i.i.d. gaussian "nearest" neighbors are near-orthogonal, so
+    * corpus recall is data-bounded — planted recall is the index's promise). */
+  private[graft] def plantedFixture(s: SparkSession, dir: String)
+      : (DataFrame, Array[Float], Set[Long]) = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val planted = (1 to 5).map { p =>
+      (90000000L + p, v0.zipWithIndex.map { case (x, d) =>
+        x * (1.0f + 0.02f * p * ((d % 3) - 1)) })
+    }
+    val corpus = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .union(planted.toDF("vec_id", "embedding"))
+    (corpus, v0, planted.map(_._1).toSet)
+  }
+
+  /** ANN planted-recall HARD GATE (round-10 verdict ask #6): fails the
+    * declared query if the index misses ANY planted near-duplicate, so a
+    * recall regression turns the correctness board red instead of shipping
+    * as a silently-degraded rows-only result. The gate probes a THROWAWAY
+    * in-memory index over corpus+planted — the declared query's own output
+    * (real corpus, persisted index) is untouched. Memoized per
+    * (query, dir, JVM): Verify runs every query once so the gate always
+    * fires there; under Bench the untimed warm-up pass absorbs the gate and
+    * the timed passes measure the pure probe, as the bench contract states. */
+  private val plantedGateRan =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def plantedGate(name: String, dir: String)(
+      run: => (Set[Long], Set[Long])): Unit =
+    if (plantedGateRan.add((name, dir))) {
+      val (found, planted) = run
+      val missed = planted -- found
+      if (missed.nonEmpty) {
+        plantedGateRan.remove((name, dir)) // keep failing on retry
+        throw new IllegalStateException(
+          s"$name planted-recall gate: missed ${missed.size}/${planted.size} " +
+            s"planted near-duplicates (ids $missed) — index recall regressed")
+      }
+    }
 
   // ------------------------------------------------------------------ oracles
 
@@ -383,14 +460,19 @@ object ExtQueries {
 
   /** Mirrors [[TextDedup.ngramJaccardPairs]]'s hashed-shingle join: the
     * identical 60-bit hash on both sides, so even a (astronomically
-    * unlikely) collision counts the same way in both engines. */
+    * unlikely) collision counts the same way in both engines. The df cap
+    * mirrors [[TextDedup.dfCapFor]] — `floor(x + 0.5)` is exactly JVM
+    * `Math.round(double)`, so the two engines derive the identical cap
+    * from the identical corpus count. */
   private def jaccardOracle: String =
     s"""WITH $shingleCte,
+        cap AS (SELECT GREATEST(20, CAST(floor(count(*) * 4.0 / 1000.0 + 0.5) AS BIGINT)) AS df
+                FROM documents),
         shh AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS s FROM sh),
         sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
         rare AS (SELECT shh.doc_id, shh.s FROM shh
                  JOIN (SELECT s FROM shh GROUP BY s
-                       HAVING count(*) BETWEEN 2 AND 20) d ON shh.s = d.s),
+                       HAVING count(*) BETWEEN 2 AND (SELECT df FROM cap)) d ON shh.s = d.s),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
                   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
