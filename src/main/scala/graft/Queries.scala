@@ -265,11 +265,30 @@ object Queries {
     }),
 
     // HLL sketch: approximate distinct (no cross-engine oracle — estimator
-    // internals are engine-specific; accuracy asserted vs exact in spec).
+    // internals are engine-specific). SELF-GATING (the q89 pattern): the
+    // exact twin runs in the SAME aggregation pass and the query fails
+    // loudly if either estimate drifts past 2% relative error, so an
+    // estimator regression turns the board red instead of shipping as a
+    // plausible-looking number. The twin doubles this query's cost (two
+    // distinct columns → Expand); that is the gate's price, paid here by
+    // design — a production 100 TB run keeps the sketch-only aggregation.
     "q42_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
+      import s.implicits._
+      val r = t(s, dir, "lineitem").agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")).head()
+      def gate(label: String, approx: Long, exact: Long): Unit = {
+        val relErr = math.abs(approx - exact).toDouble / exact
+        require(relErr <= 0.02,
+          f"q42 $label approx-distinct error $relErr%.4f > 2%% (approx=$approx exact=$exact)")
+      }
+      gate("l_orderkey", r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
+      gate("l_partkey", r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      // output shape unchanged (rows-only check): the approx estimates
+      Seq((r.getAs[Long]("approx_orders"), r.getAs[Long]("approx_parts")))
+        .toDF("approx_orders", "approx_parts")
     }),
 
     // Window-function breadth: lag/lead deltas, rank, cumulative share.
