@@ -7,13 +7,15 @@ import graft.operators.TextDedup
 
 /** Manual scale probe (not part of the driver contract).
   *
-  * Default mode (round-8 verdict ask): run the three nastiest dedup
-  * shapes at 1× and 10× with adversarial hot spots planted — a DENSE
+  * Default mode (round-8 verdict ask, extended per round 10): run the
+  * nastiest dedup shapes with adversarial hot spots planted — a DENSE
   * duplicate cluster for LSH groups, a HOT sign-LSH bucket for semantic
-  * dedup, a shared-boilerplate DF SPIKE for n-gram Jaccard — and emit
-  * `SCALE_r8.json` recording rows-in / rows-out / wall-time per scale,
-  * so the sub-quadratic claims are measured per round, not re-argued
-  * from plan-reading. A shape scales sub-quadratically when
+  * dedup, a shared-boilerplate DF SPIKE for n-gram Jaccard — plus q92's
+  * fact-scaled PageRank derivation, at 1×/10× and (for q50/q22/q92, the
+  * round-10 ask) 100× ≈ a sf1-scale fact side. Emits `SCALE_r11.json`
+  * recording rows-in / rows-out / wall-time per scale, so the
+  * sub-quadratic claims are measured per round, not re-argued from
+  * plan-reading. A shape scales sub-quadratically when
   * wall(10×)/wall(1×) ≪ 100 (quadratic would be ~100×).
   *
   * `runMain graft.ScaleStress` — three-shape artifact;
@@ -90,49 +92,96 @@ object ScaleStress {
 
     def measure(name: String, label: String,
                 mk: () => org.apache.spark.sql.DataFrame,
-                run: org.apache.spark.sql.DataFrame => Long): (String, ShapeRun) = {
+                run: org.apache.spark.sql.DataFrame => Long,
+                warm: Boolean = true): (String, ShapeRun) = {
       val df = mk()
       val rows = df.count()
-      run(df) // warm-up: JIT + FS metadata out of the measured pass
-      spark.catalog.clearCache()
+      // warm-up: JIT + FS metadata out of the measured pass. Skipped at the
+      // biggest scale — the smaller scales of the same shape already warmed
+      // the code paths, and a second x100 pass doubles a minutes-long run.
+      if (warm) { run(df); spark.catalog.clearCache() }
       val r = timed(rows)(run(mk()))
       println(f"[stress] $name $label: in=${r.rowsIn} out=${r.rowsOut} " +
         f"wall=${r.wallSec}%.1fs")
       label -> r
     }
 
-    def shape(name: String, mk: Int => org.apache.spark.sql.DataFrame,
+    def shape(name: String, scales: Seq[Int],
+              mk: Int => org.apache.spark.sql.DataFrame,
               run: org.apache.spark.sql.DataFrame => Long): (String, Map[String, ShapeRun]) =
-      name -> Seq(1, 10).map(k =>
-        measure(name, s"x$k", () => mk(k), run)).toMap
+      name -> scales.map(k =>
+        measure(name, s"x$k", () => mk(k), run, warm = k < 100)).toMap
+
+    // q92's scale axis is the FACT TABLE feeding the edge derivation: the
+    // nation graph itself is fixed-size (25 vertices, ≤625 edges) at any
+    // data scale — exactly the 100 TB shape, where more lineitem rows mean
+    // a heavier distributed derivation in front of the same tiny rank
+    // loop. x100 is ~60M join-side rows ≈ a sf1-scale fact table, the
+    // round-10 verdict's asked-for amortization point: the per-action
+    // scheduling floor (1.7s of q92's 3.4s at sf0.1) should shrink
+    // relative to total as derivation work grows.
+    val ordersDim = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val custDim = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val suppDim = spark.read.parquet("/root/testdata/sf0.1/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nationDim = spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
+      .select(col("n_nationkey").as("id"))
+    def stressLineitem(k: Int): org.apache.spark.sql.DataFrame =
+      spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .repartition(32)
+    def q92Run(li: org.apache.spark.sql.DataFrame): Long = {
+      val edges = li
+        .join(ordersDim, col("l_orderkey") === col("o_orderkey"))
+        .join(custDim, col("o_custkey") === col("c_custkey"))
+        .join(suppDim, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+        .distinct()
+      graft.operators.Graph.pagerank(nationDim, edges, iterations = 5).count()
+    }
 
     val shapes = Seq(
-      shape("q50_lsh_groups_dense_cluster",
+      shape("q50_lsh_groups_dense_cluster", Seq(1, 10, 100),
         k => stressDocs(k, hot = 300),
         df => TextDedup.minhashLshGroups(df).count()),
-      shape("q78_semantic_dedup_hot_bucket",
+      shape("q78_semantic_dedup_hot_bucket", Seq(1, 10),
         k => stressVecs(k, hot = 200),
         df => graft.operators.Similarity
           .semanticDedupGroups(df, threshold = 0.3).count()),
-      // q22 runs x10 under BOTH cap policies. The synthetic corpus draws
+      shape("q92_pagerank_fact_scale", Seq(1, 10, 100),
+        stressLineitem, q92Run),
+      // q22 runs under BOTH cap policies. The synthetic corpus draws
       // shingles from a small phrase pool, so at 10× replication nearly
       // every shingle's document frequency crosses the fixed cap of 20
       // and gets pruned — pairs collapse 186 → 0. That is the measured
       // recall cliff of an ABSOLUTE df cap under corpus growth (the cap
       // is fan-out control, and fan-out is relative to corpus size): at
-      // scale the cap must grow with the corpus. x10_scaled_cap keeps
-      // cap/corpus constant (20·k) and is the honest performance number;
-      // x10_fixed_cap documents the cliff.
-      "q22_ngram_jaccard_df_spike" -> Map(
-        measure("q22_ngram_jaccard_df_spike", "x1",
-          () => spikeDocs(1),
-          df => TextDedup.ngramJaccardPairs(df).count()),
-        measure("q22_ngram_jaccard_df_spike", "x10_fixed_cap",
-          () => spikeDocs(10),
-          df => TextDedup.ngramJaccardPairs(df).count()),
-        measure("q22_ngram_jaccard_df_spike", "x10",
-          () => spikeDocs(10),
-          df => TextDedup.ngramJaccardPairs(df, maxShingleDf = 200).count())))
+      // scale the cap must grow with the corpus. The x10/x100 rows use
+      // the DERIVED cap — `dfCapFor(count)`, the policy the declared q22
+      // runs since round 11 — proving pair recall survives replication;
+      // x10_fixed_cap documents the cliff the fixed policy had.
+      "q22_ngram_jaccard_df_spike" -> {
+        def derivedCapRun(df: org.apache.spark.sql.DataFrame): Long = {
+          val cached = df.cache()
+          try TextDedup.ngramJaccardPairs(cached,
+            maxShingleDf = TextDedup.dfCapFor(cached.count())).count()
+          finally cached.unpersist()
+        }
+        Map(
+          measure("q22_ngram_jaccard_df_spike", "x1",
+            () => spikeDocs(1), derivedCapRun),
+          measure("q22_ngram_jaccard_df_spike", "x10_fixed_cap",
+            () => spikeDocs(10),
+            df => TextDedup.ngramJaccardPairs(df).count()),
+          measure("q22_ngram_jaccard_df_spike", "x10",
+            () => spikeDocs(10), derivedCapRun),
+          measure("q22_ngram_jaccard_df_spike", "x100",
+            () => spikeDocs(100), derivedCapRun, warm = false))
+      })
 
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
     val json = shapes.map { case (name, runs) =>
@@ -140,11 +189,14 @@ object ScaleStress {
         s""""$k":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"wall_sec":${num(r.wallSec)}}"""
       }.mkString(",")
       val factor = runs("x10").wallSec / math.max(runs("x1").wallSec, 1e-9)
-      s""""$name":{$body,"wall_factor_10x":${num(factor)}}"""
-    }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic","host_load":"see calibration in BENCH"}""")
+      val f100 = runs.get("x100").map(r =>
+        s""","wall_factor_100x":${num(r.wallSec / math.max(runs("x1").wallSec, 1e-9))}""")
+        .getOrElse("")
+      s""""$name":{$body,"wall_factor_10x":${num(factor)}$f100}"""
+    }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic","host_load":"see calibration in BENCH"}""")
     // per-round artifact name so a later round's run never silently
     // overwrites an earlier round's committed evidence
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r8.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[stress] wrote $outFile")
