@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.SpanDedup
+
+/** Round-11 declarations: span-level (exact-substring) deduplication — the
+  * Lee et al. 2021 granularity the dedup family lacked. Document-level
+  * operators (q18-q22, q37, q44, q47, q50, q78) decide KEEP or DROP per
+  * document; these two find and surgically remove the duplicated *regions*,
+  * which is how production training-data pipelines actually apply the
+  * technique (a 90%-unique document should lose its boilerplate, not die).
+  *
+  *  - q100: per-document duplicated-span statistics (where and how much of
+  *    the corpus is cross-document duplicated text).
+  *  - q101: remove-all-but-one reconstruction (the canonical occurrence of
+  *    every duplicated substring survives; every other occurrence is cut,
+  *    token-exact, and the document is re-emitted).
+  *
+  * Both are fully SQL-expressible — the gaps-and-islands span merge is
+  * window arithmetic — so both carry complete DuckDB oracles (hash-level
+  * parity, not rows-only).
+  */
+object Ext5Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Gram width in tokens: spans shorter than K tokens are not reported.
+    * Lee et al. use 50 BPE tokens at web scale; the synthetic corpus has
+    * ~300-token documents, so K=8 keeps the same span-to-document ratio. */
+  private val K = 8
+
+  /** Frequent-gram prune: buckets larger than this are boilerplate, not
+    * signal (see [[SpanDedup]] scaladoc). Far above any gram frequency the
+    * synthetic corpus produces — present so the ORACLE pins the semantics,
+    * not just the code path. */
+  private val MaxGramDf = 1000
+
+  // ------------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q100_dup_spans" -> ((s, dir) =>
+      SpanDedup.duplicateSpans(t(s, dir, "documents"), k = K, maxGramDf = MaxGramDf)),
+
+    "q101_dedup_reconstruct" -> ((s, dir) =>
+      SpanDedup.dedupReconstruct(t(s, dir, "documents"), k = K, maxGramDf = MaxGramDf))
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  /** Shared oracle prelude: tokenize + position-indexed k-gram hashes,
+    * mirroring [[SpanDedup.gramStructs]] bit-for-bit (same md5 prefix, same
+    * 1-based positions, same space join). */
+  private val gramCtes =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents
+       |),
+       |grams AS (
+       |  SELECT doc_id, i AS pos,
+       |         substr(md5(array_to_string(t[i:i+${K - 1}], ' ')), 1, 16) AS g
+       |  FROM toks, UNNEST(generate_series(1, len(t) - ${K - 1})) AS u(i)
+       |  WHERE len(t) >= $K
+       |)""".stripMargin
+
+  /** Gaps-and-islands span merge over a `hits(doc_id, pos)` CTE — hits
+    * [p, p+K) and [q, q+K) coalesce iff q - p <= K. */
+  private val spanCtes =
+    s"""lagged AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos) > $K
+       |              THEN 1 ELSE 0 END AS gap
+       |  FROM hits
+       |),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         SUM(gap) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM lagged
+       |),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS lo, max(pos) + ${K - 1} AS hi
+       |  FROM isl GROUP BY doc_id, island
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q100_dup_spans" ->
+      s"""WITH $gramCtes,
+         |hits AS (
+         |  SELECT doc_id, pos FROM grams
+         |  WHERE g IN (SELECT g FROM grams GROUP BY g
+         |              HAVING min(doc_id) <> max(doc_id) AND count(*) <= $MaxGramDf)
+         |),
+         |$spanCtes
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |       CAST(sum(hi - lo + 1) AS BIGINT) AS dup_tokens
+         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q101_dedup_reconstruct" ->
+      s"""WITH $gramCtes,
+         |ranked AS (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         |         count(*) OVER (PARTITION BY g) AS cnt,
+         |         min(doc_id) OVER (PARTITION BY g) AS mn,
+         |         max(doc_id) OVER (PARTITION BY g) AS mx
+         |  FROM grams
+         |),
+         |hits AS (
+         |  SELECT doc_id, pos FROM ranked
+         |  WHERE mn <> mx AND cnt <= $MaxGramDf AND rn > 1
+         |),
+         |$spanCtes,
+         |sel AS (
+         |  SELECT doc_id, i, t[i] AS tok
+         |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+         |),
+         |kept AS (
+         |  SELECT s.doc_id, s.i, s.tok FROM sel s
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+         |                    WHERE sp.doc_id = s.doc_id AND s.i BETWEEN sp.lo AND sp.hi)
+         |),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text
+         |  FROM kept GROUP BY doc_id
+         |),
+         |rem AS (
+         |  SELECT doc_id, sum(hi - lo + 1) AS n_removed FROM spans GROUP BY doc_id
+         |)
+         |SELECT toks.doc_id,
+         |       coalesce(agg.clean_text, '') AS clean_text,
+         |       CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed_tokens
+         |FROM toks
+         |LEFT JOIN agg USING (doc_id)
+         |LEFT JOIN rem USING (doc_id)
+         |ORDER BY toks.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Exact-substring (span-level) deduplication — the missing granularity
+  * between document-level dedup ([[TextDedup]]: exact / MinHash / SimHash /
+  * Jaccard / winnowing) and within-document repetition ([[TextAnalysis]]
+  * q51): find the *regions of text* that are duplicated across documents and
+  * optionally remove every occurrence but one, in the style of
+  * "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+  * 2021). The reference engine has no span-level operator at all
+  * (reference etl/transform.py deduplicates whole records by id only); this
+  * is part of the training-data extension surface.
+  *
+  * Lee et al. build a corpus-wide suffix array — inherently single-machine.
+  * The distributed re-expression indexes token k-grams instead: a duplicated
+  * substring of length ≥ k tokens is exactly a maximal run of duplicated
+  * k-grams, so grouping gram occurrences by hash and merging overlapping hits
+  * back per document recovers every duplicated span of length ≥ k with no
+  * quadratic pair enumeration and no global ordering:
+  *
+  *   1. one projection emits (doc, pos, gramHash) via a position-indexed
+  *      `transform` over the token array (the generator child is a computed
+  *      expression, so `InferFiltersFromGenerate` cannot re-inline the
+  *      tokenize chain as a scan filter — the q22 landmine);
+  *   2. ONE shuffle groups occurrences into per-gram buckets; a bucket is
+  *      cross-document iff min(doc) != max(doc) — every occurrence in such a
+  *      bucket has a twin in another document, so the whole bucket is
+  *      emitted in place (no join back);
+  *   3. per-document gaps-and-islands (window + two same-key aggregations,
+  *      ONE more shuffle: `HashPartitioning(doc)` already satisfies the
+  *      `(doc, island)` and `(doc)` groupings) merges hits `[p, p+k)` into
+  *      maximal spans — hits `p`, `q` coalesce iff `q - p <= k`.
+  *
+  * At 100 TB the only skew risk is an ubiquitous boilerplate gram producing
+  * a giant bucket; `maxGramDf` drops buckets above a document-frequency cap
+  * (the standard frequent-shingle prune, same rationale as
+  * [[TextDedup.dfCapFor]] — a gram shared by thousands of documents is
+  * boilerplate, not signal, and its span survives via its rarer neighbours).
+  *
+  * Hashes are the portable `substr(md5, 1, 16)` family so every output is
+  * bit-reproducible in the DuckDB oracle.
+  */
+object SpanDedup {
+
+  /** (pos, gramHash) structs for every token k-gram, 1-based positions —
+    * `substr(md5(space-joined k tokens), 1, 16)`, mirrored verbatim by the
+    * oracle's `substr(md5(array_to_string(t[i:i+k-1], ' ')), 1, 16)`. */
+  private def gramStructs(toks: Column, k: Int): Column =
+    transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => struct(i.as("pos"),
+        substring(md5(concat_ws(" ", slice(toks, i, lit(k)))), 1, 16).as("g")))
+
+  /** (doc_id, pos, g) rows — tokens materialized in their own projection
+    * before the gram lambda touches them (same boundary as
+    * [[TextDedup.shingleRows]]: without it split() re-evaluates per
+    * element_at reference). Documents shorter than k tokens emit nothing. */
+  private def gramRows(docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"), explode(gramStructs(col("__toks"), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+
+  /** Occurrences of cross-document duplicated k-grams: (doc_id, pos) for
+    * every gram occurrence whose gram also appears in a DIFFERENT document.
+    * One shuffle: per-gram buckets via groupBy(g), emitted in place.
+    *
+    * When `dropCanonical` is set, the lexicographically first occurrence
+    * (min (doc_id, pos)) of each gram is withheld — the hit set then covers
+    * exactly the text a remove-all-but-one dedup pass deletes. */
+  private def dupHits(grams: DataFrame, maxGramDf: Int, dropCanonical: Boolean): DataFrame = {
+    val bucket = grams
+      .groupBy(col("g"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("hits"),
+        min(col("doc_id")).as("__mn"), max(col("doc_id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx") && size(col("hits")) <= maxGramDf)
+    val opened =
+      if (!dropCanonical) bucket.select(explode(col("hits")).as("h"))
+      else bucket
+        .withColumn("__first", array_min(col("hits")))
+        .select(explode(col("hits")).as("h"), col("__first"))
+        .filter(col("h") =!= col("__first"))
+    opened.select(col("h.doc_id").as("doc_id"), col("h.pos").as("pos"))
+  }
+
+  /** Maximal duplicated spans per (doc, hit set): gaps-and-islands over the
+    * hit positions. Output one row per span: (doc_id, lo, hi) in 1-based
+    * inclusive token indices. */
+  private def spans(hits: DataFrame, k: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("__gap",
+        when(col("pos") - coalesce(lag("pos", 1).over(byDoc), col("pos")) > k, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__gap")).over(byDoc))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("lo"), (max(col("pos")) + (k - 1)).as("hi"))
+  }
+
+  /** Per-document duplicated-span statistics: for every document carrying at
+    * least one cross-document duplicated k-gram, the number of maximal
+    * duplicated spans and the total tokens they cover.
+    *
+    * Output: (doc_id, n_dup_spans, dup_tokens) ordered by doc_id. */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, maxGramDf: Int = 1000,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    spans(dupHits(gramRows(docs, k, idCol, textCol), maxGramDf, dropCanonical = false), k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("hi") - col("lo") + 1).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Remove-all-but-one span dedup: delete every token covered by a
+    * NON-canonical occurrence of a cross-document duplicated k-gram (the
+    * canonical occurrence — corpus-wide min (doc_id, pos) — survives, so one
+    * copy of every duplicated substring remains, à la Lee et al. §3.2).
+    *
+    * Reconstruction stays at the array level: removal spans per document are
+    * few, so they are collected into a small array, joined back to the
+    * documents (a shuffle join on doc_id — broadcast would collect an
+    * unbounded span table to the driver at 100 TB), and applied with an
+    * index-aware `filter` higher-order function over the token array. No
+    * per-token explode of the full corpus.
+    *
+    * Output: (doc_id, clean_text, n_removed_tokens) for EVERY input
+    * document, whitespace/case-normalized (clean_text is the space-joined
+    * surviving tokens), ordered by doc_id. */
+  def dedupReconstruct(docs: DataFrame, k: Int = 8, maxGramDf: Int = 1000,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val removal = spans(dupHits(gramRows(docs, k, idCol, textCol), maxGramDf, dropCanonical = true), k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("lo"), col("hi"))).as("__spans"))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .join(removal, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        concat_ws(" ",
+          filter(col("__toks"), (_, i) =>
+            col("__spans").isNull ||
+              !exists(col("__spans"), s => i + 1 >= s("lo") && i + 1 <= s("hi"))))
+          .as("clean_text"),
+        coalesce(
+          aggregate(col("__spans"), lit(0L), (acc, s) => acc + s("hi") - s("lo") + 1),
+          lit(0L)).as("n_removed_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}
