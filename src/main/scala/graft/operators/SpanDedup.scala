@@ -58,12 +58,19 @@ object SpanDedup {
   /** (doc_id, pos, g) rows — tokens materialized in their own projection
     * before the gram lambda touches them (same boundary as
     * [[TextDedup.shingleRows]]: without it split() re-evaluates per
-    * element_at reference). Documents shorter than k tokens emit nothing. */
+    * element_at reference). Documents shorter than k tokens emit nothing:
+    * the short-doc guard lives INSIDE the generator expression (explode of
+    * an empty array) rather than as a Filter — a `filter(size(__toks) >= k)`
+    * gets pushed below the tokens projection and re-inlines the split as a
+    * second per-row scan-filter evaluation (PlanShapeSpec pins this out).
+    * The guard also keeps `sequence` total: sequence(1, size-k+1) with
+    * size < k would generate a DESCENDING range, not an empty one. */
   private def gramRows(docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= k)
-      .select(col("doc_id"), explode(gramStructs(col("__toks"), k)).as("pg"))
+      .select(col("doc_id"), explode(
+        when(size(col("__toks")) >= k, gramStructs(col("__toks"), k))
+          .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
 
   /** Occurrences of cross-document duplicated k-grams: (doc_id, pos) for

@@ -39,6 +39,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"shuffle join in the re-rank path:\n$plan")
   }
 
+  test("q100 plan: three shuffles — gram buckets, one doc_id exchange " +
+    "shared by both windows and both aggregations, final order") {
+    val plan = SparkEntry.queries("q100_dup_spans")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashShuffles === 2,
+      s"expected 2 hash exchanges (gram buckets + doc_id), got $hashShuffles in:\n$plan")
+    // the (doc_id, island) and (doc_id) groupings must ride the window's
+    // doc_id partitioning — a third hash exchange means that broke
+    val range = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(range === 1, s"expected 1 range exchange (final orderBy), got $range in:\n$plan")
+    // the InferFiltersFromGenerate landmine: no tokenize chain inlined as
+    // a per-row scan filter (the generator child is a computed expression,
+    // which keeps the rule off — pin that)
+    assert(!plan.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      s"inlined tokenize chain found in a Filter condition:\n$plan")
+  }
+
   test("q02 star join: dims broadcast, predicate pushed to scan") {
     val plan = SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir)
       .queryExecution.executedPlan.toString
