@@ -63,6 +63,30 @@ object ScaleStress {
       replicas.unionByName(dense).repartition(32)
     }
 
+    /** Corpus growth at CONSTANT duplication density: the x10 spike corpus
+      * (50k docs — its near-dup clone families and boilerplate spike intact)
+      * plus unique filler documents up to k×5000 total. Every filler token
+      * is chased by a per-document marker token, so every filler shingle
+      * contains the marker and has df = 1: filler contributes ZERO candidate
+      * pairs, only the linear work (tokenize, shingle, bucket shuffle) a
+      * bigger corpus adds. Whole-corpus replication is the WRONG probe at
+      * x100: it multiplies every clone family by k, so the TRUE pair count
+      * grows O(k²) in the data itself — any exact pair-emitting operator
+      * pays billions of intermediate rows (the first x100 attempt filled
+      * 80 GB of shuffle spill) no matter how good the plan is. Real corpora
+      * grow mostly-unique; the question that matters at 100 TB is whether
+      * wall stays ~linear in corpus size when duplication density is flat. */
+    def constDensityDocs(k: Int): org.apache.spark.sql.DataFrame = {
+      val filler = docsBase
+        .crossJoin(spark.range(k - 10).select(col("id").as("rep")))
+        .select((lit(10000000L) + col("doc_id") * (k - 10) + col("rep")).as("fid"),
+          col("text"))
+        .select(col("fid").as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(" u"), col("fid").cast("string"))), " ").as("text"))
+      spikeDocs(10).unionByName(filler).repartition(32)
+    }
+
     /** Perturbed replicas + a HOT bucket: `hot` exact copies of vector 0
       * (cosine 1.0 with each other — they all land in one sign-LSH bucket
       * and one component). Per-dim phase noise keeps replica cosines off
@@ -108,9 +132,9 @@ object ScaleStress {
 
     def shape(name: String, scales: Seq[Int],
               mk: Int => org.apache.spark.sql.DataFrame,
-              run: org.apache.spark.sql.DataFrame => Long): (String, Map[String, ShapeRun]) =
-      name -> scales.map(k =>
-        measure(name, s"x$k", () => mk(k), run, warm = k < 100)).toMap
+              run: org.apache.spark.sql.DataFrame => Long): (String, () => Map[String, ShapeRun]) =
+      name -> (() => scales.map(k =>
+        measure(name, s"x$k", () => mk(k), run, warm = k < 100)).toMap)
 
     // q92's scale axis is the FACT TABLE feeding the edge derivation: the
     // nation graph itself is fixed-size (25 vertices, ≤625 edges) at any
@@ -164,7 +188,7 @@ object ScaleStress {
       // the DERIVED cap — `dfCapFor(count)`, the policy the declared q22
       // runs since round 11 — proving pair recall survives replication;
       // x10_fixed_cap documents the cliff the fixed policy had.
-      "q22_ngram_jaccard_df_spike" -> {
+      "q22_ngram_jaccard_df_spike" -> { () =>
         def derivedCapRun(df: org.apache.spark.sql.DataFrame): Long = {
           val cached = df.cache()
           try TextDedup.ngramJaccardPairs(cached,
@@ -179,27 +203,40 @@ object ScaleStress {
             df => TextDedup.ngramJaccardPairs(df).count()),
           measure("q22_ngram_jaccard_df_spike", "x10",
             () => spikeDocs(10), derivedCapRun),
+          // x100 = constant-density growth (see constDensityDocs): rows_out
+          // should match x10's pair count and wall should stay ~linear in
+          // corpus size — the claim that matters at 100 TB
           measure("q22_ngram_jaccard_df_spike", "x100",
-            () => spikeDocs(100), derivedCapRun, warm = false))
+            () => constDensityDocs(100), derivedCapRun, warm = false))
       })
 
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
-    val json = shapes.map { case (name, runs) =>
-      val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
-        s""""$k":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"wall_sec":${num(r.wallSec)}}"""
-      }.mkString(",")
-      val factor = runs("x10").wallSec / math.max(runs("x1").wallSec, 1e-9)
-      val f100 = runs.get("x100").map(r =>
-        s""","wall_factor_100x":${num(r.wallSec / math.max(runs("x1").wallSec, 1e-9))}""")
-        .getOrElse("")
-      s""""$name":{$body,"wall_factor_10x":${num(factor)}$f100}"""
-    }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic","host_load":"see calibration in BENCH"}""")
     // per-round artifact name so a later round's run never silently
     // overwrites an earlier round's committed evidence
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"[stress] wrote $outFile")
+    def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
+      val json = done.map { case (name, runs) =>
+        val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
+          s""""$k":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"wall_sec":${num(r.wallSec)}}"""
+        }.mkString(",")
+        val factor = runs("x10").wallSec / math.max(runs("x1").wallSec, 1e-9)
+        val f100 = runs.get("x100").map(r =>
+          s""","wall_factor_100x":${num(r.wallSec / math.max(runs("x1").wallSec, 1e-9))}""")
+          .getOrElse("")
+        s""""$name":{$body,"wall_factor_10x":${num(factor)}$f100}"""
+      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition","host_load":"see calibration in BENCH"}""")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    // run shapes one at a time, flushing the artifact after each so a later
+    // shape's failure (OOM, disk) cannot lose earlier evidence — the first
+    // x100 attempt died writing 80 GB of spill AFTER 12 minutes of good runs
+    val completed = scala.collection.mutable.ArrayBuffer[(String, Map[String, ShapeRun])]()
+    shapes.foreach { case (name, runShape) =>
+      completed += (name -> runShape())
+      writeArtifact(completed.toSeq)
+      println(s"[stress] flushed $outFile after $name")
+    }
     if (!runFull) { spark.stop(); return }
 
     // ------------------------------------------------------- legacy probes
