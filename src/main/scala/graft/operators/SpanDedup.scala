@@ -65,13 +65,22 @@ object SpanDedup {
     * second per-row scan-filter evaluation (PlanShapeSpec pins this out).
     * The guard also keeps `sequence` total: sequence(1, size-k+1) with
     * size < k would generate a DESCENDING range, not an empty one. */
-  private def gramRows(docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
-    docs
+  private def gramRows(docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame = {
+    // the tokenize+md5 map side runs BEFORE the bucket shuffle, so its
+    // parallelism is the SCAN's: a small single-file input means one
+    // partition doing all the hashing on one core (measured: >half of
+    // q100's wall). Rebalance only when the scan undersupplies the
+    // cluster — a many-split 100 TB input takes the free path, no extra
+    // corpus shuffle (same starvation guard as Multimodal.pngPayloadFromId).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    balanced
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(
         when(size(col("__toks")) >= k, gramStructs(col("__toks"), k))
           .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+  }
 
   /** Occurrences of cross-document duplicated k-grams: (doc_id, pos) for
     * every gram occurrence whose gram also appears in a DIFFERENT document.

@@ -40,10 +40,17 @@ object TextDedup {
     * their own projection before the shingle lambda touches them — without
     * the boundary the split() re-evaluates per element_at reference
     * (measured 10× slower at sf0.1). */
-  private[operators] def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+  private[operators] def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenize+shingle+hash runs BEFORE any shuffle, so its parallelism is
+    // the SCAN's: a small single-file corpus means one partition hashing on
+    // one core. Rebalance only when the scan undersupplies the cluster — a
+    // many-split 100 TB input takes the free path (no extra corpus shuffle).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    balanced
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("__toks"))).as("sh"))
+  }
 
   /** Fixed 29-bit odd mixing constant for hash function `j`, chunk `i` —
     * shared verbatim with the DuckDB oracle so signatures reproduce
@@ -171,19 +178,19 @@ object TextDedup {
     // to the (typically small) colliding subset; at corpus scale the
     // active set is duplicates-only, orders of magnitude below membership.
     // Singletons rejoin at the end via one left join (label := doc_id).
-    // bandedAll feeds both the count and the prune join — persist so the
-    // minhash explode+groupBy subtree runs once, not per branch.
-    val bandedAll = bandedRows(sig, k, bands)
-      .select(col("doc_id"),
-        concat_ws("#", col("band_id"), col("band_key")).as("bucket"))
-      .persist(MEMORY_AND_DISK)
-    val multiBuckets = bandedAll.groupBy("bucket")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select("bucket")
+    // The bucket-size gate is a COUNT WINDOW over the banded rows — one
+    // shuffle, applied in place — not a count-aggregate joined back (that
+    // shape needs a persist of the banded frame plus two more stages; at
+    // local scale each extra action is a measurable slice of the floor).
     // localCheckpoint (not just persist): truncates the minhash lineage so
     // every loop round plans over a leaf, not the explode+groupBy subtree.
-    val membership = bandedAll.join(multiBuckets, "bucket")
+    val membership = bandedRows(sig, k, bands)
+      .select(col("doc_id"),
+        concat_ws("#", col("band_id"), col("band_key")).as("bucket"))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .filter(col("__n") >= 2)
       .select("doc_id", "bucket").localCheckpoint(true)
-    bandedAll.unpersist()
 
     var labels = membership.select("doc_id").distinct()
       .withColumn("label", col("doc_id")).persist(MEMORY_AND_DISK)
