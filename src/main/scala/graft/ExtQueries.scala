@@ -52,20 +52,20 @@ object ExtQueries {
   // Shared oracle fragments ------------------------------------------------
 
   /** DuckDB twin of TextFunctions.shingles (word 3-grams, distinct). */
-  private val shingleCte =
+  private[graft] val shingleCte =
     """toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
        sh AS (SELECT doc_id, unnest(list_distinct(
                 [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))])) AS s
               FROM toks)"""
 
-  private val K = 12 // minhash functions
-  private val BANDS = 4
+  private[graft] val K = 12 // minhash functions
+  private[graft] val BANDS = 4
 
   /** Twin of [[TextDedup.minhashSignatures]]'s multiply-XOR hashing: one
     * md5 per shingle split into four 28-bit chunks, h_j = XORᵢ c_{j,i}·vᵢ
     * with the same [[TextDedup.mixConst]] constants — every product
     * < 2^57, exact BIGINT arithmetic in both engines. */
-  private def minhashSigSql: String = {
+  private[graft] def minhashSigSql: String = {
     val chunks = (0 until 4).map(i =>
       s"('0x'||substr(md5(s),${1 + 7 * i},7))::BIGINT AS v$i").mkString(", ")
     val mins = (0 until K).map { j =>
@@ -78,7 +78,7 @@ object ExtQueries {
         sig AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id)"""
   }
 
-  private def bandSql: String = {
+  private[graft] def bandSql: String = {
     val rows = K / BANDS
     (0 until BANDS).map { b =>
       val key = (0 until rows).map(r => s"mh${b * rows + r}").mkString("||'|'||")

@@ -433,4 +433,81 @@ object TextDedup {
           col("a.prefix"), col("b.prefix"), lit(maxDistance)).as("edit_distance"))
       .filter(col("edit_distance") >= 0)
   }
+
+  // ------------------------------------------- persisted MinHash-LSH index
+
+  /** (doc_id, mhs, band_id, band_key) rows — the persisted-index row shape:
+    * each doc appears once per band, carrying its full k-minhash signature
+    * so a probe can ESTIMATE Jaccard (fraction of agreeing minhashes)
+    * without ever touching the indexed corpus' text again. */
+  private def lshIndexRows(docs: DataFrame, k: Int, bands: Int,
+                           idCol: String, textCol: String): DataFrame = {
+    val rows = k / bands
+    minhashSignatures(docs, k, idCol, textCol)
+      .select(
+        col("doc_id"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("mhs"),
+        array((0 until bands).map { b =>
+          md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
+        }: _*).as("__bks"))
+      .select(col("doc_id"), col("mhs"),
+        posexplode(col("__bks")).as(Seq("band_id", "band_key")))
+  }
+
+  /** Build a persisted MinHash-LSH text index at `indexDir` — the
+    * operational shape of corpus dedup at 100 TB: each incoming crawl
+    * batch is checked against petabytes of already-ingested documents
+    * WITHOUT re-shingling them. The index holds only signatures and band
+    * keys (~bands × (32 B key + k × 8 B) per doc — four orders of
+    * magnitude below the text), and probing is a join on (band_id,
+    * band_key) against it. The reference has no index at all (it re-reads
+    * every entity set per run, reference etl/extract.py); this is the
+    * [[graft.operators.Similarity.Ivf]]-style maintained-index pattern
+    * applied to text. */
+  def buildLshIndex(docs: DataFrame, indexDir: String, k: Int = 12, bands: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit =
+    lshIndexRows(docs, k, bands, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(indexDir)
+
+  /** Incremental maintenance: index a new batch into the existing index.
+    * Costs exactly the batch's own shingling — the indexed corpus is not
+    * read, let alone re-hashed. */
+  def appendToLshIndex(docs: DataFrame, indexDir: String, k: Int = 12, bands: Int = 4,
+                       idCol: String = "doc_id", textCol: String = "text"): Unit =
+    lshIndexRows(docs, k, bands, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(indexDir)
+
+  /** Probe a persisted index with an incoming batch: for every incoming doc
+    * that band-collides with an indexed doc and whose estimated Jaccard
+    * clears `minEstJaccard`, emit one row
+    * `(doc_id, dup_of, best_est_jaccard)` — `dup_of` the smallest
+    * qualifying indexed doc id (deterministic under any collision order),
+    * `best_est_jaccard` the best estimate among qualifiers, rounded to 4
+    * decimals for engine portability. Self-collisions (same id on both
+    * sides) are ignored, so re-probing an already-appended batch is
+    * idempotent rather than all-dups.
+    *
+    * A pair colliding in several bands appears once per band in the join;
+    * the per-pair estimate is identical on every copy, and min/max
+    * aggregation is duplicate-blind — no distinct shuffle needed. */
+  def probeLshIndex(incoming: DataFrame, indexDir: String, k: Int = 12, bands: Int = 4,
+                    minEstJaccard: Double = 0.5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val idx = incoming.sparkSession.read.parquet(indexDir)
+    val est = aggregate(
+      zip_with(col("p.mhs"), col("x.mhs"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), _ + _).cast("double") / k
+    lshIndexRows(incoming, k, bands, idCol, textCol).as("p")
+      .join(idx.as("x"),
+        col("p.band_id") === col("x.band_id") &&
+          col("p.band_key") === col("x.band_key") &&
+          col("p.doc_id") =!= col("x.doc_id"))
+      .select(col("p.doc_id").as("doc_id"), col("x.doc_id").as("cand"),
+        est.as("__est"))
+      .filter(col("__est") >= minEstJaccard)
+      .groupBy(col("doc_id"))
+      .agg(min(col("cand")).as("dup_of"),
+        round(max(col("__est")), 4).as("best_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
 }
