@@ -265,30 +265,42 @@ object Queries {
     }),
 
     // HLL sketch: approximate distinct (no cross-engine oracle — estimator
-    // internals are engine-specific). SELF-GATING (the q89 pattern): the
-    // exact twin runs in the SAME aggregation pass and the query fails
-    // loudly if either estimate drifts past 2% relative error, so an
-    // estimator regression turns the board red instead of shipping as a
-    // plausible-looking number. The twin doubles this query's cost (two
-    // distinct columns → Expand); that is the gate's price, paid here by
-    // design — a production 100 TB run keeps the sketch-only aggregation.
+    // internals are engine-specific). SELF-GATING (the q89 pattern): an
+    // exact twin is computed alongside and the query fails loudly if
+    // either estimate drifts past 2% relative error, so an estimator
+    // regression turns the board red instead of shipping as a
+    // plausible-looking number. The twin is priced per column over the
+    // DISTINCT values (map-side partial dedup, then one narrow shuffle of
+    // unique keys): the sketch is duplicate-insensitive — every copy of a
+    // value hashes to the same HLL register — so approx_count_distinct
+    // over distinct(x) is bit-identical to the raw-scan sketch, and the
+    // exact count is just count(*) of the same frame. This avoids the
+    // Expand blowup (2 distinct cols + 2 plain aggs in one agg = 3×
+    // row replication through the shuffle) that a fused twin costs.
+    // A production 100 TB run keeps the sketch-only aggregation.
     "q42_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      val r = t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")).head()
-      def gate(label: String, approx: Long, exact: Long): Unit = {
+      def gated(c: String): Long = {
+        val r = t(s, dir, "lineitem").select(col(c)).distinct()
+          .agg(count(lit(1)).as("exact"),
+            approx_count_distinct(col(c), rsd = 0.01).as("approx")).head()
+        val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
         val relErr = math.abs(approx - exact).toDouble / exact
         require(relErr <= 0.02,
-          f"q42 $label approx-distinct error $relErr%.4f > 2%% (approx=$approx exact=$exact)")
+          f"q42 $c approx-distinct error $relErr%.4f > 2%% (approx=$approx exact=$exact)")
+        approx
       }
-      gate("l_orderkey", r.getAs[Long]("approx_orders"), r.getAs[Long]("exact_orders"))
-      gate("l_partkey", r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      // The two per-column jobs are independent — submit both and let the
+      // scheduler overlap them (local[32] and any real cluster have the
+      // slack; the jobs share the cached scan).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val Seq(orders, parts) = Await.result(
+        Future.sequence(Seq("l_orderkey", "l_partkey").map(c => Future(gated(c)))),
+        Duration.Inf)
       // output shape unchanged (rows-only check): the approx estimates
-      Seq((r.getAs[Long]("approx_orders"), r.getAs[Long]("approx_parts")))
-        .toDF("approx_orders", "approx_parts")
+      Seq((orders, parts)).toDF("approx_orders", "approx_parts")
     }),
 
     // Window-function breadth: lag/lead deltas, rank, cumulative share.
