@@ -20,6 +20,12 @@ import graft.operators.SpanDedup
   * Both are fully SQL-expressible — the gaps-and-islands span merge is
   * window arithmetic — so both carry complete DuckDB oracles (hash-level
   * parity, not rows-only).
+  *
+  * Later round-11 declarations, same full-oracle bar: q102 incremental
+  * corpus dedup (persisted MinHash-LSH index), q103 BM25 retrieval
+  * scoring ([[graft.operators.TermWeighting.bm25TopDocs]]), q104
+  * deterministic train/val/test split assignment
+  * ([[graft.operators.Sampling.assignSplits]]).
   */
 object Ext5Queries {
 
@@ -68,8 +74,35 @@ object Ext5Queries {
       graft.operators.TextDedup.probeLshIndex(
         docs.filter(col("doc_id") % 10 === 0), idxPath,
         k = ExtQueries.K, bands = ExtQueries.BANDS, minEstJaccard = 0.5)
+    }),
+
+    // Okapi BM25 retrieval scoring against a fixed query-term bag — the
+    // targeted-corpus-pull / probe-query scorer. Query-term filter lands
+    // before the one (doc,term) exchange; stats and df come back as
+    // broadcasts; top-k via per-partition heaps, never a global window
+    // over the scored set.
+    "q103_bm25_rank" -> ((s, dir) =>
+      graft.operators.TermWeighting.bm25TopDocs(
+        t(s, dir, "documents"), Bm25Terms, topK = 20)),
+
+    // Deterministic train/val/test assignment: a pure (seed, doc_id) hash
+    // function of each row — stable under re-runs, repartitioning, and
+    // engine swaps, so no document can leak from test into train when the
+    // corpus is reprocessed. Shuffle-free scan projection.
+    "q104_train_split" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.Sampling.assignSplits(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), SplitBands)
     })
   )
+
+  /** q103's query bag: mid-df corpus terms; shared with the oracle. */
+  private val Bm25Terms = Seq("hash", "merge", "vector")
+
+  /** q104's bands: 80/10/10, cut points accumulated left-to-right (the
+    * oracle mirrors the same additions — see [[Sampling.assignSplits]]). */
+  private val SplitBands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   // ------------------------------------------------------------------ oracles
 
@@ -179,6 +212,57 @@ object Ext5Queries {
          |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS dup_of,
          |       round(max(e), 4) AS best_est_jaccard
          |FROM est WHERE e >= 0.5 GROUP BY a ORDER BY a""".stripMargin
-    }
+    },
+
+    // Every float subexpression is spelled with the same literals and the
+    // same operation order as the Scala side (idf, length norm, the
+    // (1.2 + 1.0) numerator constant), each per-term weight is quantized
+    // to 6 decimals BEFORE the per-doc sum so Spark's arbitrary addition
+    // order cannot move the 4th decimal of the total.
+    "q103_bm25_rank" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                         x -> x <> '')) AS dl,
+         |         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |                            x -> x <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+         |       WHERE term IN ($terms) GROUP BY doc_id, dl, term),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT count(*) AS n,
+         |                 CAST(sum(dl2) AS DOUBLE) / count(*) AS avgdl
+         |          FROM (SELECT len(list_filter(
+         |                  string_split_regex(lower(trim(text)), '\\s+'),
+         |                  x -> x <> '')) AS dl2 FROM documents)),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(ln(1.0 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |               * (tf * (1.2 + 1.0))
+         |               / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)), 6) AS w
+         |  FROM tf JOIN dfc USING (term), stats),
+         |agg AS (SELECT doc_id, count(*) AS n_hit_terms,
+         |               round(sum(w), 4) AS bm25
+         |        FROM scored GROUP BY doc_id)
+         |SELECT doc_id, n_hit_terms, bm25, rk FROM (
+         |  SELECT doc_id, n_hit_terms, bm25,
+         |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+         |  FROM agg)
+         |WHERE rk <= 20""".stripMargin
+    },
+
+    // The band cut points are the SAME left-to-right additions the Scala
+    // side folds (0.8, then 0.8 + 0.1) — never a fresh 0.9 literal, which
+    // need not be the bit pattern the accumulation produces.
+    "q104_train_split" ->
+      """SELECT doc_id, lang, source,
+        |       CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.8 + 0.1 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang, source,
+        |             (('0x'||substr(md5('graft|'||doc_id), 1, 8))::BIGINT
+        |              % 1000000) / 1000000.0 AS u
+        |      FROM documents)""".stripMargin
   )
 }

@@ -97,6 +97,38 @@ object Sampling {
       .drop("__graft_stratum", "__graft_rate")
   }
 
+  /** Deterministic multi-way split assignment (train/validation/test):
+    * adds a `split` column mapping each row to the band of `hashUnit(seed,
+    * id)` its hash falls in — `splits` are (name, fraction) pairs whose
+    * fractions must sum to 1 (within 1e-9; the last band absorbs the
+    * remainder so every row is assigned).
+    *
+    * The property that matters for training pipelines: the assignment is a
+    * pure function of (seed, id) — no rand(), no row order, no partition
+    * count — so splits are disjoint, exhaustive, stable across engines/
+    * re-runs/repartitioning, and a given document can never migrate from
+    * test into train when the corpus is re-processed (the leakage failure
+    * mode this exists to prevent). A shuffle-free projection: at 100 TB
+    * the split is one codegen'd scan, and each split's consumer filters on
+    * its own band (`split = 'train'` pushes to the scan as a predicate on
+    * the derived column's generator — or materialize once, partitioned BY
+    * split, and every epoch reads its slice). */
+  def assignSplits(df: DataFrame, id: Column, splits: Seq[(String, Double)],
+                   seed: String = "graft"): DataFrame = {
+    require(splits.size >= 2, "assignSplits needs at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val u = hashUnit(seed, id)
+    val cuts = splits.map(_._2).scanLeft(0.0)(_ + _).tail // cumulative uppers
+    // last band is the otherwise-branch: exhaustive by construction, no
+    // float-boundary row can fall through
+    val expr = splits.init.zip(cuts.init).reverse
+      .foldLeft(lit(splits.last._1)) { case (rest, ((name, _), upper)) =>
+        when(u < upper, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", expr)
+  }
+
   /** Exactly `quota` rows per stratum (fewer when the stratum is smaller),
     * chosen as the first `quota` in deterministic hash order. */
   def stratifiedQuota(df: DataFrame, stratum: Column, id: Column, quota: Int,

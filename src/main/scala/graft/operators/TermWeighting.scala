@@ -165,4 +165,62 @@ object TermWeighting {
         round(sum(col("tf") * -log(col("cnt").cast("double") / col("__n"))) /
           sum("tf"), 4).as("avg_nll"))
   }
+
+  /** Okapi BM25 document ranking for a fixed bag of query terms — the
+    * retrieval scorer a curation pipeline uses for targeted corpus pulls
+    * ("give me the docs most about X") and for contamination-style probe
+    * queries. Lucene's non-negative idf variant:
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+    * `w(d,t) = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`,
+    * `bm25(d) = Σ_t w(d,t)` over the query terms, rounded to 4.
+    *
+    * Output: top-`topK` docs as `(doc_id, n_hit_terms, bm25, rk)`, `rk`
+    * 1-based by `(bm25 desc, doc_id asc)`.
+    *
+    * Scale shape: the query-term filter lands BEFORE the (doc,term)
+    * exchange, so the shuffle carries only rows for the |queryTerms|
+    * terms of interest — everything else dies at the scan. Corpus stats
+    * (N, avgdl — one row) and per-term df (|queryTerms| rows) come back
+    * as broadcasts; no data-sized join side. Per-doc length `dl` rides in
+    * the aggregation key (functionally dependent on doc_id), so no
+    * join-back for it either: one real exchange end to end.
+    *
+    * Determinism: tf, df, dl, N are exact integers; avgdl is one double
+    * division; each w(d,t) is the same IEEE expression both engines. The
+    * per-doc Σ is ≤ |queryTerms| additions ordered identically (terms are
+    * summed by Spark in arbitrary order — which is why each w is rounded
+    * to 6 BEFORE the sum and the sum re-rounded to 4: addition of a few
+    * 6-decimal-quantized doubles is order-insensitive at the 4th decimal). */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val withLen = docs.select(col(idCol).as("doc_id"),
+      termsOf(textCol).as("__terms"))
+      .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),
+        explode(col("__terms")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = withLen.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.select(termsOf(textCol).as("__terms"))
+      .agg(count(lit(1)).as("n"),
+        (sum(size(col("__terms")).cast("long")).cast("double") /
+          count(lit(1))).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf.join(broadcast(dfc), "term").crossJoin(broadcast(stats))
+      .withColumn("__w", round(w, 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), round(sum(col("__w")), 4).as("bm25"))
+    // top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heaps, no global sort/single-partition window over the full scored
+    // set), then rank the ≤ topK survivors — the unpartitioned window only
+    // ever sees topK rows.
+    val rkw = Window.orderBy(col("bm25").desc, col("doc_id").asc)
+    scored.orderBy(col("bm25").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rk", row_number().over(rkw).cast("long"))
+      .select("doc_id", "n_hit_terms", "bm25", "rk")
+  }
 }

@@ -79,4 +79,40 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
     // null stratum is the min (n=1) → rate 1.0 → its row survives
     assert(out.filter(col("src").isNull).count() === 1L)
   }
+
+  test("assignSplits: disjoint, exhaustive, deterministic, near target shares") {
+    val bands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.assignSplits(docs, col("id"), bands)
+    // exhaustive: every row got exactly one split, nothing dropped or doubled
+    assert(out.count() === 2000L)
+    assert(out.filter(col("split").isNull).count() === 0L)
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(math.abs(bySplit("train") - 1600) < 120) // Bernoulli ±
+    assert(math.abs(bySplit("val") - 200) < 80)
+    assert(math.abs(bySplit("test") - 200) < 80)
+    // deterministic and partitioning-independent: the leakage guarantee —
+    // re-runs and re-layouts can never move a doc across the test fence
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = Sampling.assignSplits(docs.repartition(13), col("id"), bands)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a === b)
+    // shuffle-free scan projection
+    val plan = Sampling.assignSplits(docs, col("id"), bands)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+    // consistent with hashSample's bands: the train split IS the 0.8 sample
+    val trainIds = out.filter(col("split") === "train")
+      .collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.hashSample(docs, col("id"), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(trainIds === sampled)
+  }
+
+  test("assignSplits: rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
 }

@@ -94,4 +94,44 @@ class TermWeightingSpec extends AnyFunSuite with SparkSpec {
       (2L, 2L, r4((nllThe + -math.log(1.0 / 6.0)) / 2.0))))
     assert(out(0)._3 < out(1)._3) // the repetitive-common doc is less surprising
   }
+
+  test("bm25TopDocs: hand-computed Okapi scores, non-hits absent, rank order") {
+    val corpus = df(schema, Seq(
+      Seq(1L, "apple apple apple"),          // dl 3, tf(apple)=3
+      Seq(2L, "apple banana other"),         // dl 3, one of each query term
+      Seq(3L, "banana banana banana banana"),// dl 4
+      Seq(4L, "other stuff")))               // dl 2, no query terms
+    val out = TermWeighting.bm25TopDocs(corpus, Seq("apple", "banana"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // N=4, avgdl=(3+3+4+2)/4=3, df(apple)=df(banana)=2 → idf=ln(1+2.5/2.5)=ln 2
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(tf: Long, dl: Long) = r(math.log(2.0) * (tf * (1.2 + 1.0)) /
+      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 3.0)), 6)
+    val expected = Map(
+      1L -> (1L, r(w(3, 3), 4)),            // apple only
+      2L -> (2L, r(w(1, 3) + w(1, 3), 4)),  // both terms, tf 1 each
+      3L -> (1L, r(w(4, 4), 4)))            // banana only
+    assert(out.map(t => t._1 -> (t._2, t._3)).toMap === expected)
+    assert(!out.exists(_._1 == 4L))          // no query term → not scored
+    // rk follows (bm25 desc, doc_id asc), 1-based dense
+    val byRank = out.sortBy(_._4)
+    assert(byRank.map(_._4).toSeq === (1L to out.length))
+    assert(byRank.map(_._3).toSeq === byRank.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("bm25TopDocs: more on-topic doc outranks padded one; topK respected") {
+    val corpus = df(schema, (1L to 30L).map { i =>
+      // docs 1-10: i copies of the query term padded to constant length 40;
+      // docs 11-30 dilute df so idf stays large enough that adjacent tf
+      // scores differ above the round-4 grain (an all-docs-hit term has
+      // idf ≈ ln(1 + 0.5/(N+0.5)) ≈ 0 and every score rounds together)
+      val hits = if (i <= 10) i.toInt else 0
+      Seq(i, (Seq.fill(hits)("target") ++ Seq.fill(40 - hits)("pad")).mkString(" "))
+    })
+    val out = TermWeighting.bm25TopDocs(corpus, Seq("target"), topK = 5).collect()
+    assert(out.length === 5)
+    // equal dl everywhere → score is monotone in tf → docs 10..6 in order
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 9L, 8L, 7L, 6L))
+  }
 }
