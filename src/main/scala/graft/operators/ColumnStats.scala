@@ -1,5 +1,9 @@
 package graft.operators
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -8,17 +12,28 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * warehouse load wants after ingest: one row per profiled column with
   * `(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)`.
   *
-  * ONE pass over the data: every per-column aggregate is computed in a
-  * single `agg` (Catalyst plans the distinct aggregates via Expand), then
-  * the wide row is unpivoted driver-side into the per-column shape — no
-  * per-column scans, no driver-side data movement beyond the single stats
-  * row.
+  * Plan shape: one keyless pass over the data computes count / per-column
+  * null counts / typed min-max (partial aggregation per partition, a
+  * #columns-wide single-row merge — no shuffle of data rows). Distinct
+  * counts NEVER go through a fused multi-distinct aggregation: that plans
+  * an Expand (one projection per distinct column, #columns × row
+  * replication) and — because min/max over string/timestamp columns have
+  * var-length buffers that disqualify hash aggregation — a SortAggregate
+  * with a full Sort of the expanded rows (measured 2.5s vs 0.9s at sf0.1
+  * on 4 columns of `orders`). Instead:
   *
-  * `exactDistinct = true` uses COUNT(DISTINCT) — cross-engine-exact (the
-  * oracle), but Expand multiplies the shuffled rows by the number of
-  * profiled columns. At 100 TB profile with `exactDistinct = false`:
-  * approx_count_distinct (HLL) keeps the pass at one shuffle with no
-  * row multiplication, the standard trade for profiling jobs.
+  *  - `exactDistinct = true` (the oracle path): one narrow
+  *    `select(c).distinct().count()` job per column — map-side partial
+  *    dedup, a shuffle of unique values only — all submitted CONCURRENTLY
+  *    with the base pass (independent jobs; a cluster schedules them in
+  *    parallel, and each remains fully distributed).
+  *  - `exactDistinct = false` (the 100 TB path): HLL
+  *    (`approx_count_distinct`) rides in the SAME keyless pass — truly
+  *    one scan, fixed-size sketch buffers, no Expand, no extra jobs.
+  *
+  * The final K-row assembly is driver-side but bounded by the profiled
+  * column count (the same bounded-cardinality collect contract as the
+  * ANN centroid paths), never by data size.
   *
   * min/max are stringified for a uniform output schema; floating columns
   * go through DECIMAL(28,6) first so the text form is engine-portable
@@ -45,25 +60,39 @@ object ColumnStats {
           .otherwise(d.cast("decimal(28,6)").cast("string"))
       case _ => e.cast("string")
     }
-    def nDistinct(c: String): Column =
-      if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c))
 
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+    val baseAggs = count(lit(1)).as("__n") +: (cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      nDistinct(c).as(s"__distinct_$c"),
       asText(min(col(c)), c).as(s"__min_$c"),
-      asText(max(col(c)), c).as(s"__max_$c")))
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+      asText(max(col(c)), c).as(s"__max_$c"))) ++
+      (if (exactDistinct) Nil
+       else cols.map(c => approx_count_distinct(col(c)).as(s"__distinct_$c"))))
 
-    // unpivot the one wide row into (column_name, ...) rows — plan-side
-    // (explode of a struct array), not a driver loop over data
-    val entries = array(cols.map(c => struct(
-      lit(c).as("column_name"),
-      col("__n").as("n_rows"),
-      coalesce(col(s"__nulls_$c"), lit(0L)).as("n_nulls"),
-      col(s"__distinct_$c").as("n_distinct"),
-      col(s"__min_$c").as("min_value"),
-      col(s"__max_$c").as("max_value"))): _*)
-    wide.select(explode(entries).as("p")).select("p.*")
+    // the base pass and the per-column distinct jobs are independent —
+    // submit everything, let the scheduler overlap
+    val wideF = Future(df.agg(baseAggs.head, baseAggs.tail: _*).head())
+    val distinctF =
+      if (exactDistinct)
+        // isNotNull pre-filter: COUNT(DISTINCT c) ignores NULLs, but the
+        // null group would survive distinct() as a row of its own
+        Future.sequence(cols.map(c =>
+          Future(c -> df.select(col(c)).where(col(c).isNotNull)
+            .distinct().count())))
+      else Future.successful(Nil)
+    val wide = Await.result(wideF, Duration.Inf)
+    val exactCounts = Await.result(distinctF, Duration.Inf).toMap
+
+    def longAt(name: String): Long = {
+      val i = wide.fieldIndex(name)
+      if (wide.isNullAt(i)) 0L else wide.getLong(i)
+    }
+    val out = cols.map { c =>
+      (c, longAt("__n"), longAt(s"__nulls_$c"),
+        if (exactDistinct) exactCounts(c) else longAt(s"__distinct_$c"),
+        wide.getAs[String](s"__min_$c"), wide.getAs[String](s"__max_$c"))
+    }
+    import df.sparkSession.implicits._
+    out.toDF("column_name", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value")
   }
 }
