@@ -90,12 +90,18 @@ object Queries {
 
     // D1: deterministic first-wins dedup. (l_orderkey, l_linenumber) is not
     // unique in the synthetic data, so the tiebreak orders by every column.
+    // The order is total and all-ascending, so min-struct hash aggregation
+    // ([[Dedup.exact]]) picks the IDENTICAL row as the row_number window
+    // (equivalence spec-pinned in UpsertSpec) while shuffling one partial
+    // min per key per input partition instead of sorting every row —
+    // [[Dedup.firstWins]] remains the primitive for .desc/.asc mixes.
     "q06_dedup_first_wins" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val order = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
-        "l_shipdate").map(col(_).asc)
-      Dedup.firstWins(li, Seq("l_orderkey"), order)
+        "l_shipdate")
+      Dedup.exact(li.select("l_orderkey", order: _*), Seq("l_orderkey"),
+        order.map(col))
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
     }),
 

@@ -69,4 +69,20 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     // plain column passes through untouched
     assert(Dedup.exact(in, Seq("k"), Seq(col("ord"))).count() === 1)
   }
+
+  test("dedup exact == firstWins whenever the ascending order is total (q06's swap)") {
+    // seeded random frame, heavy duplication per key; (ord1, ord2) is made
+    // unique per key so the window has no ties and both operators have a
+    // single well-defined winner
+    val rnd = new scala.util.Random(20260814)
+    val rows = (1 to 500).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(50), i, s"v$i")
+    }
+    val in = rows.toDF("k", "ord1", "ord2", "v")
+    val viaAgg = Dedup.exact(in, Seq("k"), Seq(col("ord1"), col("ord2")))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    val viaWindow = Dedup.firstWins(in, Seq("k"), Seq(col("ord1").asc, col("ord2").asc))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(viaAgg === viaWindow)
+  }
 }
