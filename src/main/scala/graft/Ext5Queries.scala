@@ -25,7 +25,8 @@ import graft.operators.SpanDedup
   * corpus dedup (persisted MinHash-LSH index), q103 BM25 retrieval
   * scoring ([[graft.operators.TermWeighting.bm25TopDocs]]), q104
   * deterministic train/val/test split assignment
-  * ([[graft.operators.Sampling.assignSplits]]).
+  * ([[graft.operators.Sampling.assignSplits]]), q105 interpolated bigram
+  * LM scoring ([[graft.operators.TermWeighting.bigramLogLoss]]).
   */
 object Ext5Queries {
 
@@ -94,7 +95,12 @@ object Ext5Queries {
       graft.operators.Sampling.assignSplits(
         t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
         col("doc_id"), SplitBands)
-    })
+    }),
+
+    // Interpolated bigram LM scoring — word-ORDER perplexity filtering
+    // (q85's unigram model can't see shuffled/concatenated text).
+    "q105_bigram_logloss" -> ((s, dir) =>
+      graft.operators.TermWeighting.bigramLogLoss(t(s, dir, "documents")))
   )
 
   /** q103's query bag: mid-df corpus terms; shared with the oracle. */
@@ -263,6 +269,33 @@ object Ext5Queries {
         |FROM (SELECT doc_id, lang, source,
         |             (('0x'||substr(md5('graft|'||doc_id), 1, 8))::BIGINT
         |              % 1000000) / 1000000.0 AS u
-        |      FROM documents)""".stripMargin
+        |      FROM documents)""".stripMargin,
+
+    // λ and 1−λ spelled as the same literals/operations as the Scala side
+    // (0.7, (1.0 - 0.7)); the Σ tf·(−ln p) / Σ tf shape mirrors q85's
+    // oracle, which established the pattern's cross-engine stability.
+    "q105_bigram_logloss" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |tf2 AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM tf2 GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |cw AS (SELECT w, count(*) AS cw
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       round(sum(tf * -ln(0.7 * (CAST(c2 AS DOUBLE) / c1)
+        |                          + (1.0 - 0.7) * (CAST(cw AS DOUBLE) / n)))
+        |             / sum(tf), 4) AS avg_nll
+        |FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |     JOIN cw ON w2 = w, n
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -166,6 +166,61 @@ object TermWeighting {
           sum("tf"), 4).as("avg_nll"))
   }
 
+  /** Per-document interpolated BIGRAM negative log-likelihood under the
+    * corpus's own bigram model — one rung up from [[unigramLogLoss]]
+    * toward CCNet-style perplexity filtering: word-ORDER statistics, so
+    * shuffled/boilerplate/concatenated text scores as surprising even
+    * when its unigram mix looks normal.
+    *
+    * Model: `p(w2|w1) = λ·c(w1 w2)/c(w1·) + (1−λ)·c(w2)/N` (MLE bigram
+    * interpolated with the unigram — every scored bigram was observed, so
+    * probabilities are positive without further smoothing; the unigram
+    * component keeps the model honest on bigrams frequent only inside
+    * one document). Output: `(doc_id, n_bigrams, avg_nll)` with
+    * `avg_nll = Σ tf·(−ln p) / Σ tf` rounded to 4; documents with < 2
+    * tokens emit no row.
+    *
+    * Shape: bigram structs come from a `transform(sequence(...))`
+    * generator with the short-doc guard INSIDE the expression (explode of
+    * an empty array — the [[SpanDedup]] lesson: a separate Filter gets
+    * pushed below the tokens projection and re-inlines the tokenizer into
+    * the scan, and sequence(1, size−1) must never see size = 0 or it
+    * generates a DESCENDING range). One doc_id exchange feeds the
+    * per-doc aggregates; the three model tables (bigram counts, context
+    * counts, unigram counts) are vocabulary-sized aggregates joined back
+    * by broadcast — same broadcast-vocab stance (and caveat) as
+    * [[tfidfTopTerms]]. */
+  def bigramLogLoss(docs: DataFrame, lambda: Double = 0.7,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"))
+      .repartition(col("doc_id"))
+    val bigStructs = transform(sequence(lit(1), size(col("__t")) - 1),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + 1).as("w2")))
+    val big = toks.select(col("doc_id"),
+      explode(when(size(col("__t")) >= 2, bigStructs)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tf2 = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val c2 = tf2.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+    val cw = toks.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = cw.agg(sum("cw").as("__n"))
+    // constants as the same IEEE ops both sides: lit(1.0) − lit(λ), never
+    // a precomputed 0.3
+    val p = lit(lambda) * (col("c2").cast("double") / col("c1")) +
+      (lit(1.0) - lit(lambda)) * (col("cw").cast("double") / col("__n"))
+    tf2.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(cw), col("w2") === col("w"))
+      .crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        round(sum(col("tf") * -log(p)) / sum("tf"), 4).as("avg_nll"))
+  }
+
   /** Okapi BM25 document ranking for a fixed bag of query terms — the
     * retrieval scorer a curation pipeline uses for targeted corpus pulls
     * ("give me the docs most about X") and for contamination-style probe

@@ -95,6 +95,34 @@ class TermWeightingSpec extends AnyFunSuite with SparkSpec {
     assert(out(0)._3 < out(1)._3) // the repetitive-common doc is less surprising
   }
 
+  test("bigramLogLoss: hand-computed interpolated model, short docs emit nothing") {
+    val corpus = df(schema, Seq(
+      Seq(1L, "a b a b"), // bigrams (a,b)x2, (b,a); tokens a,a,b,b
+      Seq(2L, "a b c"),   // bigrams (a,b), (b,c)
+      Seq(3L, "x")))      // 1 token: no bigrams, no row
+    val out = TermWeighting.bigramLogLoss(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // corpus model: c2(a,b)=3 c2(b,a)=1 c2(b,c)=1; c1(a)=3 c1(b)=2;
+    // unigrams: a=3 b=3 c=1 x=1, N=8
+    def p(c2: Double, c1: Double, cw: Double) =
+      0.7 * (c2 / c1) + (1.0 - 0.7) * (cw / 8.0)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAB = p(3, 3, 3); val pBA = p(1, 2, 3); val pBC = p(1, 2, 1)
+    assert(out === Array(
+      (1L, 3L, r4((2 * -math.log(pAB) + -math.log(pBA)) / 3.0)),
+      (2L, 2L, r4((-math.log(pAB) + -math.log(pBC)) / 2.0))))
+    // word order matters: a doc of corpus-frequent unigrams in a
+    // corpus-unseen order scores MORE surprising than the same bag in a
+    // corpus-frequent order — the signal q85's unigram model cannot see
+    val shuffled = df(schema, Seq(
+      Seq(1L, "a b a b a b a b"), Seq(2L, "a b a b a b a b"),
+      Seq(3L, "b b b b a a a a")))
+    val nll = TermWeighting.bigramLogLoss(shuffled).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(3L) > nll(1L))
+  }
+
   test("bm25TopDocs: hand-computed Okapi scores, non-hits absent, rank order") {
     val corpus = df(schema, Seq(
       Seq(1L, "apple apple apple"),          // dl 3, tf(apple)=3
