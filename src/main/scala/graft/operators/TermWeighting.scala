@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,19 @@ object TermWeighting {
   private def termsOf(textCol: String) =
     filter(tokens(col(textCol)), t => t =!= "")
 
+  /** explode of an (already projected) term-array column behind a
+    * non-attribute child. `explode` over a bare ATTRIBUTE triggers
+    * InferFiltersFromGenerate (`size(arr) > 0 AND isnotnull(arr)`), and
+    * predicate pushdown then re-inlines the ENTIRE tokenize chain into a
+    * per-row scan Filter — the q22 landmine in attribute form: the
+    * tokenizer evaluated twice per row, silently, for every operator in
+    * this file (caught by q105's plan pin, latent in q74/q85 since round
+    * 3). The `when` wrapper is a complex child the rule declines on;
+    * `size(arr) >= 0` holds for every non-null array, and a null array
+    * explodes to nothing through either form. */
+  private def explodeTerms(arr: Column): Column =
+    explode(when(size(arr) >= 0, arr))
+
   /** Top-`topK` terms per document by TF-IDF (`tf * ln(N / df)`).
     *
     * Output: `(doc_id, term, tf, tfidf, rk)`, `rk` 1-based by
@@ -63,7 +76,7 @@ object TermWeighting {
     val tok = docs
       .select(col(idCol).as("doc_id"), termsOf(textCol).as("__terms"))
       .repartition(col("doc_id")) // the one exchange: pre-explode rows
-      .select(col("doc_id"), explode(col("__terms")).as("term"))
+      .select(col("doc_id"), explodeTerms(col("__terms")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val withDf =
       if (broadcastVocab) {
@@ -117,7 +130,7 @@ object TermWeighting {
               topK: Int = 50, textCol: String = "text"): DataFrame = {
     val tok = docs
       .select((col(partCol) === target).as("is_t"), termsOf(textCol).as("__terms"))
-      .select(col("is_t"), explode(col("__terms")).as("term"))
+      .select(col("is_t"), explodeTerms(col("__terms")).as("term"))
     val counts = tok.groupBy("term").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("target_cnt"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("rest_cnt"))
@@ -155,7 +168,7 @@ object TermWeighting {
     val tok = docs
       .select(col(idCol).as("doc_id"), termsOf(textCol).as("__terms"))
       .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(col("__terms")).as("term"))
+      .select(col("doc_id"), explodeTerms(col("__terms")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val n = cnt.agg(sum("cnt").as("__n"))
@@ -205,7 +218,7 @@ object TermWeighting {
     val tf2 = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val c2 = tf2.groupBy("w1", "w2").agg(sum("tf").as("c2"))
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val cw = toks.select(explode(col("__t")).as("w"))
+    val cw = toks.select(explodeTerms(col("__t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val n = cw.agg(sum("cw").as("__n"))
     // constants as the same IEEE ops both sides: lit(1.0) − lit(λ), never
@@ -253,7 +266,7 @@ object TermWeighting {
     val withLen = docs.select(col(idCol).as("doc_id"),
       termsOf(textCol).as("__terms"))
       .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),
-        explode(col("__terms")).as("term"))
+        explodeTerms(col("__terms")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = withLen.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -66,4 +66,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull"),
       s"no pushed filters on the scan:\n$plan")
   }
+
+  test("q103 plan: model tables broadcast, top-k as heaps — no global window/sort") {
+    val plan = SparkEntry.queries("q103_bm25_rank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // df + corpus-stats join back by broadcast, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), s"df join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"shuffle join in the score path:\n$plan")
+    // the top-k is TakeOrderedAndProject (per-partition heaps); the rank
+    // window must sit ABOVE it (≤ topK rows), never below over the full
+    // scored set (parents print before children in the tree string)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps:\n$plan")
+    assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
+      s"rank window ran below the top-k, over the full scored set:\n$plan")
+    assert(!plan.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      s"inlined tokenize chain found in a Filter condition:\n$plan")
+  }
+
+  test("q105 plan: vocabulary broadcasts, no tokenizer inlined into a Filter") {
+    val plan = SparkEntry.queries("q105_bigram_logloss")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model-count joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle join in the scoring path:\n$plan")
+    // the short-doc guard lives INSIDE the bigram generator — no Filter
+    // may carry the re-inlined tokenize chain (the q22/q100 landmine)
+    assert(!plan.matches("(?s).*Filter [^\\n]*split\\(.*"),
+      s"inlined tokenize chain found in a Filter condition:\n$plan")
+  }
 }
