@@ -29,6 +29,17 @@ import graft.functions.TextFunctions._
   */
 object TextDedup {
 
+  /** Generator-child wrapper: explode/posexplode over a bare ATTRIBUTE
+    * triggers InferFiltersFromGenerate (`size(arr) > 0`), and predicate
+    * pushdown re-inlines the attribute's whole producing chain into a
+    * per-row Filter — tokenize evaluated twice per row on the simhash
+    * path, the 16-md5 band array twice per signature on the LSH paths
+    * (same landmine as [[TermWeighting]]'s explodeTerms; the q22 path is
+    * protected by its persist barrier instead). `size(arr) >= 0` holds
+    * for every non-null array and a null array explodes to nothing
+    * either way; the `when` is a complex child the rule declines on. */
+  private def noInfer(arr: Column): Column = when(size(arr) >= 0, arr)
+
   /** Exact dedup groups: canonical (min) doc id + duplicate count per
     * whitespace-normalized content fingerprint. */
   def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -105,7 +116,7 @@ object TextDedup {
       .select(col("doc_id"),
         array((0 until bands).map(b => col(s"bk$b")): _*).as("bks"))
       .select(col("doc_id"), col("bks"),
-        posexplode(col("bks")).as(Seq("band_id", "band_key")))
+        posexplode(noInfer(col("bks"))).as(Seq("band_id", "band_key")))
   }
 
   /** Candidate near-dup pairs from MinHash LSH banding, with the estimated
@@ -255,7 +266,7 @@ object TextDedup {
                         textCol: String = "text"): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .select(col("doc_id"), explode(noInfer(col("__toks"))).as("tok"))
       .withColumn("h", hash60(col("tok")))
     val bitVotes = (0 until 60).map { b =>
       sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")
@@ -451,7 +462,7 @@ object TextDedup {
           md5(concat_ws("|", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*))
         }: _*).as("__bks"))
       .select(col("doc_id"), col("mhs"),
-        posexplode(col("__bks")).as(Seq("band_id", "band_key")))
+        posexplode(noInfer(col("__bks"))).as(Seq("band_id", "band_key")))
   }
 
   /** Build a persisted MinHash-LSH text index at `indexDir` — the
