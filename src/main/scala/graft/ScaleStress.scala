@@ -208,6 +208,35 @@ object ScaleStress {
           // corpus size — the claim that matters at 100 TB
           measure("q22_ngram_jaccard_df_spike", "x100",
             () => constDensityDocs(100), derivedCapRun, warm = false))
+      },
+      // q100: span-level dedup under the dense-cluster stress. Output is
+      // per-document (occurrence rows, never pairs), so replication should
+      // cost ~linear wall even though every clone-family gram bucket is
+      // k× bigger — the claim that separates the k-gram bucket design
+      // from a pair-emitting formulation.
+      shape("q100_span_dedup_dense_cluster", Seq(1, 10),
+        k => stressDocs(k, hot = 300),
+        df => graft.operators.SpanDedup.duplicateSpans(df).count()),
+      // q102: the incremental-index claim measured. Probe a FIXED incoming
+      // batch (5k near-dup docs) against a 1× vs 10× indexed corpus —
+      // the probe never re-reads corpus text, so its wall should grow far
+      // slower than the index (only the band join's build side grows) —
+      // and against the x10_recompute row, which pays from-scratch
+      // minhash over corpus+batch: the cost the index exists to avoid.
+      "q102_incremental_probe" -> { () =>
+        def batch = docsBase.select((col("doc_id") + 80000000L).as("doc_id"),
+          concat(col("text"), lit(" probe")).as("text"))
+        def probeAt(k: Int): (String, ShapeRun) = {
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"graft-scale-idx$k").toString + "/ix"
+          TextDedup.buildLshIndex(stressDocs(k, hot = 0), dir) // amortized, untimed
+          measure("q102_incremental_probe", s"x$k", () => batch,
+            df => TextDedup.probeLshIndex(df, dir).count(), warm = false)
+        }
+        Map(probeAt(1), probeAt(10),
+          measure("q102_incremental_probe", "x10_recompute",
+            () => stressDocs(10, hot = 0).unionByName(batch),
+            df => TextDedup.minhashLshPairs(df).count(), warm = false))
       })
 
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
