@@ -26,7 +26,8 @@ import graft.operators.SpanDedup
   * scoring ([[graft.operators.TermWeighting.bm25TopDocs]]), q104
   * deterministic train/val/test split assignment
   * ([[graft.operators.Sampling.assignSplits]]), q105 interpolated bigram
-  * LM scoring ([[graft.operators.TermWeighting.bigramLogLoss]]).
+  * LM scoring ([[graft.operators.TermWeighting.bigramLogLoss]]), q106
+  * content-defined chunking ([[graft.operators.TextAnalysis.cdcChunks]]).
   */
 object Ext5Queries {
 
@@ -100,7 +101,15 @@ object Ext5Queries {
     // Interpolated bigram LM scoring — word-ORDER perplexity filtering
     // (q85's unigram model can't see shuffled/concatenated text).
     "q105_bigram_logloss" -> ((s, dir) =>
-      graft.operators.TermWeighting.bigramLogLoss(t(s, dir, "documents")))
+      graft.operators.TermWeighting.bigramLogLoss(t(s, dir, "documents"))),
+
+    // Content-defined chunking: hash-boundary chunks whose fingerprints
+    // survive edits (FastCDC's property at token granularity) — the
+    // chunk-level dedup primitive fixed windows (q65) cannot provide.
+    // Shuffle-free array arithmetic; the ORACLE uses the equivalent
+    // window/cumsum formulation.
+    "q106_cdc_chunks" -> ((s, dir) =>
+      graft.operators.TextAnalysis.cdcChunks(t(s, dir, "documents")))
   )
 
   /** q103's query bag: mid-df corpus terms; shared with the oracle. */
@@ -296,6 +305,35 @@ object Ext5Queries {
         |             / sum(tf), 4) AS avg_nll
         |FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |     JOIN cw ON w2 = w, n
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // The cumsum(boundary) − boundary window assignment is provably the
+    // same partition as the Scala side's array-land cut arithmetic: a
+    // token's chunk_id is the number of boundary tokens strictly before
+    // it, and a boundary token CLOSES its own chunk. Same md5-prefix hash
+    // family as q57/q104.
+    "q106_cdc_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |marked AS (
+        |  SELECT doc_id, i, tok,
+        |         CASE WHEN ('0x'||substr(md5(tok), 1, 8))::BIGINT % 16 = 0
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM pos),
+        |cum AS (
+        |  SELECT doc_id, i, tok,
+        |         sum(b) OVER (PARTITION BY doc_id ORDER BY i) - b AS chunk_id
+        |  FROM marked)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(min(i) AS BIGINT) AS begin_pos,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 16) AS chunk_hash
+        |FROM cum GROUP BY doc_id, chunk_id""".stripMargin
   )
 }

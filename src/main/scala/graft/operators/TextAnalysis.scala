@@ -140,6 +140,69 @@ object TextAnalysis {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
+  /** Content-defined chunking (the token-level FastCDC analog): a chunk
+    * boundary falls AT every token whose portable hash ≡ 0 (mod
+    * `avgTokens`), so expected chunk length is `avgTokens` and — the
+    * property fixed windows cannot give — boundaries are a function of
+    * CONTENT, not position: editing a document re-chunks only up to the
+    * first boundary after the edit, and every later chunk keeps its
+    * fingerprint (spec-pinned). That stability is what makes chunk-hash
+    * dedup work across crawl snapshots: yesterday's chunks still match
+    * today's shifted bytes.
+    *
+    * Output: `(doc_id, chunk_id, begin_pos, n_tokens, chunk_hash)`,
+    * `chunk_id` 0-based in document order, `begin_pos` 1-based token
+    * index, `chunk_hash` = first 16 md5 hex chars of the
+    * space-joined chunk.
+    *
+    * Shape: pure per-row array arithmetic — cut positions, starts and
+    * ends all live in array-land, the generator child is a computed
+    * expression (no InferFiltersFromGenerate), and there is NO shuffle:
+    * chunking 100 TB is one codegen'd scan, same scale posture as
+    * [[chunkTokens]]. The empty-doc guard keeps `sequence` total. */
+  def cdcChunks(docs: DataFrame, avgTokens: Int = 16,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(avgTokens > 1, "avgTokens must be > 1")
+    // empty-token filter: split of an all-whitespace doc yields [""], which
+    // would chunk as one empty-token chunk while the oracle's list_filter
+    // sees zero tokens
+    val toked = docs.select(col(idCol).as("doc_id"),
+      filter(tokens(col(textCol)), tk => tk =!= "").as("__toks"))
+    val t = col("__toks")
+    val n = size(t)
+    // portable boundary hash: md5 first 8 hex chars as integer (the
+    // Sampling.hashUnit family — mirrors exactly in the oracle)
+    def isCut(tok: Column) =
+      conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % avgTokens === 0
+    val cuts = when(n >= 1,
+      filter(sequence(lit(1), n), i => isCut(element_at(t, i))))
+      .otherwise(array().cast("array<int>"))
+    val ends = when(size(col("__cuts")) > 0 &&
+        element_at(col("__cuts"), -1) === n, col("__cuts"))
+      .otherwise(concat(col("__cuts"), array(n)))
+    // guard: an empty doc has no __ends, and slice(x, 1, size-1) must
+    // never see a negative length
+    val starts = when(size(col("__ends")) > 0,
+      concat(array(lit(1)),
+        transform(slice(col("__ends"), lit(1), size(col("__ends")) - 1), e => e + 1)))
+      .otherwise(array().cast("array<int>"))
+    toked
+      .withColumn("__cuts", cuts)
+      .withColumn("__ends", when(n >= 1, ends).otherwise(array().cast("array<int>")))
+      .withColumn("__starts", starts)
+      .select(col("doc_id"), col("__toks"),
+        posexplode(zip_with(col("__starts"), col("__ends"),
+          (s, e) => struct(s.as("b"), e.as("e")))))
+      .filter(col("col.e").isNotNull) // zip_with pads the longer side with null
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col.b").cast("long").as("begin_pos"),
+        (col("col.e") - col("col.b") + 1).cast("long").as("n_tokens"),
+        substring(md5(array_join(
+          slice(col("__toks"), col("col.b"), col("col.e") - col("col.b") + 1),
+          " ")), 1, 16).as("chunk_hash"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE-compressed size over raw
     * UTF-8 size per document, with a repetitive-text gate at `maxRatio`
     * (boilerplate/machine-generated text compresses far below natural

@@ -37,6 +37,39 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert((1 to 150).forall(i => covered.contains(s"w$i")))
   }
 
+  test("cdcChunks: contiguous cover, stable fingerprints after a head edit") {
+    val rnd = new scala.util.Random(106)
+    val base = (1 to 400).map(_ => s"t${rnd.nextInt(500)}")
+    val in = Seq(
+      (1L, base.mkString(" ")),
+      (2L, ("inserted junk tokens " + base.mkString(" "))), // head edit of doc 1
+      (3L, "one"),                                          // no boundary → 1 chunk
+      (4L, "   "))                                          // empty → no rows
+    .toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def chunksOf(id: Long) = out.filter(_._1 == id).sortBy(_._2)
+    // contiguous exact cover: chunk 0 starts at 1, each next chunk starts
+    // right after the previous, totals equal the token count
+    for (id <- Seq(1L, 2L, 3L)) {
+      val cs = chunksOf(id)
+      assert(cs.head._3 === 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4); case _ =>
+      }
+    }
+    assert(chunksOf(1L).map(_._4).sum === 400L)
+    assert(chunksOf(3L).length === 1)
+    assert(!out.exists(_._1 == 4L))
+    // THE content-defined property: a head insertion re-chunks only up to
+    // the first boundary — every later chunk keeps its fingerprint (a
+    // fixed-window chunker shifts and re-fingerprints everything)
+    val h1 = chunksOf(1L).map(_._5)
+    val h2 = chunksOf(2L).map(_._5)
+    assert(h1.length > 10, s"want many chunks, got ${h1.length}") // avg 16 over 400
+    assert(h2.takeRight(h1.length - 1).toSeq === h1.drop(1).toSeq)
+  }
+
   test("exactGroups collapses literal duplicates") {
     val in = Seq((1L, "hello   world"), (2L, "Hello world"), (3L, "different")).toDF("doc_id", "text")
     val out = TextDedup.exactGroups(in).collect()
