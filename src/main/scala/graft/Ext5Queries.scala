@@ -27,7 +27,9 @@ import graft.operators.SpanDedup
   * deterministic train/val/test split assignment
   * ([[graft.operators.Sampling.assignSplits]]), q105 interpolated bigram
   * LM scoring ([[graft.operators.TermWeighting.bigramLogLoss]]), q106
-  * content-defined chunking ([[graft.operators.TextAnalysis.cdcChunks]]).
+  * content-defined chunking ([[graft.operators.TextAnalysis.cdcChunks]]),
+  * q107 mergeable HLL sketch rollup ([[graft.operators.SketchRollup]],
+  * rows-only + self-gate).
   */
 object Ext5Queries {
 
@@ -109,7 +111,36 @@ object Ext5Queries {
     // Shuffle-free array arithmetic; the ORACLE uses the equivalent
     // window/cumsum formulation.
     "q106_cdc_chunks" -> ((s, dir) =>
-      graft.operators.TextAnalysis.cdcChunks(t(s, dir, "documents")))
+      graft.operators.TextAnalysis.cdcChunks(t(s, dir, "documents"))),
+
+    // Mergeable distinct-count sketches: daily HLL sketches persisted to
+    // parquet (the lake-table seam), rolled up by sketch UNION — a
+    // year-over-year distinct query reads sketch rows, not raw events.
+    // Rows-only (sketch internals are engine-specific) with the q42-style
+    // runtime self-gate: the merged estimate must sit within 5% of the
+    // exact per-key distinct or the query fails loudly.
+    "q107_sketch_rollup" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, countDistinct, date_trunc}
+      val ev = t(s, dir, "events")
+      val daily = graft.operators.SketchRollup.buildSketches(
+        ev, Seq("event_type"), date_trunc("day", col("ts")), col("user_id"))
+      val lake = java.nio.file.Files
+        .createTempDirectory("graft-q107-sketches").toString + "/daily"
+      daily.write.mode("overwrite").parquet(lake) // the persistence seam
+      val merged = graft.operators.SketchRollup.mergedEstimate(
+        s.read.parquet(lake), Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact"))
+      merged.join(exact, "event_type").collect() // ≤ #event_types rows
+        .foreach { r =>
+          val (a, e) = (r.getAs[Long]("approx_distinct"), r.getAs[Long]("exact"))
+          val relErr = math.abs(a - e).toDouble / e
+          require(relErr <= 0.05,
+            f"q107 ${r.getAs[String]("event_type")} merged-sketch error " +
+              f"$relErr%.4f > 5%% (approx=$a exact=$e)")
+        }
+      merged.select(col("event_type"), col("approx_distinct"), col("n_rows"))
+    })
   )
 
   /** q103's query bag: mid-df corpus terms; shared with the oracle. */

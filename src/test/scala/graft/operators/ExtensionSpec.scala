@@ -70,6 +70,42 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(h2.takeRight(h1.length - 1).toSeq === h1.drop(1).toSeq)
   }
 
+  test("SketchRollup: bucket-sketch union == one full-data sketch, gated accuracy") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate, lit => flit}
+    val df = (1 to 6000).map(i => (i % 3, s"u${i % 997}", i % 10))
+      .toDF("k", "u", "day")
+    val daily = SketchRollup.buildSketches(df, Seq("k"), col("day"), col("u"))
+    // the sketch column survives a parquet round trip (it is a lake column)
+    val lake = java.nio.file.Files.createTempDirectory("graft-sk").toString + "/t"
+    daily.write.parquet(lake)
+    val merged = SketchRollup.mergedEstimate(spark.read.parquet(lake), Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // the mergeability property: union of per-bucket sketches estimates
+    // what one sketch over the full data estimates (same registers; the
+    // union gadget's HLL_8 estimator can differ from the direct sketch's
+    // by a fraction of a percent, so the assert is estimate-level, not
+    // bit-level) — this is what makes persisted sketches re-mergeable
+    // along any dimension
+    val full = df.groupBy("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), flit(12)))
+        .cast("long").as("est"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, m) =>
+      assert(math.abs(m - full(k)).toDouble / full(k) <= 0.01,
+        s"k=$k merged=$m full=${full(k)}")
+    }
+    // accuracy against the exact twin (997 distinct users per k here)
+    val exact = df.groupBy("k").agg(countDistinct(col("u")).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    merged.foreach { case (k, a) =>
+      assert(math.abs(a - exact(k)).toDouble / exact(k) <= 0.05, s"k=$k a=$a e=${exact(k)}")
+    }
+    // n_rows partial sums roll up with the sketches
+    val n = SketchRollup.mergedEstimate(daily, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Long]("n_rows")).toMap
+    assert(n.values.sum === 6000L)
+  }
+
   test("exactGroups collapses literal duplicates") {
     val in = Seq((1L, "hello   world"), (2L, "Hello world"), (3L, "different")).toDF("doc_id", "text")
     val out = TextDedup.exactGroups(in).collect()
