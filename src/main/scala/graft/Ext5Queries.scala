@@ -140,6 +140,16 @@ object Ext5Queries {
               f"$relErr%.4f > 5%% (approx=$a exact=$e)")
         }
       merged.select(col("event_type"), col("approx_distinct"), col("n_rows"))
+    }),
+
+    // Quality-weighted rejection sampling: acceptance probability == the
+    // doc's own q27 quality score — soft filtering (FineWeb-style), no
+    // threshold cliff, deterministic in (seed, doc_id).
+    "q108_quality_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val scored = graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"))
+      graft.operators.Sampling.scoreSample(scored, col("quality_score"), col("doc_id"))
     })
   )
 
@@ -365,6 +375,15 @@ object Ext5Queries {
         |       CAST(min(i) AS BIGINT) AS begin_pos,
         |       CAST(count(*) AS BIGINT) AS n_tokens,
         |       substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 16) AS chunk_hash
-        |FROM cum GROUP BY doc_id, chunk_id""".stripMargin
+        |FROM cum GROUP BY doc_id, chunk_id""".stripMargin,
+
+    // Score formula shared verbatim with q27's oracle; the acceptance
+    // comparison uses the q57/q104 md5 hash unit. Both operands are the
+    // identical rounded values in both engines, so the kept set is exact.
+    "q108_quality_sample" ->
+      s"""WITH q AS (${ExtQueries.qualityOracle})
+         |SELECT doc_id, quality_score FROM q
+         |WHERE (('0x'||substr(md5('graft|'||doc_id), 1, 8))::BIGINT
+         |       % 1000000) / 1000000.0 < quality_score""".stripMargin
   )
 }

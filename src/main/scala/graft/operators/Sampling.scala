@@ -97,6 +97,19 @@ object Sampling {
       .drop("__graft_stratum", "__graft_rate")
   }
 
+  /** Quality-weighted rejection sampling: keep each row with probability
+    * equal to its own (precomputed, [0,1]) score — the soft quality
+    * filter of the FineWeb/CCNet curation family, where a hard threshold
+    * would cliff the distribution: a 0.9-score document survives 90% of
+    * seeds, a 0.2 one 20%, and the kept corpus's score distribution is
+    * the input's reweighted by score. Deterministic in (seed, id) like
+    * every sampler here (re-runs keep the same rows), and still a pure
+    * shuffle-free filter: the score column is computed by an upstream
+    * projection, the hash decides. Scores outside [0,1] are clamped. */
+  def scoreSample(df: DataFrame, score: Column, id: Column,
+                  seed: String = "graft"): DataFrame =
+    df.filter(hashUnit(seed, id) < least(greatest(score, lit(0.0)), lit(1.0)))
+
   /** Deterministic multi-way split assignment (train/validation/test):
     * adds a `split` column mapping each row to the band of `hashUnit(seed,
     * id)` its hash falls in — `splits` are (name, fraction) pairs whose

@@ -115,4 +115,33 @@ class SamplingSpec extends AnyFunSuite with SparkSpec {
       Sampling.assignSplits(docs, col("id"), Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("scoreSample: acceptance == the row's own score, monotone and deterministic") {
+    // 4 score bands over 2000 ids: 1.0 keeps all, 0.0 keeps none,
+    // middle bands keep ≈ their score's share
+    val scored = docs.withColumn("score",
+      when(col("id") % 4 === 0, 1.0).when(col("id") % 4 === 1, 0.0)
+        .when(col("id") % 4 === 2, 0.25).otherwise(0.75))
+    val kept = Sampling.scoreSample(scored, col("score"), col("id"))
+      .collect().map(r => r.getLong(0)).toSet
+    val byBand = kept.groupBy(id => id % 4).view.mapValues(_.size).toMap
+    assert(byBand(0) === 500)            // score 1.0: everything survives
+    assert(!byBand.contains(1L))         // score 0.0: nothing
+    assert(math.abs(byBand(2L) - 125) < 60)  // 0.25 of 500, Bernoulli ±
+    assert(math.abs(byBand(3L) - 375) < 60)  // 0.75 of 500
+    // monotone in score: a row kept at score s is kept at every s' >= s
+    // (same hash, higher threshold) — raising quality never drops a doc
+    val keptLower = Sampling.scoreSample(
+      scored.withColumn("score", col("score") * 0.5), col("score"), col("id"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(keptLower.subsetOf(kept))
+    // deterministic re-run
+    val again = Sampling.scoreSample(scored, col("score"), col("id"))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(again === kept)
+    // out-of-range scores clamp instead of misbehaving
+    val wild = Sampling.scoreSample(
+      scored.withColumn("score", col("score") * 3.0 - 1.0), col("score"), col("id"))
+    assert(wild.filter(col("id") % 4 === 1).count() === 0) // clamp at 0
+  }
 }
