@@ -142,6 +142,38 @@ object Ext5Queries {
       merged.select(col("event_type"), col("approx_distinct"), col("n_rows"))
     }),
 
+    // Sketch-based percentiles — the 100 TB twin of q38: exact
+    // percentile() buffers every group value; approx_percentile (the
+    // Greenwald-Khanna sketch) is fixed-memory with a RANK-error
+    // guarantee (value error is unbounded on skewed data, which is why
+    // the gate checks rank). SELF-GATING, q42 pattern: the reported
+    // values' true ranks must sit within 1% of their targets or the
+    // query fails loudly. Rows-only (sketch internals engine-specific).
+    "q109_approx_percentiles" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val o = t(s, dir, "orders").select(col("o_orderstatus"), col("o_totalprice"))
+      val approx = o.groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("ap"))
+        .select(col("o_orderstatus"),
+          element_at(col("ap"), 1).as("p50"), element_at(col("ap"), 2).as("p90"))
+      def rank(v: String) =
+        (sum(when(col("o_totalprice") <= col(v), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as(s"r_$v")
+      o.join(broadcast(approx), "o_orderstatus")
+        .groupBy(col("o_orderstatus")).agg(rank("p50"), rank("p90"))
+        .collect() // ≤ #statuses rows
+        .foreach { r =>
+          def gate(c: String, target: Double): Unit = {
+            val err = math.abs(r.getAs[Double](s"r_$c") - target)
+            require(err <= 0.01, f"q109 ${r.getString(0)} $c rank error " +
+              f"$err%.4f > 1%% (sketch regression)")
+          }
+          gate("p50", 0.5); gate("p90", 0.9)
+        }
+      approx.select(col("o_orderstatus"),
+        round(col("p50"), 4).as("p50_approx"), round(col("p90"), 4).as("p90_approx"))
+    }),
+
     // Quality-weighted rejection sampling: acceptance probability == the
     // doc's own q27 quality score — soft filtering (FineWeb-style), no
     // threshold cliff, deterministic in (seed, doc_id).

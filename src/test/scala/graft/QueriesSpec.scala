@@ -29,7 +29,7 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
   private val oracleless =
     Set("q25_ann_topk", "q36_ivf_topk", "q42_approx_distinct",
       "q80_compressibility", "q89_quality_classifier", "q98_pq_topk",
-      "q107_sketch_rollup")
+      "q107_sketch_rollup", "q109_approx_percentiles")
 
   test("q42 approx distinct is within 5% of exact") {
     val row = Queries.all("q42_approx_distinct")(spark, sfDir).head()
@@ -37,6 +37,25 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
       .selectExpr("count(distinct l_orderkey)", "count(distinct l_partkey)").head()
     assert(math.abs(row.getLong(0) - exact.getLong(0)).toDouble / exact.getLong(0) < 0.05)
     assert(math.abs(row.getLong(1) - exact.getLong(1)).toDouble / exact.getLong(1) < 0.05)
+  }
+
+  test("q109 approx percentiles: gate runs, one row per status, sane order") {
+    // the declared query self-gates on rank error ≤ 1%; reaching the
+    // assertions below means the gate passed on real data
+    val rows = Queries.all("q109_approx_percentiles")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length === 3) // order statuses O/F/P
+    rows.foreach { case (st, p50, p90) =>
+      assert(p50 <= p90, s"$st: p50 $p50 > p90 $p90")
+    }
+    val exact = Queries.all("q38_percentiles")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { case (st, p50, p90) =>
+      // sketch values sit near the exact interpolated percentiles on this
+      // smooth distribution (rank guarantee ⇒ loose value tolerance)
+      assert(math.abs(p50 - exact(st)._1) / exact(st)._1 < 0.05)
+      assert(math.abs(p90 - exact(st)._2) / exact(st)._2 < 0.05)
+    }
   }
 
   test("every query has an oracle (or is a declared rows-only op)") {
