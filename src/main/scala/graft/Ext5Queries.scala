@@ -29,7 +29,10 @@ import graft.operators.SpanDedup
   * LM scoring ([[graft.operators.TermWeighting.bigramLogLoss]]), q106
   * content-defined chunking ([[graft.operators.TextAnalysis.cdcChunks]]),
   * q107 mergeable HLL sketch rollup ([[graft.operators.SketchRollup]],
-  * rows-only + self-gate).
+  * rows-only + self-gate), q108 quality-weighted rejection sampling
+  * ([[graft.operators.Sampling.scoreSample]]), q109 sketch percentiles
+  * (rows-only + rank-error self-gate), q110 BPE merge training
+  * ([[graft.operators.BpeTrain]], rows-only + differential spec).
   */
 object Ext5Queries {
 
@@ -173,6 +176,15 @@ object Ext5Queries {
       approx.select(col("o_orderstatus"),
         round(col("p50"), 4).as("p50_approx"), round(col("p90"), 4).as("p90_approx"))
     }),
+
+    // BPE merge-rule training: learn a tokenizer FROM the corpus (the
+    // step beyond q28's fixed tokenizer). One corpus pass builds the
+    // vocab-sized word dict; the 12-round merge loop runs on the dict.
+    // Rows-only — a 12-round argmax loop has no tractable SQL oracle;
+    // semantics pinned by a differential spec vs a naive in-memory
+    // reference trainer.
+    "q110_bpe_train" -> ((s, dir) =>
+      graft.operators.BpeTrain.learnMerges(t(s, dir, "documents"), numMerges = 12)),
 
     // Quality-weighted rejection sampling: acceptance probability == the
     // doc's own q27 quality score — soft filtering (FineWeb-style), no

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextFunctions.tokens
+
+/** BPE merge-rule TRAINING — learning a tokenizer from the corpus, the
+  * step beyond applying a fixed one (q28's regex tokenizer, q58's
+  * packing). Classic Sennrich-style byte-pair encoding over words.
+  *
+  * Scale shape (the reason this is feasible at 100 TB): ONE corpus pass
+  * builds the word-frequency dict — `groupBy(word).count` with map-side
+  * combine, output is VOCABULARY-sized — and the whole merge loop then
+  * runs on the dict, exactly how production trainers work (HuggingFace
+  * `tokenizers` trains on word counts, not raw text). Each iteration is
+  * an explode + weighted pair aggregation over vocab rows (never corpus
+  * rows), one single-row argmax collect, and one array-rewrite
+  * projection; the dict is re-persisted per round with the previous
+  * round unpersisted ([[Graph.pagerank]]'s loop discipline).
+  *
+  * Merge application is the standard greedy left-to-right scan,
+  * expressed as an `aggregate` fold over the symbol array (so "aaa"
+  * under merge (a,a) becomes ["aa","a"], matching reference
+  * implementations). Ties in pair count break by (left, right) symbol
+  * order, making the learned rules fully deterministic.
+  *
+  * Declared rows-only (a 12-round argmax loop has no tractable SQL
+  * oracle); semantics are pinned by a differential spec against a naive
+  * in-memory reference trainer on seeded corpora
+  * ([[graft.operators]] `TextDedupDifferentialSpec` pattern).
+  */
+object BpeTrain {
+
+  /** Greedy left-to-right merge of adjacent (a, b) occurrences in a
+    * symbol array: fold that either extends the accumulator or replaces
+    * its last element with the merged symbol. */
+  private def applyMerge(syms: Column, a: Column, b: Column): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) => when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn `numMerges` merge rules. Output: one row per learned rule,
+    * `(merge_rank, left, right, pair_count)`, rank 1-based in learning
+    * order. Stops early if no adjacent pair remains. */
+  def learnMerges(docs: DataFrame, numMerges: Int = 12,
+                  textCol: String = "text"): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // corpus pass: vocabulary-sized word-frequency dict, then chars
+    val words = docs
+      .select(explode(filter(tokens(col(textCol)), t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(transform(sequence(lit(1), length(col("w"))),
+        i => substring(col("w"), i, lit(1))).as("syms"), col("cnt"))
+
+    // Only the BASE dict is persisted: each round's frame is a chain of
+    // vocab-sized array-fold projections over it, cheap to recompute at
+    // argmax time — re-materializing (persist + count) every round costs
+    // an extra action per merge and measured ~2× the loop wall. If the
+    // projection chain ever gets deep enough to hurt (numMerges ≫ 16),
+    // re-introduce a periodic persist every K rounds, not every round.
+    val base = words.persist(StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    var dict = base
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      // weighted adjacent-pair counts over the dict (vocab-sized explode)
+      val best = dict
+        .select(col("cnt"), explode(when(size(col("syms")) >= 2,
+          zip_with(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // single-row argmax, per round
+      if (best.isEmpty) exhausted = true
+      else {
+        val a: String = best(0).getString(0)
+        val b: String = best(0).getString(1)
+        val pc: Long = best(0).getLong(2)
+        learned += ((rank, a, b, pc))
+        dict = dict
+          .select(applyMerge(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
+      }
+    }
+    base.unpersist()
+    learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+}
