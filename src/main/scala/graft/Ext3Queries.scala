@@ -52,9 +52,27 @@ object Ext3Queries {
 
     // Compression-ratio quality signal (rows-only: no SQL engine exposes
     // a deterministic DEFLATE length — semantics are property-tested in
-    // CompressibilitySpec; the driver records the rows>0 check).
-    "q80_compressibility" -> ((s, dir) =>
-      TextAnalysis.compressionStats(t(s, dir, "documents"))),
+    // CompressibilitySpec). SELF-GATING (the q42 pattern, closing the
+    // last ungated rows-only query): the codegen'd kernel is run through
+    // the full distributed SQL path on a reference literal and must match
+    // an INDEPENDENT driver-side java.util.zip computation — catching a
+    // mis-registered function, codegen fallback, or UTF-8 mis-encoding
+    // loudly instead of shipping plausible-looking lengths.
+    "q80_compressibility" -> ((s, dir) => {
+      graft.plans.DeflateSize.register(s)
+      val ref = "the quick brown fox jumps over the lazy dog 0123456789 " * 4
+      val viaSql = s.range(1)
+        .select(expr(s"graft_deflate_len('$ref')").cast("long")).head().getLong(0)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      d.setInput(ref.getBytes(java.nio.charset.StandardCharsets.UTF_8)); d.finish()
+      val buf = new Array[Byte](8192)
+      var expected = 0L
+      while (!d.finished()) expected += d.deflate(buf)
+      d.end()
+      require(viaSql == expected,
+        s"q80 deflate kernel mismatch: sql=$viaSql jvm=$expected")
+      TextAnalysis.compressionStats(t(s, dir, "documents"))
+    }),
 
     // CDC generation: diff two derived order snapshots (deletes = keys
     // divisible by 7, inserts = by 11, updates = +100.00 price bump on
