@@ -223,6 +223,15 @@ object ScaleStress {
       // slower than the index (only the band join's build side grows) —
       // and against the x10_recompute row, which pays from-scratch
       // minhash over corpus+batch: the cost the index exists to avoid.
+      // q110: BPE training's scale claim measured — the merge loop runs
+      // on the vocab-sized word dict, and replication does not grow the
+      // vocabulary (replicas share words, only counts scale), so 10× data
+      // should cost little more than the one extra corpus-pass: the
+      // wall factor is the proof that training is dict-bound, not
+      // corpus-bound.
+      shape("q110_bpe_train_corpus_scale", Seq(1, 10),
+        k => stressDocs(k, hot = 0),
+        df => graft.operators.BpeTrain.learnMerges(df, numMerges = 8).count()),
       "q102_incremental_probe" -> { () =>
         def batch = docsBase.select((col("doc_id") + 80000000L).as("doc_id"),
           concat(col("text"), lit(" probe")).as("text"))
