@@ -251,28 +251,36 @@ object Bench {
     val medians = results.map { case (k, t) => k -> t.median }
     val total = totalOf(medians.values)
     val failedList = failedOf(medians)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec"""" +
-      s""","failed":${failedList.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-      s""","queries":${jsonMap(results.map { case (k, t) => k -> t.median })}""" +
+    val aux =
       s""","queries_min":${jsonMap(results.map { case (k, t) => k -> t.min })}""" +
       s""","queries_spread":${jsonMap(results.map { case (k, t) => k -> t.spread })}""" +
       s""","queries_cold":${jsonMap(results.map { case (k, t) => k -> t.cold })}""" +
       s""","queries_window_ok":${results.map { case (k, t) =>
              "\"" + k + "\":" + t.windowOk }.mkString("{", ",", "}")}""" +
       s""","ann_build":${jsonMap(annBuild)}""" +
-      s""","ann_quality":${jsonMap(annQuality)}""" +
       s""","layout_build":${jsonMap(layoutBuild)}""" +
+      s""","calibration_passes":${calPasses.map(num).mkString("[", ",", "]")}"""
+    def body(withAux: Boolean): String =
+      s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","failed":${failedList.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","queries":${jsonMap(results.map { case (k, t) => k -> t.median })}""" +
+      s""","ann_quality":${jsonMap(annQuality)}""" +
+      (if (withAux) aux else "") +
       s""","calibration_start":${num(calStart)},"calibration_end":${num(calEnd)}""" +
-      s""","calibration_passes":${calPasses.map(num).mkString("[", ",", "]")}""" +
       s""","runs":$runs,"sf":"$sfDir"}"""
-    println(json)
-    // also persist to a file: log tails get truncated (BENCH_r05 lost its
-    // medians to a cut mid-line), a file artifact survives
+    // stdout gets the COMPACT line (~4 KB: headline, failed, per-query
+    // medians, ann_quality): the driver's stdout capture truncates around
+    // 16 KB and the full object is ~18 KB, which is how every BENCH_rN.json
+    // through r11 ended up with `"parsed": null` and a mid-JSON tail. The
+    // FULL object — aux maps (min/spread/cold/window_ok, build costs,
+    // calibration passes) included — goes to target/bench.json, which the
+    // round commits as its artifact.
+    println(body(withAux = false))
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println("[bench] wrote target/bench.json")
+        (body(withAux = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println("[bench] wrote target/bench.json (full object incl. aux maps)")
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write target/bench.json: $e")
     }

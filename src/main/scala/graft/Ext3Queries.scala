@@ -61,8 +61,15 @@ object Ext3Queries {
     "q80_compressibility" -> ((s, dir) => {
       graft.plans.DeflateSize.register(s)
       val ref = "the quick brown fox jumps over the lazy dog 0123456789 " * 4
+      // The reference string must reach the kernel as a NON-foldable input:
+      // a pure literal is constant-folded driver-side through interpreted
+      // nullSafeEval, so a codegen-only regression would pass the gate. The
+      // concat depends on the range's `id` attribute (repeat(_, 0) == ""),
+      // which keeps the call in the executor task's generated code.
       val viaSql = s.range(1)
-        .select(expr(s"graft_deflate_len('$ref')").cast("long")).head().getLong(0)
+        .selectExpr(
+          s"cast(graft_deflate_len(concat('$ref', repeat('x', cast(id AS INT)))) AS long) AS n")
+        .head().getLong(0)
       val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
       d.setInput(ref.getBytes(java.nio.charset.StandardCharsets.UTF_8)); d.finish()
       val buf = new Array[Byte](8192)
@@ -98,7 +105,7 @@ object Ext3Queries {
     // micro-batch, so the inner join emits exactly the batch join's pairs.
     "q82_stream_interval_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-j").toString
+      val ckpt = graft.util.Fs.scratchDir("graft-stream-j").toString
       val name = "graft_q82_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // ONE stream source, self-joined (both sides share the file listing
       // and scan; Spark plans stream self-joins since 3.x) — two separate

@@ -88,7 +88,7 @@ object Ext4Queries {
     // DedupStreamSpec pins the bounded-state eviction behavior.
     "q94_streaming_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-d").toString
+      val ckpt = graft.util.Fs.scratchDir("graft-stream-d").toString
       val name = "graft_q94_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val keyed = Tables.loadStream(s, dir, "events")
         .select(col("user_id"), col("event_type"),
@@ -116,7 +116,7 @@ object Ext4Queries {
     // micro-batch.
     "q95_stream_enrich" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-e").toString
+      val ckpt = graft.util.Fs.scratchDir("graft-stream-e").toString
       val name = "graft_q95_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val stream = Tables.loadStream(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -148,10 +148,8 @@ object Ext4Queries {
     // micro-batch split is deterministic (the q94 lesson) — the final
     // state is identical however the source splits into batches.
     "q96_stream_upsert_sink" -> ((s, dir) => {
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft-q96-table").toString + "/t"
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-q96-ckpt").toString
+      val tableDir = graft.util.Fs.scratchDir("graft-q96-table").toString + "/t"
+      val ckpt = graft.util.Fs.scratchDir("graft-q96-ckpt").toString
       val keys = Seq("user_id", "event_type", "bucket")
       val batchKeys = t(s, dir, "events")
         .select(col("user_id"), col("event_type"),
@@ -184,8 +182,7 @@ object Ext4Queries {
     // deterministic under any micro-batch split.
     "q99_stream_upsert_jdbc" -> ((s, dir) => {
       import graft.operators.JdbcUpsert
-      val work = java.nio.file.Files
-        .createTempDirectory("graft-q99").toString
+      val work = graft.util.Fs.scratchDir("graft-q99").toString
       val url = s"jdbc:derby:$work/db;create=true"
       val keys = Seq("user_id", "event_type", "bucket")
       val colTypes = Map("createTableColumnTypes" ->

@@ -127,8 +127,7 @@ object Ext5Queries {
       val ev = t(s, dir, "events")
       val daily = graft.operators.SketchRollup.buildSketches(
         ev, Seq("event_type"), date_trunc("day", col("ts")), col("user_id"))
-      val lake = java.nio.file.Files
-        .createTempDirectory("graft-q107-sketches").toString + "/daily"
+      val lake = graft.util.Fs.scratchDir("graft-q107-sketches").toString + "/daily"
       daily.write.mode("overwrite").parquet(lake) // the persistence seam
       val merged = graft.operators.SketchRollup.mergedEstimate(
         s.read.parquet(lake), Seq("event_type"))

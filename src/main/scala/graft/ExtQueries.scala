@@ -204,7 +204,7 @@ object ExtQueries {
       import org.apache.spark.sql.streaming.Trigger
       // stream straight off the source table — no staging copy in the
       // timed path; only the checkpoint lives in a temp dir
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+      val ckpt = graft.util.Fs.scratchDir("graft-stream-q").toString
       val name = "graft_q35_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = withStatePartitions(s, 8) {
         graft.streaming.EventStreams
@@ -229,7 +229,7 @@ object ExtQueries {
     // q14 aggregation restricted to windows whose end <= that watermark.
     "q72_streaming_append" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-a").toString
+      val ckpt = graft.util.Fs.scratchDir("graft-stream-a").toString
       val name = "graft_q72_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = withStatePartitions(s, 8) {
         graft.streaming.EventStreams

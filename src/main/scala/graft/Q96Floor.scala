@@ -51,8 +51,7 @@ object Q96Floor {
       .unionByName(batchKeys.filter(col("user_id") % 3 === 0)
         .withColumn("user_id", col("user_id") + lit(100000000L))
         .withColumn("src", lit("seed")))
-    def freshDir(tag: String): String = java.nio.file.Files
-      .createTempDirectory(s"graft-q96floor-$tag").toString + "/t"
+    def freshDir(tag: String): String = graft.util.Fs.scratchDir(s"graft-q96floor-$tag").toString + "/t"
 
     def buildSeeded(): String = {
       val dir = freshDir("tbl")

@@ -298,7 +298,10 @@ object Queries {
       }
       // The two per-column jobs are independent — submit both and let the
       // scheduler overlap them (local[32] and any real cluster have the
-      // slack; the jobs share the cached scan).
+      // slack). Each job rescans its own single-column projection of the
+      // parquet — two narrow column scans traded for no Expand; nothing is
+      // shared or cached between them on purpose (a persist of the full
+      // scan would cost more than the second column read).
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global

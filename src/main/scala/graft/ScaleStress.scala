@@ -236,8 +236,7 @@ object ScaleStress {
         def batch = docsBase.select((col("doc_id") + 80000000L).as("doc_id"),
           concat(col("text"), lit(" probe")).as("text"))
         def probeAt(k: Int): (String, ShapeRun) = {
-          val dir = java.nio.file.Files
-            .createTempDirectory(s"graft-scale-idx$k").toString + "/ix"
+          val dir = graft.util.Fs.scratchDir(s"graft-scale-idx$k").toString + "/ix"
           TextDedup.buildLshIndex(stressDocs(k, hot = 0), dir) // amortized, untimed
           measure("q102_incremental_probe", s"x$k", () => batch,
             df => TextDedup.probeLshIndex(df, dir).count(), warm = false)
@@ -338,7 +337,7 @@ object ScaleStress {
     // against the bucketed layout (I/O bounded by touched buckets)
     val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-    val layout = java.nio.file.Files.createTempDirectory("stress-merge").toString + "/t"
+    val layout = graft.util.Fs.scratchDir("stress-merge").toString + "/t"
     import graft.operators.{Merge, Upsert}
     time("upsertPartitionedTable build")(
       Upsert.upsertPartitionedTable(spark, layout, orders,

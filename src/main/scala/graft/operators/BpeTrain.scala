@@ -24,7 +24,12 @@ import graft.functions.TextFunctions.tokens
   * expressed as an `aggregate` fold over the symbol array (so "aaa"
   * under merge (a,a) becomes ["aa","a"], matching reference
   * implementations). Ties in pair count break by (left, right) symbol
-  * order, making the learned rules fully deterministic.
+  * order — specifically Spark's string order, which is UTF-8 BYTE
+  * comparison (not Java's UTF-16 code-unit order; the two disagree when
+  * supplementary-plane symbols meet BMP symbols above U+E000) — making
+  * the learned rules fully deterministic across engines that compare
+  * UTF-8 bytes. Base symbols are Unicode CODE POINTS (`substring` /
+  * `length` semantics), so a surrogate pair is one symbol.
   *
   * Declared rows-only (a 12-round argmax loop has no tractable SQL
   * oracle); semantics are pinned by a differential spec against a naive

@@ -125,6 +125,37 @@ object Fs {
     }
   }
 
+  // Scratch dirs created by declared queries / harness mains (stream
+  // checkpoints, sketch-lake seams, floor probes). Registered here and
+  // deleted by a single JVM shutdown hook: repeated bench/correctness runs
+  // previously leaked one temp tree per invocation (q107's daily-sketch
+  // parquet copy alone is a full table per run).
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => try java.nio.file.Files.deleteIfExists(p): Unit
+                     catch { case _: java.io.IOException => })
+        } catch { case scala.util.control.NonFatal(_) => }
+      }
+    }, "graft-scratch-cleanup"))
+  }
+
+  /** Create a LOCAL temp directory that is removed when this JVM exits.
+    * For per-run scratch only (checkpoints, staging copies) — never for
+    * data a later run must see (persisted indexes use the stable
+    * `graft-index` root instead). */
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   def readMarker(path: String, conf: Configuration): Option[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -78,6 +78,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // scored set (parents print before children in the tree string)
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be per-partition heaps:\n$plan")
+    // guard against a vacuous pass: indexOf == -1 would satisfy the
+    // ordering check if the window disappeared from the plan entirely
+    assert(plan.contains("Window"), s"rank window missing from plan:\n$plan")
     assert(plan.indexOf("Window") < plan.indexOf("TakeOrderedAndProject"),
       s"rank window ran below the top-k, over the full scored set:\n$plan")
     assert(!plan.matches("(?s).*Filter [^\\n]*split\\(.*"),

@@ -12,19 +12,52 @@ import graft.SparkSpec
 class BpeTrainSpec extends AnyFunSuite with SparkSpec {
   import spark.implicits._
 
+  /** Spark compares strings by UTF-8 BYTE order (`UTF8String`'s binary
+    * compare); Java `String` ordering is UTF-16 code-unit order, and the
+    * two DISAGREE when a supplementary-plane character (encoded as a
+    * surrogate pair, 0xD800-0xDFFF) meets a BMP character above U+E000 —
+    * UTF-16 sorts the emoji first, UTF-8 sorts it last. The reference
+    * tiebreak must compare the way the engine under test does, or the
+    * differential claim silently holds only for BMP corpora. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Naive reference: word-frequency dict of char sequences, argmax
     * adjacent pair, greedy left-to-right merge, repeat. */
   private def referenceMerges(texts: Seq[String], n: Int): Seq[(String, String, Long)] = {
     def tok(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    // split into CODE POINTS, not UTF-16 chars: Spark's substring/length
+    // operate on code points, so a surrogate pair (😀) is ONE base symbol
+    def codePoints(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
     var dict: Map[Vector[String], Long] = texts.flatMap(tok)
-      .groupBy(identity).map { case (w, ws) => w.map(_.toString).toVector -> ws.size.toLong }
+      .groupBy(identity).map { case (w, ws) => codePoints(w) -> ws.size.toLong }
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    val argmaxOrd = new Ordering[((String, String), Long)] {
+      def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+        val c = java.lang.Long.compare(q._2, p._2) // count desc
+        if (c != 0) c
+        else {
+          val l = utf8Compare(p._1._1, q._1._1) // then (left, right) asc,
+          if (l != 0) l else utf8Compare(p._1._2, q._1._2) // UTF-8 bytes
+        }
+      }
+    }
     for (_ <- 1 to n) {
       val counts = scala.collection.mutable.Map[(String, String), Long]()
       for ((syms, c) <- dict; Seq(a, b) <- syms.sliding(2))
         counts((a, b)) = counts.getOrElse((a, b), 0L) + c
       if (counts.nonEmpty) {
-        val ((a, b), pc) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        val ((a, b), pc) = counts.toSeq.min(argmaxOrd)
         out += ((a, b, pc))
         def merge(syms: Vector[String]): Vector[String] =
           syms.foldLeft(Vector.empty[String]) { (acc, s) =>
@@ -58,6 +91,15 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     // "aaa" under merge (a,a) must become ["aa","a"]; learned order and
     // application both follow the same greedy rule
     check(Seq("aaa aaa aab", "aab aab"), 4)
+  }
+
+  test("supplementary-plane tiebreak follows UTF-8 byte order, like Spark") {
+    // (😀,😀) and (￠,￠) tie on count. UTF-16 code units sort the
+    // emoji first (surrogates 0xD83D < 0xFFE0); UTF-8 bytes sort it last
+    // (0xF0 > 0xEF). A reference trainer comparing Java Strings would pick
+    // the opposite winner and every later round would diverge.
+    check(Seq("😀😀 ￠￠",
+              "￠😀 😀￠"), 3)
   }
 
   test("early exhaustion: single-char words stop the loop without error") {
