@@ -202,20 +202,23 @@ object Bench {
           val (corpus, v0, plantedIds) = ExtQueries.plantedFixture(spark, sfDir)
           val probe = emb.filter(col("vec_id") === 0)
             .select(col("embedding").as("qv"))
-          val lsh = Similarity.SignLsh(nBits = ExtQueries.AnnLshBits, dim = 64)
-          val lshFound = lsh.topK(lsh.index(corpus), probe, 10)
+          val lsh = Similarity.SignLsh(nBits = ExtQueries.AnnLshBits, dim = 64,
+            nTables = ExtQueries.AnnLshTables)
+          val lshFound = lsh.topK(lsh.index(corpus), probe, 10,
+              probeHamming = ExtQueries.AnnLshProbeH)
             .collect().map(_.getLong(0)).toSet
           val ivf = Similarity.Ivf(ExtQueries.IvfCentroids, ExtQueries.IvfProbe)
           val (centers, index) = ivf.build(corpus)
           val ivfFound = ivf.topK(centers, index, probe, 10)
             .collect().map(_.getLong(0)).toSet
-          // the recall/cost knob, measured: Hamming≤2 probing (37 buckets
-          // at 8 bits vs 9) on the REAL corpus against the q23 truth
+          // the cost side of the published recall: fraction of the REAL
+          // corpus the default probe set re-scores (recall without scan
+          // fraction is half a number — brute force has recall 1.0)
           val corpusReal = emb.filter(col("vec_id") =!= 0)
             .select(col("vec_id"), col("embedding"))
-          val probe2 = lsh.topK(lsh.index(corpusReal), probe, 10,
-              probeHamming = 2)
-            .collect().map(_.getLong(0)).toSet
+          val scanFrac = lsh.candidateFraction(lsh.index(corpusReal),
+            ExtQueries.plantedFixture(spark, sfDir)._2.map(_.toDouble),
+            probeHamming = ExtQueries.AnnLshProbeH)
           val pq = Similarity.Pq(m = 8, nCodes = 16)
           val cbP = pq.train(corpus)
           val pqFound = pq.topK(cbP, pq.encode(cbP, corpus), corpus,
@@ -226,13 +229,14 @@ object Bench {
               ids("q98_pq_topk").intersect(truth).size.toDouble / truth.size,
             "q98_planted_recall_at_5" ->
               pqFound.intersect(plantedIds).size.toDouble / 5,
-            "q25_recall_at_10_probe2" ->
-              probe2.intersect(truth).size.toDouble / truth.size,
+            "q25_scan_frac" -> scanFrac,
             "q25_planted_recall_at_5" ->
               lshFound.intersect(plantedIds).size.toDouble / 5,
             "q36_planted_recall_at_5" ->
               ivfFound.intersect(plantedIds).size.toDouble / 5,
             "q25_lsh_bits" -> ExtQueries.AnnLshBits.toDouble,
+            "q25_lsh_tables" -> ExtQueries.AnnLshTables.toDouble,
+            "q25_probe_hamming" -> ExtQueries.AnnLshProbeH.toDouble,
             "q36_ivf_centroids" -> ExtQueries.IvfCentroids.toDouble,
             "q36_probe_cells" -> ExtQueries.IvfProbe.toDouble)
         } catch { case scala.util.control.NonFatal(e) =>

@@ -147,24 +147,43 @@ object ExtQueries {
     "q24_embedding_near_dup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.3)),
 
-    // ANN through the sign-LSH index (no SQL oracle: rows-only check;
-    // recall vs brute force is asserted in SimilaritySpec). The index is
-    // built ONCE per (table, params) into a parquet dir partitioned by
-    // bucket; the query itself is a partition-pruned probe — build cost
-    // amortizes across queries exactly as the operator docs promise.
+    // ANN through the multi-table sign-LSH index (no SQL oracle: rows-only
+    // check). The index is built ONCE per (table, params) into a parquet
+    // dir partitioned by (table, bucket-group) cell; the query itself is a
+    // partition-pruned probe — build cost amortizes across queries exactly
+    // as the operator docs promise. TWO hard gates, both memoized per
+    // (query, dir, JVM): planted recall == 1.0 (the index's promise — a
+    // true near-duplicate is always retrieved) AND corpus recall@10 ≥ 0.5
+    // vs the brute-force truth (the DATA-dependent number r11 published at
+    // 0.1 under the old single-table config; 4 tables × 8 bits at
+    // Hamming≤2 measure 0.6–0.9 across the test SFs, deterministic for a
+    // given corpus, so the gate has real margin).
     "q25_ann_topk" -> ((s, dir) => {
-      val lsh = Similarity.SignLsh(nBits = AnnLshBits, dim = 64)
+      val lsh = Similarity.SignLsh(nBits = AnnLshBits, dim = 64,
+        nTables = AnnLshTables)
       plantedGate("q25_ann_topk", dir) {
         val (corpus, _, plantedIds) = plantedFixture(s, dir)
         val probe = t(s, dir, "embeddings")
           .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-        (lsh.topK(lsh.index(corpus), probe, 10)
+        (lsh.topK(lsh.index(corpus), probe, 10, probeHamming = AnnLshProbeH)
           .collect().map(_.getLong(0)).toSet, plantedIds)
       }
       val idx = lsh.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-        Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "signlsh_8_64"))
-      lsh.topKPruned(idx, queryVector(s, dir), k = 10)
+        Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet",
+          s"signlsh_${AnnLshTables}x${AnnLshBits}_64"))
+      recallGate("q25_ann_topk", dir, minRecall = 0.5) {
+        val truth = Similarity.bruteForceTopK(
+          t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+          t(s, dir, "embeddings").filter(col("vec_id") === 0)
+            .select(col("embedding").as("qv")), 10)
+          .collect().map(_.getLong(0)).toSet
+        (lsh.topKPruned(idx, queryVector(s, dir), k = 10,
+           probeHamming = AnnLshProbeH)
+          .collect().map(_.getLong(0)).toSet, truth)
+      }
+      lsh.topKPruned(idx, queryVector(s, dir), k = 10,
+        probeHamming = AnnLshProbeH)
     }),
 
     // Language-ID heuristic (marker-count argmax).
@@ -329,6 +348,8 @@ object ExtQueries {
   /** ANN index configs, shared with Bench's ann_quality section so the
     * published probe-cell count can never drift from what the query runs. */
   private[graft] val AnnLshBits = 8
+  private[graft] val AnnLshTables = 4
+  private[graft] val AnnLshProbeH = 2
   private[graft] val IvfCentroids = 16
   private[graft] val IvfProbe = 4
 
@@ -384,6 +405,30 @@ object ExtQueries {
         throw new IllegalStateException(
           s"$name planted-recall gate: missed ${missed.size}/${planted.size} " +
             s"planted near-duplicates (ids $missed) — index recall regressed")
+      }
+    }
+
+  /** Corpus-recall HARD GATE (round-11 verdict ask #2): the declared ANN
+    * query's own top-k must recover at least `minRecall` of the
+    * brute-force truth on the REAL corpus — the data-dependent number the
+    * planted gate cannot see (planted near-duplicates sit at cos≈1 and
+    * retrieve at Hamming 0 regardless of how useless the index is for
+    * organic neighbors; r11 shipped planted==1.0 alongside corpus
+    * recall@10 of 0.1). Deterministic for a given (corpus, config), so a
+    * failure is a code/config regression, never flakiness. Memoized like
+    * [[plantedGate]]. */
+  private val recallGateRan =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def recallGate(name: String, dir: String, minRecall: Double)(
+      run: => (Set[Long], Set[Long])): Unit =
+    if (recallGateRan.add((name, dir))) {
+      val (found, truth) = run
+      val recall = found.intersect(truth).size.toDouble / truth.size
+      if (recall < minRecall) {
+        recallGateRan.remove((name, dir)) // keep failing on retry
+        throw new IllegalStateException(
+          f"$name corpus-recall gate: recall@${truth.size} = $recall%.2f < " +
+            f"$minRecall%.2f vs brute-force truth — index quality regressed")
       }
     }
 

@@ -450,29 +450,63 @@ object Similarity {
     }
   }
 
-  /** Sign-LSH index + exact re-scoring ANN. Build once, query many. */
-  final case class SignLsh(nBits: Int, dim: Int) {
+  /** Sign-LSH index + exact re-scoring ANN. Build once, query many.
+    *
+    * `nTables` independent hash tables (OR-amplification, the classic
+    * Indyk–Motwani construction): each table hashes with its own `nBits`
+    * hyperplanes and a probe unions the tables' candidate sets before one
+    * exact re-score. One table at Hamming≤1 published corpus recall@10 of
+    * 0.1 on the isotropic test embeddings (per-bit agreement for a
+    * cos≈0.3 neighbor is only ~0.6, so a single 8-bit signature almost
+    * never lands within one flip); four tables at Hamming≤2 measure
+    * 0.6–0.9 while scanning ~half the corpus — on data with real cluster
+    * structure the same config prunes hard (planted near-duplicates hit
+    * at Hamming 0). Storage cost is the textbook one: vectors are stored
+    * once PER TABLE (k·nTables bytes/vector) so the probe re-scores
+    * in-place with zero joins; a 100 TB deployment that can't afford the
+    * duplication stores id-only posting lists per table and re-fetches
+    * vectors by id join, trading bytes for one shuffle. */
+  final case class SignLsh(nBits: Int, dim: Int, nTables: Int = 1) {
+    require(nTables >= 1 && nTables <= 16, s"nTables must be 1..16, got $nTables")
 
     /** Directory partitioning is TWO-LEVEL: `2^nBits` buckets would mean
       * `2^nBits` directories of tiny files — an object-store anti-pattern
       * that also made the sf0.1 build 10× slower than the signature
-      * computation itself. Dirs are keyed on the bucket's high bits (≤32
-      * groups); within a group file, rows are sorted by `bucket`, so a
-      * probe prunes directories on `bucket_grp` and row-groups on the
-      * sorted `bucket` min/max stats. */
+      * computation itself. Dirs are keyed on (table, bucket high bits)
+      * (≤32 groups per table); within a group file, rows are sorted by
+      * `bucket`, so a probe prunes directories on `bucket_grp` and
+      * row-groups on the sorted `bucket` min/max stats. */
     private val grpShift: Int = math.max(0, nBits - 5)
+    private val nGrps: Int = 1 << (nBits - grpShift)
 
     // >>> to match shiftrightunsigned in the persisted layout — arithmetic
     // >> would compute a different (negative) group for sign-bit-set
     // buckets at nBits = 32 and silently miss their partitions
     private[operators] def groupOf(bucket: Int): Int = bucket >>> grpShift
 
-    /** Index frame: (vec_id, v normalized double, bucket). Persist / bucket
-      * by `bucket` for partition-pruned probes at scale. */
+    /** Global directory cell for (table, bucket): table-major so each
+      * table's groups are contiguous. For nTables=1 this is exactly the
+      * pre-multi-table `bucket >>> grpShift` layout. */
+    private[operators] def cellOf(tbl: Int, bucket: Int): Int =
+      tbl * nGrps + groupOf(bucket)
+
+    /** Table t hashes with planes `t*nBits .. t*nBits+nBits-1` — disjoint
+      * deterministic hyperplane sets, no shared bits between tables. */
+    private def tablePlanes(t: Int): Array[Array[Double]] =
+      Array.tabulate(nBits)(j => planeVector(t * nBits + j, dim))
+
+    /** Index frame: (vec_id, v normalized double, tbl, bucket) — one row
+      * per (vector, table). All `nTables` signatures are computed in ONE
+      * pass over the vectors (an array of native-kernel calls, then
+      * posexplode), never nTables scans. */
     def index(embeddings: DataFrame, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame =
-      withSignBits(normalize(embeddings, idCol, vecCol), "v", dim, nBits)
-        .withColumnRenamed("sig", "bucket")
+              vecCol: String = "embedding"): DataFrame = {
+      val normed = normalize(embeddings, idCol, vecCol)
+      graft.plans.SignLshBits.register(normed.sparkSession)
+      val sigs = array((0 until nTables).map(t =>
+        graft.plans.SignLshBits.assign(col("v"), tablePlanes(t))): _*)
+      normed.select(col(idCol), col("v"), posexplode(sigs).as(Seq("tbl", "bucket")))
+    }
 
     /** Build the index ONCE into `path` (parquet partitioned by
       * `bucket_grp`, bucket-sorted within files) and return the persisted
@@ -485,7 +519,8 @@ object Similarity {
         // by one task as one file), sort by bucket inside for row-group
         // pruning stats
         index(embeddings, idCol, vecCol)
-          .withColumn("bucket_grp", shiftrightunsigned(col("bucket"), grpShift))
+          .withColumn("bucket_grp",
+            col("tbl") * nGrps + shiftrightunsigned(col("bucket"), grpShift))
           .repartition(col("bucket_grp"))
           .sortWithinPartitions("bucket")
           .write.mode(SaveMode.Overwrite)
@@ -507,7 +542,8 @@ object Similarity {
       require(IndexStore.isBuilt(spark, path),
         s"append requires a built index at $path — call loadOrBuild first")
       val assigned = index(newVectors, idCol, vecCol)
-        .withColumn("bucket_grp", shiftrightunsigned(col("bucket"), grpShift))
+        .withColumn("bucket_grp",
+          col("tbl") * nGrps + shiftrightunsigned(col("bucket"), grpShift))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val touched = assigned.select("bucket_grp").distinct()
@@ -534,15 +570,15 @@ object Similarity {
     def compact(spark: SparkSession, path: String): Unit =
       IndexStore.compactCells(spark, path, "bucket_grp", Some("bucket"))
 
-    /** Sign signature of an (un-normalized) query vector, computed on the
-      * driver — same planes, same left-to-right fold order as the
-      * expression path in [[withSignBits]], so bucket assignment matches. */
-    def signatureOf(qv: Array[Double]): Int = {
+    /** Sign signature of an (un-normalized) query vector in table `tbl`,
+      * computed on the driver — same planes, same left-to-right fold order
+      * as the expression path in [[index]], so bucket assignment matches. */
+    def signatureOf(qv: Array[Double], tbl: Int = 0): Int = {
       val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
       val qn = qv.map(_ / n)
+      val planes = tablePlanes(tbl)
       (0 until nBits).map { j =>
-        val p = planeVector(j, dim)
-        val dot = qn.zip(p).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+        val dot = qn.zip(planes(j)).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
         if (dot >= 0) 1 << j else 0
       }.sum
     }
@@ -555,14 +591,18 @@ object Similarity {
       * brute force. Probe counts stay driver-side literals, so the scan
       * is statically pruned whatever h is. */
     private[operators] def probesFor(sig: Int, h: Int): Seq[Int] = {
-      require(h >= 0 && h <= 2, s"probeHamming must be 0..2, got $h")
+      require(h >= 0 && h <= 3, s"probeHamming must be 0..3, got $h")
       val h0 = Seq(sig)
       val h1 = if (h >= 1) (0 until nBits).map(j => sig ^ (1 << j)) else Nil
       val h2 = if (h >= 2)
         for (i <- 0 until nBits; j <- i + 1 until nBits)
           yield sig ^ (1 << i) ^ (1 << j)
       else Nil
-      h0 ++ h1 ++ h2
+      val h3 = if (h >= 3)
+        for (i <- 0 until nBits; j <- i + 1 until nBits; l <- j + 1 until nBits)
+          yield sig ^ (1 << i) ^ (1 << j) ^ (1 << l)
+      else Nil
+      h0 ++ h1 ++ h2 ++ h3
     }
 
     /** Top-k through a PERSISTED index: the query signature and its probe
@@ -574,20 +614,44 @@ object Similarity {
                    probeHamming: Int = 1): DataFrame = {
       val n = math.sqrt(qv.map(x => x * x).foldLeft(0.0)(_ + _))
       val qn = qv.map(_ / n)
-      val sig = signatureOf(qv)
-      val probes = probesFor(sig, probeHamming)
-      val grps = probes.map(groupOf).distinct
+      // per-table probe sets, computed on the driver
+      val perTable = (0 until nTables)
+        .map(t => t -> probesFor(signatureOf(qv, t), probeHamming))
+      val cells = perTable.flatMap { case (t, ps) => ps.map(p => cellOf(t, p)) }.distinct
       // partition-prune on the dir column when present (persisted layout);
       // an in-memory index frame has no bucket_grp and needs no pruning
       val pruned =
         if (indexDf.columns.contains("bucket_grp"))
-          indexDf.filter(col("bucket_grp").isin(grps: _*))
+          indexDf.filter(col("bucket_grp").isin(cells: _*))
         else indexDf
-      pruned.filter(col("bucket").isin(probes: _*))
+      val hit = perTable.map { case (t, ps) =>
+        col("tbl") === t && col("bucket").isin(ps: _*)
+      }.reduce(_ || _)
+      // a vector can surface from several tables — dedup BEFORE scoring
+      // (every copy carries the identical normalized v)
+      pruned.filter(hit)
+        .dropDuplicates("vec_id")
         .withColumn("cos", dotProduct(col("v"), typedLit(qn.toSeq)))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(k)
         .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+    }
+
+    /** Fraction of distinct corpus vectors the probe set touches — the
+      * honest cost side of the recall/cost tradeoff, published per round
+      * by Bench's ann_quality section (recall without scan fraction is
+      * half a number: brute force has recall 1.0). Diagnostic only, two
+      * counting jobs. */
+    def candidateFraction(indexDf: DataFrame, qv: Array[Double],
+                          probeHamming: Int = 1): Double = {
+      val perTable = (0 until nTables)
+        .map(t => t -> probesFor(signatureOf(qv, t), probeHamming))
+      val hit = perTable.map { case (t, ps) =>
+        col("tbl") === t && col("bucket").isin(ps: _*)
+      }.reduce(_ || _)
+      val total = indexDf.select("vec_id").distinct().count()
+      val cand = indexDf.filter(hit).select("vec_id").distinct().count()
+      if (total == 0) 0.0 else cand.toDouble / total
     }
 
     /** Top-k through the index: probe every bucket within Hamming
@@ -595,23 +659,30 @@ object Similarity {
       * re-score exactly, take k. */
     def topK(indexDf: DataFrame, query: DataFrame, k: Int = 10,
              probeHamming: Int = 1): DataFrame = {
-      require(probeHamming >= 0 && probeHamming <= 2,
-        s"probeHamming must be 0..2, got $probeHamming")
-      val q = withSignBits(
-        normalize(query.withColumn("__qid", lit(0L)), "__qid", "qv")
-          .withColumnRenamed("v", "qn").drop("vec_id"),
-        "qn", dim, nBits)
-        .withColumnRenamed("sig", "qbucket")
+      require(probeHamming >= 0 && probeHamming <= 3,
+        s"probeHamming must be 0..3, got $probeHamming")
+      val normedQ = normalize(query.withColumn("__qid", lit(0L)), "__qid", "qv")
+        .withColumnRenamed("v", "qn").drop("vec_id")
+      graft.plans.SignLshBits.register(normedQ.sparkSession)
+      val qsigs = array((0 until nTables).map(t =>
+        graft.plans.SignLshBits.assign(col("qn"), tablePlanes(t))): _*)
+      val q = normedQ.select(col("qn"), posexplode(qsigs).as(Seq("tbl", "qbucket")))
       val xors: Seq[Int] = Seq(0) ++
         (if (probeHamming >= 1) (0 until nBits).map(1 << _) else Nil) ++
         (if (probeHamming >= 2)
            for (i <- 0 until nBits; j <- i + 1 until nBits)
              yield (1 << i) | (1 << j)
+         else Nil) ++
+        (if (probeHamming >= 3)
+           for (i <- 0 until nBits; j <- i + 1 until nBits;
+                l <- j + 1 until nBits)
+             yield (1 << i) | (1 << j) | (1 << l)
          else Nil)
-      val probes = q.select(col("qn"),
+      val probes = q.select(col("qn"), col("tbl"),
         explode(array(xors.map(m =>
           col("qbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      indexDf.join(broadcast(probes), "bucket")
+      indexDf.join(broadcast(probes), Seq("tbl", "bucket"))
+        .dropDuplicates("vec_id")
         .withColumn("cos", dotProduct(col("v"), col("qn")))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(k)

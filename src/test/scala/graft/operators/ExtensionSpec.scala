@@ -236,6 +236,30 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(r2 >= r1)
   }
 
+  test("multi-table sign-LSH: q25's default config clears corpus recall@10 >= 0.5") {
+    // The round-11 regression this pins: planted recall can be 1.0 while
+    // ORGANIC-neighbor recall is 0.1 (single table, Hamming<=1). The
+    // shipped q25 config (4 tables x 8 bits, Hamming<=2) must recover at
+    // least half the brute-force top-10 on the real corpus — the same
+    // bound the declared query's recallGate enforces at runtime.
+    val lsh = Similarity.SignLsh(nBits = 8, dim = 64, nTables = 4)
+    val corpus = embeddings.filter($"vec_id" =!= 0)
+    val q = embeddings.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = Similarity.bruteForceTopK(corpus, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = lsh.index(corpus)
+    val approx = lsh.topK(idx, q, 10, probeHamming = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = approx.intersect(exact).size / 10.0
+    // cost side: the probe must still PRUNE (not degenerate to brute force)
+    val qv = embeddings.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val frac = lsh.candidateFraction(idx, qv, probeHamming = 2)
+    info(f"4x8 Hamming<=2: corpus recall@10 = $recall%.1f, scan fraction = $frac%.3f")
+    assert(recall >= 0.5, s"corpus recall@10 $recall < 0.5 at the q25 default config")
+    assert(frac < 0.8, s"probe set covers $frac of the corpus — no longer approximate")
+  }
+
   test("PQ: deterministic codebooks, 8-int codes, planted near-dups survive ADC+rerank") {
     val pq = Similarity.Pq(m = 8, nCodes = 16)
     // determinism: same seed → bit-identical codebooks
