@@ -185,6 +185,21 @@ object Ext5Queries {
     "q110_bpe_train" -> ((s, dir) =>
       graft.operators.BpeTrain.learnMerges(t(s, dir, "documents"), numMerges = 12)),
 
+    // First two BPE merge rounds, ORACLE-BACKED (r11 verdict ask #7): for
+    // a FIXED round count the trainer's recurrence is plain SQL — base
+    // char dict, round-1 pair argmax, greedy merge application (the a==b
+    // overlap case falls out of a gaps-and-islands parity over match
+    // positions), round-2 argmax. Runs the PRODUCTION trainer, so the
+    // second engine now checks the same code path q110's 12-round loop
+    // exercises; the full loop stays differential (no tractable SQL for
+    // an unbounded argmax recursion).
+    "q111_bpe_first_merges" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.operators.BpeTrain.learnMerges(t(s, dir, "documents"), numMerges = 2)
+        .select(col("merge_rank"), col("left").as("left_sym"),
+          col("right").as("right_sym"), col("pair_count"))
+    }),
+
     // Quality-weighted rejection sampling: acceptance probability == the
     // doc's own q27 quality score — soft filtering (FineWeb-style), no
     // threshold cliff, deterministic in (seed, doc_id).
@@ -240,6 +255,69 @@ object Ext5Queries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // q111: the BPE recurrence unrolled two rounds in SQL. Greedy
+    // left-to-right application of merge (a,b): when a<>b matches cannot
+    // overlap so every match survives; when a==b, within each maximal run
+    // of consecutive match positions only every other match (odd
+    // row_number) survives — the same pairing the left-to-right fold
+    // makes. Tiebreak ORDER BY pc DESC, a, b is byte-order in both
+    // engines (DuckDB binary collation == Spark UTF8String compare).
+    "q111_bpe_first_merges" ->
+      s"""WITH btoks AS (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents
+         |),
+         |bdict AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+         |  FROM btoks WHERE w <> '' GROUP BY w
+         |),
+         |p1 AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM bdict, unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |m1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+         |matches AS (
+         |  SELECT d.w, d.cnt, d.syms, i AS pos
+         |  FROM bdict d CROSS JOIN m1, unnest(range(1, len(d.syms))) AS t(i)
+         |  WHERE d.syms[i] = m1.a AND d.syms[i+1] = m1.b
+         |),
+         |runs AS (
+         |  SELECT w, pos,
+         |         pos - CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS grp
+         |  FROM matches
+         |),
+         |survivors AS (
+         |  SELECT w, list(pos ORDER BY pos) AS sv
+         |  FROM (SELECT w, pos, grp,
+         |               CAST(row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS BIGINT) AS k
+         |        FROM runs)
+         |  WHERE (k % 2) = 1
+         |  GROUP BY w
+         |),
+         |merged AS (
+         |  SELECT d.w, d.cnt,
+         |    list_filter(
+         |      list_transform(range(1, len(d.syms)+1), i ->
+         |        CASE
+         |          WHEN s.sv IS NOT NULL AND list_contains(s.sv, i) THEN m1.a || m1.b
+         |          WHEN s.sv IS NOT NULL AND list_contains(s.sv, i-1) THEN NULL
+         |          ELSE d.syms[i]
+         |        END),
+         |      x -> x IS NOT NULL) AS syms
+         |  FROM bdict d LEFT JOIN survivors s USING (w) CROSS JOIN m1
+         |),
+         |p2 AS (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM merged, unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)
+         |SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym, pc AS pair_count FROM m1
+         |UNION ALL
+         |SELECT 2, a, b, pc FROM m2
+         |ORDER BY merge_rank""".stripMargin,
 
     "q100_dup_spans" ->
       s"""WITH $gramCtes,
