@@ -245,23 +245,66 @@ object ScaleStress {
           measure("q102_incremental_probe", "x10_recompute",
             () => stressDocs(10, hot = 0).unionByName(batch),
             df => TextDedup.minhashLshPairs(df).count(), warm = false))
+      },
+      // q83: does the salt ever WIN? (round-11 verdict ask #5 — the
+      // operator was declared with oracle == plain join but no evidence
+      // the rewrite helps.) A planted hot key holds 95% of a 16M-row
+      // fact; the dim side is 1k keys. Broadcast is disabled (the salt's
+      // documented use case is the shuffle-join path: a broadcastable dim
+      // needs no salt) and AQE's skew-join split is disabled (the
+      // operator exists precisely for where AQE can't reach — cached
+      // exchanges, or a single key AQE re-concentrates). Unsalted, the
+      // hot key's entire 15.2M rows land on ONE reducer; salted across 32
+      // sub-keys they spread over every core. The artifact rows are the
+      // A/B walls — salted should win by roughly the core count's worth
+      // of the hot task.
+      "q83_salted_join_hot_key" -> { () =>
+        val nFact = 16000000L
+        val nDim = 1000L
+        def fact = spark.range(nFact).select(
+          when(col("id") % 20 =!= 0, lit(7L))
+            .otherwise(col("id") % nDim).as("k"),
+          col("id").as("payload"))
+        def dim = spark.range(nDim)
+          .select(col("id").as("k"), (col("id") * 3).as("dval"))
+        // head(), not count(): the 1-row global agg's COUNT is known
+        // without its value — forcing the sum itself keeps the join
+        // un-prunable under any future optimizer
+        def agg(j: org.apache.spark.sql.DataFrame): Long =
+          j.agg(sum(col("payload") + col("dval")).as("s")).head().getLong(0)
+        val confs = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.adaptive.skewJoin.enabled" -> "false",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        val olds = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try Map(
+          measure("q83_salted_join_hot_key", "unsalted",
+            () => fact, df => agg(df.join(dim, Seq("k")))),
+          measure("q83_salted_join_hot_key", "salted_32",
+            () => fact, df => agg(graft.operators.SkewJoin
+              .saltedJoin(df, dim, Seq("k"), saltBuckets = 32))))
+        finally olds.foreach { case (k, o) =>
+          o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
       })
 
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
     // per-round artifact name so a later round's run never silently
     // overwrites an earlier round's committed evidence
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r11.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
           s""""$k":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},"wall_sec":${num(r.wallSec)}}"""
         }.mkString(",")
-        val factor = runs("x10").wallSec / math.max(runs("x1").wallSec, 1e-9)
-        val f100 = runs.get("x100").map(r =>
-          s""","wall_factor_100x":${num(r.wallSec / math.max(runs("x1").wallSec, 1e-9))}""")
-          .getOrElse("")
-        s""""$name":{$body,"wall_factor_10x":${num(factor)}$f100}"""
-      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition","host_load":"see calibration in BENCH"}""")
+        // scale factors only when the shape ran the standard x1/x10 axis
+        // (custom-label shapes like the q83 salt A/B carry none)
+        val factor = for { a <- runs.get("x10"); b <- runs.get("x1") } yield
+          s""","wall_factor_10x":${num(a.wallSec / math.max(b.wallSec, 1e-9))}"""
+        val f100 = for { a <- runs.get("x100"); b <- runs.get("x1") } yield
+          s""","wall_factor_100x":${num(a.wallSec / math.max(b.wallSec, 1e-9))}"""
+        s""""$name":{$body${factor.getOrElse("")}${f100.getOrElse("")}}"""
+      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition; q83 compares salted vs unsalted wall on a planted 95%-hot key with AQE skew handling disabled (the operator's documented use case)","host_load":"see calibration in BENCH"}""")
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -269,7 +312,13 @@ object ScaleStress {
     // shape's failure (OOM, disk) cannot lose earlier evidence — the first
     // x100 attempt died writing 80 GB of spill AFTER 12 minutes of good runs
     val completed = scala.collection.mutable.ArrayBuffer[(String, Map[String, ShapeRun])]()
-    shapes.foreach { case (name, runShape) =>
+    // local-iteration filter (comma-separated shape-name substrings): a
+    // new shape can run alone instead of re-paying the full battery
+    val shapeFilter = sys.env.get("SPARK_GRAFT_SCALE_SHAPES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    shapes.filter { case (name, _) =>
+      shapeFilter.forall(_.exists(name.contains)) }
+    .foreach { case (name, runShape) =>
       completed += (name -> runShape())
       writeArtifact(completed.toSeq)
       println(s"[stress] flushed $outFile after $name")

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Floor decompositions for q99 (streaming JDBC upsert) and q82
+  * (stream-stream interval join) — the two largest bench-floor queries
+  * without a committed decomposition after q96/q92 got theirs (round-11
+  * verdict ask #4). Each query's wall is split into per-RUN constants
+  * (stream-start machinery, transactional JDBC writes) vs data-dependent
+  * work, so the bench ratio can be judged against what a long-lived
+  * stream would actually amortize.
+  *
+  * q99 phases (medians of 3, fresh Derby db + checkpoint per pass):
+  *  - `seed_upsert`: seed-key derivation + the initial staged-write +
+  *    one-txn ANSI MERGE into a fresh embedded Derby table;
+  *  - `stream_run`: the AvailableNow micro-batch upsert stream run to
+  *    termination against a pre-seeded fresh db;
+  *  - `final_read`: the JDBC read-back of the completed table;
+  *  - `full`: the declared q99 end-to-end (noop-consumed like Bench).
+  *
+  * q82 phases:
+  *  - `batch_twin`: the same projections + interval join as a BATCH
+  *    query — the data-dependent work with zero streaming machinery;
+  *  - `stream_zero`: the identical streaming query over a filter that
+  *    matches NO rows — source listing, two AvailableNow micro-batches
+  *    (data + watermark flush), state-store open/close, per-batch
+  *    re-planning: the pure per-RUN floor;
+  *  - `full`: the declared q82. `full − stream_zero ≈ batch_twin` is the
+  *    decomposition claim: everything above the batch cost is stream
+  *    start-up constants, not per-row work.
+  *
+  * Writes `target/q99_floor.json` and `target/q82_floor.json` (committed
+  * as round artifacts). `runMain graft.StreamFloors [sfDir]` */
+object StreamFloors {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/events.parquet").count() // session warm-up
+
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def timedMedian(passes: Int)(f: => Double): Double = { f; med(Seq.fill(passes)(f)) }
+    def n(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
+    def write(name: String, json: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"target/$name"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(json)
+    }
+
+    // ----------------------------------------------------------- q99
+    import graft.operators.JdbcUpsert
+    val keys = Seq("user_id", "event_type", "bucket")
+    val colTypes = Map("createTableColumnTypes" ->
+      "event_type VARCHAR(32), src VARCHAR(16)")
+    def batchKeys: DataFrame = Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") % 8 === 0)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("bucket"))
+      .distinct()
+    def seed: DataFrame = batchKeys.withColumn("src", lit("seed"))
+      .unionByName(batchKeys.filter(col("user_id") % 3 === 0)
+        .withColumn("user_id", col("user_id") + lit(100000000L))
+        .withColumn("src", lit("seed")))
+    def freshDb(): (String, String) = {
+      val work = graft.util.Fs.scratchDir("graft-q99floor")
+      (s"jdbc:derby:$work/db;create=true", s"$work/ckpt")
+    }
+    def seedDb(url: String): Unit =
+      JdbcUpsert.upsert(seed, url, "q99_t", keys,
+        dialect = JdbcUpsert.AnsiMerge, stagingOptions = colTypes)
+    def runStream(url: String, ckpt: String): Unit = {
+      val stream = Tables.loadStream(spark, sfDir, "events")
+        .filter(col("user_id") % 8 === 0)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("bucket"))
+        .withColumn("src", lit("stream"))
+      val q = graft.streaming.EventStreams.upsertStreamJdbc(
+        stream, url, "q99_t", ckpt, keys,
+        dialect = JdbcUpsert.AnsiMerge, stagingOptions = colTypes)
+      require(q.awaitTermination(300000), "q99 floor stream did not terminate")
+    }
+
+    val seedUpsert = timedMedian(3) {
+      val (url, _) = freshDb()
+      time { seedDb(url) }
+    }
+    val streamRun = timedMedian(3) {
+      val (url, ckpt) = freshDb(); seedDb(url) // untimed fresh seeded db
+      time { runStream(url, ckpt) }
+    }
+    val finalRead = timedMedian(3) {
+      val (url, ckpt) = freshDb(); seedDb(url); runStream(url, ckpt) // untimed
+      time { spark.read.jdbc(url, "q99_t", new java.util.Properties)
+        .write.format("noop").mode("overwrite").save() }
+    }
+    val fullQ99 = timedMedian(3)(time {
+      SparkEntry.queries("q99_stream_upsert_jdbc")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    })
+    write("q99_floor.json",
+      s"""{"seed_upsert":${n(seedUpsert)},"stream_run":${n(streamRun)},""" +
+      s""""final_read":${n(finalRead)},"full":${n(fullQ99)},""" +
+      s""""note":"seed_upsert + stream_run + final_read are per-RUN constants of a transactional streaming sink (embedded-Derby MERGE txns, AvailableNow micro-batch machinery, JDBC read-back); none scales with data volume at fixed key cardinality — a long-lived stream pays stream_run per increment and seed/read never","sf":"$sfDir"}""")
+
+    // ----------------------------------------------------------- q82
+    import org.apache.spark.sql.streaming.Trigger
+    def projections(events: DataFrame): (DataFrame, DataFrame) = {
+      val views = events.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), round(col("value"), 4).as("purchase_value"))
+      (views, purchases)
+    }
+    val batchTwin = timedMedian(3)(time {
+      val (views, purchases) = projections(Tables.load(spark, sfDir, "events"))
+      views.join(purchases, Seq("user_id"))
+        .filter(col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .write.format("noop").mode("overwrite").save()
+    })
+    def runQ82Stream(zeroRows: Boolean): Unit = {
+      val ckpt = graft.util.Fs.scratchDir("graft-q82floor")
+      val name = "graft_q82floor_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = Tables.loadStream(spark, sfDir, "events")
+      val base = if (zeroRows) src.filter(col("event_type") === "__none__") else src
+      val (views, purchases) = projections(base)
+      // same state-partition derivation as the declared q82 — without it
+      // the floor run opens 4 stores × 32 partitions instead of × 2 and
+      // measures a 2× WORSE floor than the query it decomposes
+      val q = ExtQueries.withStatePartitions(spark,
+        ExtQueries.statePartitionsFor(spark, expectedStateRows = 40)) {
+        graft.streaming.EventStreams
+          .intervalJoin(views, purchases, Seq("user_id"), "view_ts", "purchase_ts",
+            horizon = "1 hour")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name)
+          .option("checkpointLocation", s"$ckpt/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      require(q.awaitTermination(300000), "q82 floor stream did not terminate")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+    val streamZero = timedMedian(3)(time { runQ82Stream(zeroRows = true) })
+    val fullQ82 = timedMedian(3)(time {
+      SparkEntry.queries("q82_stream_interval_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    })
+    write("q82_floor.json",
+      s"""{"batch_twin":${n(batchTwin)},"stream_zero":${n(streamZero)},""" +
+      s""""full":${n(fullQ82)},""" +
+      s""""note":"stream_zero is the per-RUN stream-start floor (source listing, two AvailableNow micro-batches incl. the watermark flush, four state stores per partition, per-batch re-planning) measured with a zero-row filter; batch_twin is the same interval join as a batch query — full ~ stream_zero + batch_twin attributes the bench gap to machinery constants, not per-row work","sf":"$sfDir"}""")
+
+    spark.stop()
+  }
+}

@@ -324,6 +324,127 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
       rowsPerPartition = 32) === 3)
   }
 
+  /** A checkpoint as a crashed run would have left it: everything copied
+    * EXCEPT the commit marker of `dropBatch` — offsets written, sink
+    * effects persisted, commit lost. A fresh directory (rather than
+    * deleting the marker in place) because Spark 4 keeps an in-JVM guard
+    * on checkpoint paths it has served and treats an in-place mutation as
+    * a concurrent-query conflict; a real crash-restart is a fresh JVM
+    * where no such guard exists. */
+  /** Highest committed batch id in a checkpoint — the batch whose commit
+    * a crash-between-sink-and-commit would lose. (An AvailableNow run can
+    * commit MORE than one batch per staged file: the trailing flush batch
+    * also commits, so "drop batch 0" would leave a later commit in place
+    * and the replayed batch 0 would collide re-writing it.) */
+  private def latestCommit(ckpt: String): Long =
+    new java.io.File(s"$ckpt/commits").listFiles()
+      .map(_.getName).filter(n => n.nonEmpty && n.forall(_.isDigit))
+      .map(_.toLong).max
+
+  private def crashImage(ckpt: String, dropBatch: Long): String = {
+    val dst = ckpt + "-crashed"
+    val src = java.nio.file.Paths.get(ckpt)
+    // drop the commit AND its local-FS checksum shadow: a surviving
+    // .N.crc makes the replayed commit's rename throw
+    // FileAlreadyExistsException (surfaced as a concurrent-query error)
+    val drop = Set(s"commits/$dropBatch", s"commits/.$dropBatch.crc")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val rel = src.relativize(p).toString
+      if (!drop.contains(rel)) {
+        val t = java.nio.file.Paths.get(dst, rel)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t): Unit
+        }
+      }
+    }
+    dst
+  }
+
+  /** A restart from the SAME checkpoint reuses the query id persisted in
+    * `metadata` — and StreamingQueryManager rejects a start while that id
+    * is still in the active-query registry, whose cleanup after
+    * awaitTermination is ASYNC (listener-bus driven). Poll it empty
+    * before restarting, as a fresh JVM trivially would be. */
+  private def awaitNoActiveQueries(): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.streams.active.nonEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.streams.active.isEmpty, "active streaming queries did not drain")
+  }
+
+  test("parquet upsert sink: crash between sink write and checkpoint commit replays cleanly") {
+    // The reference's core load guarantee is re-run idempotence
+    // (etl/load.py's ON CONFLICT); the streaming sink must hold it under
+    // FAILURE, not just clean runs. foreachBatch's crash window: the
+    // upsert's effect is fully persisted but the checkpoint commit marker
+    // for the batch is not yet written — on restart Spark REPLAYS that
+    // batch (same file set, from the offsets log) before taking new data.
+    // Keyed overwrite must make the replay a no-op: exact two-batch
+    // answer, no dupes, no loss.
+    val dir = tempDir("stream-crash-pq")
+    val in = s"$dir/in"; val table = s"$dir/t"; val ckpt = s"$dir/ckpt"
+    def stage(rows: Seq[(Long, String, Double)]): Unit = {
+      rows.toDF("id", "name", "v").coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    stage(Seq((1L, "a", 1.0), (2L, "b", 1.0)))
+    val schema = spark.read.parquet(in).schema
+    def run(ckptDir: String): Unit = {
+      val q = EventStreams.upsertStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        table, ckptDir, Seq("id"), numBuckets = 4)
+      assert(q.awaitTermination(120000), "stream did not terminate")
+    }
+    run(ckpt) // batch 0 applied AND committed
+    // the crash image: batch 0's sink effect stands, its commit is lost
+    assert(new java.io.File(s"$ckpt/commits/0").exists,
+      "expected checkpoint commit marker for batch 0")
+    val crashed = crashImage(ckpt, dropBatch = latestCommit(ckpt))
+    awaitNoActiveQueries()
+    stage(Seq((2L, "b", 2.0), (3L, "c", 1.0))) // batch 1 revises id=2
+    run(crashed) // restart: replays batch 0, then processes batch 1
+    val t = graft.operators.Upsert.readPartitionedTable(spark, table)
+    assert(t.count() === 3) // no replay dupes
+    val out = t.collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("v")).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
+  }
+
+  test("JDBC upsert sink: crash between MERGE txn and checkpoint commit replays cleanly") {
+    // same crash window as the parquet twin, against the transactional
+    // Derby sink (q99's shape): the replayed batch re-runs its staged
+    // write + MERGE; matched keys overwrite to the same values
+    val dir = tempDir("stream-crash-jdbc")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    val in = s"$dir/in"; val ckpt = s"$dir/ckpt"
+    def stage(rows: Seq[(Long, String, Double)]): Unit = {
+      rows.toDF("id", "name", "v").coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(50)
+    }
+    stage(Seq((1L, "a", 1.0), (2L, "b", 1.0)))
+    val schema = spark.read.parquet(in).schema
+    def run(ckptDir: String): Unit = {
+      val q = EventStreams.upsertStreamJdbc(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in),
+        url, "kv_crash", ckptDir, Seq("id"),
+        dialect = graft.operators.JdbcUpsert.AnsiMerge,
+        stagingOptions = Map("createTableColumnTypes" -> "name VARCHAR(64)"))
+      assert(q.awaitTermination(120000), "stream did not terminate")
+    }
+    run(ckpt)
+    assert(new java.io.File(s"$ckpt/commits/0").exists,
+      "expected checkpoint commit marker for batch 0")
+    val crashed = crashImage(ckpt, dropBatch = latestCommit(ckpt))
+    awaitNoActiveQueries()
+    stage(Seq((2L, "b", 2.0), (3L, "c", 1.0)))
+    run(crashed)
+    val t = spark.read.jdbc(url, "kv_crash", new java.util.Properties)
+    assert(t.count() === 3)
+    val out = t.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out === Map(1L -> 1.0, 2L -> 2.0, 3L -> 1.0))
+  }
+
   test("sessionize: gap splits sessions, state emits on timeout") {
     import EventStreams.UserEvent
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
