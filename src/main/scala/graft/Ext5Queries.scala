@@ -200,6 +200,23 @@ object Ext5Queries {
           col("right").as("right_sym"), col("pair_count"))
     }),
 
+    // REAL video decode end-to-end (round 12, the last stubbed modality):
+    // deterministic Motion-JPEG AVI clips generated per doc_id — true
+    // RIFF container, true JPEG frames — parsed back by the pure-JDK
+    // MjpegAviParser via the dead-letter seam. Frame count and geometry
+    // are closed-form in doc_id, so the oracle is plain arithmetic over
+    // documents while real AVI bytes flow through the executors — the
+    // video twin of q73/q97. Brightness is spec-gated (JPEG is lossy),
+    // not oracle-projected, same split as q73's PNG-vs-JPEG.
+    "q112_video_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val media = graft.operators.Multimodal
+        .aviPayloadFromId(t(s, dir, "documents"))
+      val (valid, _, _) = graft.operators.Multimodal.videoFramesOrReject(media)
+      valid.select(col("media_id"), col("frame_idx"), col("n_frames"),
+        col("width"), col("height"))
+    }),
+
     // Quality-weighted rejection sampling: acceptance probability == the
     // doc's own q27 quality score — soft filtering (FineWeb-style), no
     // threshold cliff, deterministic in (seed, doc_id).
@@ -255,6 +272,18 @@ object Ext5Queries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // q112: every decoded feature in the projection is id-arithmetic —
+    // the DECODE is what the match proves (a parser that mis-walks the
+    // RIFF chunks or drops a frame changes frame_idx/n_frames/geometry).
+    "q112_video_decode" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |       CAST(f AS INTEGER) AS frame_idx,
+         |       CAST(doc_id % 3 + 2 AS INTEGER) AS n_frames,
+         |       CAST(doc_id % 48 + 8 AS INTEGER) AS width,
+         |       CAST((doc_id // 48) % 48 + 8 AS INTEGER) AS height
+         |FROM documents, unnest(range(0, doc_id % 3 + 2)) AS t(f)
+         |ORDER BY media_id, frame_idx""".stripMargin,
 
     // q111: the BPE recurrence unrolled two rounds in SQL. Greedy
     // left-to-right application of merge (a,b): when a<>b matches cannot

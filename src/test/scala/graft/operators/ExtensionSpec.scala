@@ -526,6 +526,55 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("real MJPEG-AVI decode: container walks, frame count/dims exact, brightness tolerant") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 47L, 255L, 2304L).toDF("doc_id")
+    val media = Multimodal.aviPayloadFromId(ids).collect()
+    // true RIFF/AVI payloads: 'RIFF' .... 'AVI '
+    assert(media.forall(m =>
+      new String(m.payload, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(m.payload, 8, 4, "US-ASCII") == "AVI "))
+    val (valid, rejects, _) =
+      Multimodal.videoFramesOrReject(Multimodal.aviPayloadFromId(ids))
+    assert(rejects.count() === 0)
+    val frames = valid.collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx")) -> r).toMap
+    media.foreach { m =>
+      val id = m.media_id
+      val n = (id % 3 + 2).toInt
+      assert((0 until n).forall(f => frames.contains(id -> f)), s"frames of id=$id")
+      assert(!frames.contains(id -> n), s"phantom frame for id=$id")
+      (0 until n).foreach { f =>
+        val r = frames(id -> f)
+        assert(r.getAs[Int]("n_frames") === n)
+        assert(r.getAs[Int]("width") === (id % 48 + 8).toInt)
+        assert(r.getAs[Int]("height") === ((id / 48) % 48 + 8).toInt)
+        val expected = (((id + 29 * f) % 256) + (7 * id + 31 * f + 31) % 256 +
+          (13 * id + 17 * f + 101) % 256) / (3.0 * 255.0)
+        // per-FRAME color: a parser that reorders or repeats frames fails
+        // here even with count/geometry right. JPEG-lossy tolerance.
+        assert(math.abs(r.getAs[Double]("brightness") - expected) < 0.05,
+          s"brightness of id=$id frame=$f")
+      }
+    }
+  }
+
+  test("corrupt video dead-letters: truncated AVI, torn chunk, and junk route to rejects") {
+    import spark.implicits._
+    val good = Multimodal.aviPayloadFromId(Seq(5L).toDF("doc_id")).collect()(0)
+    val truncated = java.util.Arrays.copyOf(good.payload, good.payload.length / 2)
+    val junk = Array.fill[Byte](64)(0x5a)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", good.payload),
+      Multimodal.MediaRecord(2L, "video", truncated),
+      Multimodal.MediaRecord(3L, "video", junk)).toDS()
+    val (valid, rejects, _) = Multimodal.videoFramesOrReject(media)
+    assert(valid.select("media_id").distinct().collect().map(_.getLong(0)).toSet === Set(1L))
+    val errs = rejects.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(errs.keySet === Set(2L, 3L))
+    assert(errs.values.forall(_.nonEmpty))
+  }
+
   test("corrupt media dead-letters: truncated PNG and junk route to rejects with the error") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
