@@ -54,8 +54,9 @@ object Ext2Queries {
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.BloomJoin.prunedJoin(t(s, dir, "lineitem"), sel, Seq("l_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-               .as("revenue"),
+        // decimal money sum — see q02's note (order-independent at sf1+)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .cast("decimal(23,6)")), 4).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -225,8 +226,11 @@ object Ext2Queries {
       t(s, dir, "orders")
         .withColumn("o_year", year(col("o_orderdate")).cast("long"))
         .cube(col("o_orderstatus"), col("o_year"))
+        // decimal money sum — see q02's note (the all-rows cube cell sums
+        // 1.5M prices to ~4e11, far past double's 4-decimal precision)
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("total_price"),
+          round(sum(col("o_totalprice").cast("decimal(23,6)")), 4)
+            .cast("double").as("total_price"),
           grouping_id().as("gid"))),
 
     // End-to-end corpus curation: language gate (en) ∧ quality gate
@@ -304,7 +308,7 @@ object Ext2Queries {
 
     "q54_bloom_pruned_join" ->
       """SELECT o_orderpriority,
-            round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+            CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,6))), 4) AS DOUBLE) AS revenue,
             count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderstatus = 'F' AND o_totalprice > 250000.0
@@ -466,7 +470,7 @@ object Ext2Queries {
 
     "q68_cube" ->
       """SELECT o_orderstatus, o_year, count(*) AS n_orders,
-            round(sum(o_totalprice), 4) AS total_price,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,6))), 4) AS DOUBLE) AS total_price,
             GROUPING(o_orderstatus, o_year) AS gid
          FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
                       o_totalprice FROM orders)

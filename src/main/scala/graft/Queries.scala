@@ -57,8 +57,16 @@ object Queries {
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
+        // money sums aggregate in DECIMAL, not double (round-12 sf1
+        // lesson): at ~1e10 the two engines' double-sum association
+        // orders diverge in the 4th decimal — round(,4) is asking for
+        // more precision than a double carries at that magnitude. The
+        // per-row product stays one deterministic IEEE op; the cast to
+        // decimal(23,6) is exact on both engines away from impossible
+        // binary ties, and the decimal sum is order-independent.
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(23,6)")), 4).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     }),
 
@@ -441,7 +449,7 @@ object Queries {
 
     "q02_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1.0-l_discount)),4) AS revenue,
+         CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(23,6))),4) AS DOUBLE) AS revenue,
          count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
