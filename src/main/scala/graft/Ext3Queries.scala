@@ -162,8 +162,9 @@ object Ext3Queries {
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 4)
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-               .as("revenue"),
+        // decimal money sum — see q02's note (order-independent at sf1+)
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .cast("decimal(23,6)")), 4).cast("double").as("revenue"),
              count(lit(1)).as("n_items"))
     }),
 
@@ -431,7 +432,7 @@ object Ext3Queries {
 
     "q83_salted_join" ->
       """SELECT o_orderpriority,
-                round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+                CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(23,6))), 4) AS DOUBLE) AS revenue,
                 count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
