@@ -219,16 +219,23 @@ object Bench {
           val scanFrac = lsh.candidateFraction(lsh.index(corpusReal),
             ExtQueries.plantedFixture(spark, sfDir)._2.map(_.toDouble),
             probeHamming = ExtQueries.AnnLshProbeH)
-          val pq = Similarity.Pq(m = 8, nCodes = 16)
+          val pq = Similarity.Pq(m = ExtQueries.PqM, nCodes = ExtQueries.PqCodes)
           val cbP = pq.train(corpus)
+          val pqShortlist = ExtQueries.pqShortlistFor(corpus.count())
           val pqFound = pq.topK(cbP, pq.encode(cbP, corpus), corpus,
-              v0.map(_.toDouble), 10)
+              v0.map(_.toDouble), 10, shortlist = pqShortlist)
             .collect().map(_.getLong(0)).toSet
+          // the cost side of PQ's published recall: the exact re-rank
+          // touches shortlist/N of the corpus (the ADC pass reads only
+          // the m-byte codes — the compressed representation, not a scan)
+          val pqScanFrac = pqShortlist.toDouble / corpusReal.count()
           corpusRecall ++ Map(
             "q98_pq_topk_recall_at_10" ->
               ids("q98_pq_topk").intersect(truth).size.toDouble / truth.size,
             "q98_planted_recall_at_5" ->
               pqFound.intersect(plantedIds).size.toDouble / 5,
+            "q98_shortlist" -> pqShortlist.toDouble,
+            "q98_scan_frac" -> pqScanFrac,
             "q25_scan_frac" -> scanFrac,
             "q25_planted_recall_at_5" ->
               lshFound.intersect(plantedIds).size.toDouble / 5,
@@ -277,16 +284,22 @@ object Bench {
     // 16 KB and the full object is ~18 KB, which is how every BENCH_rN.json
     // through r11 ended up with `"parsed": null` and a mid-JSON tail. The
     // FULL object — aux maps (min/spread/cold/window_ok, build costs,
-    // calibration passes) included — goes to target/bench.json, which the
-    // round commits as its artifact.
+    // calibration passes) included — goes to a SCALE-SUFFIXED file
+    // (`target/bench_sf01.json` for sf0.1, `bench_sf1.json`, …): r12
+    // committed an sf1 bench.json and then an sf0.1 run silently overwrote
+    // it in the working tree, leaving the committed artifact and the round
+    // report describing different runs. One path per scale factor makes
+    // that race structurally impossible (r12 verdict #4).
     println(body(withAux = false))
+    val sfLabel = new java.io.File(sfDir).getName.replace(".", "")
+    val benchPath = s"target/bench_$sfLabel.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(benchPath),
         (body(withAux = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println("[bench] wrote target/bench.json (full object incl. aux maps)")
+      System.err.println(s"[bench] wrote $benchPath (full object incl. aux maps)")
     } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write target/bench.json: $e")
+      System.err.println(s"[bench] could not write $benchPath: $e")
     }
     spark.stop()
   }

@@ -119,7 +119,17 @@ object Ext2Queries {
           when(col("doc_id") % 3 === 0,
             concat(lit(" or +1 555-0"), (col("doc_id") % 900 + 100).cast("string")))
             .otherwise(lit(""))))
-      graft.operators.TextClean.scrubPii(injected, col("text"))
+      // fan the regex CPU across cores (TextDedup.shingleRows' idiom): the
+      // bench/test corpora are single-row-group parquet FILES, so the scan
+      // yields ONE partition and a pure projection would run all per-row
+      // regex work on one thread (measured 8 s of the sf1 wall). Rebalance
+      // only when the scan undersupplies the cluster — a many-split 100 TB
+      // input takes the free path, no extra shuffle.
+      val par = s.sparkContext.defaultParallelism
+      val balanced =
+        if (injected.rdd.getNumPartitions < par) injected.repartition(par)
+        else injected
+      graft.operators.TextClean.scrubPii(balanced, col("text"))
         .select(col("doc_id"),
           col("n_emails").cast("long").as("n_emails"),
           col("n_urls").cast("long").as("n_urls"),
@@ -358,11 +368,15 @@ object Ext2Queries {
                          ELSE '' END AS text
           FROM documents)
           SELECT doc_id,
-            CAST(len(regexp_extract_all(text,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-            CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
-            CAST(len(regexp_extract_all(text,
-              '\+[0-9]{1,2} [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+            CAST(len(list_filter(regexp_extract_all(text,
+              '(?:https?://[^\s]+)|(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\+[0-9]{1,2} [0-9]{3}-[0-9]{4})'),
+              h -> NOT starts_with(h, 'http') AND contains(h, '@'))) AS BIGINT) AS n_emails,
+            CAST(len(list_filter(regexp_extract_all(text,
+              '(?:https?://[^\s]+)|(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\+[0-9]{1,2} [0-9]{3}-[0-9]{4})'),
+              h -> starts_with(h, 'http'))) AS BIGINT) AS n_urls,
+            CAST(len(list_filter(regexp_extract_all(text,
+              '(?:https?://[^\s]+)|(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\+[0-9]{1,2} [0-9]{3}-[0-9]{4})'),
+              h -> NOT starts_with(h, 'http') AND NOT contains(h, '@'))) AS BIGINT) AS n_phones,
             md5(regexp_replace(regexp_replace(regexp_replace(text,
                   'https?://[^\s]+', '<URL>', 'g'),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

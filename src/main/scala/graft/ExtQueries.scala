@@ -313,17 +313,36 @@ object ExtQueries {
     // oracle; PqSpec pins determinism, compression shape, and planted
     // near-dup retrieval): train sub-quantizers on a bounded sample,
     // encode the corpus to m small codes, ADC-shortlist, exact re-rank.
+    // r12 verdict #3: the ADC shortlist now GROWS with the corpus
+    // ([[pqShortlistFor]] — a fixed shortlist of 100 was 5% of the sf0.1
+    // corpus but 0.5% at sf1, which is exactly where corpus recall@10
+    // slid 0.6 → 0.4), and the query carries the same corpus-recall HARD
+    // gate q25 got in r12 alongside the planted gate, so a PQ quality
+    // regression turns the board red instead of shipping silently.
     "q98_pq_topk" -> ((s, dir) => {
-      val pq = Similarity.Pq(m = 8, nCodes = 16)
+      val pq = Similarity.Pq(m = PqM, nCodes = PqCodes)
       plantedGate("q98_pq_topk", dir) {
         val (pc, v0, plantedIds) = plantedFixture(s, dir)
         val cbP = pq.train(pc)
-        (pq.topK(cbP, pq.encode(cbP, pc), pc, v0.map(_.toDouble), 10)
+        (pq.topK(cbP, pq.encode(cbP, pc), pc, v0.map(_.toDouble), 10,
+            shortlist = pqShortlistFor(pc.count()))
           .collect().map(_.getLong(0)).toSet, plantedIds)
       }
       val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val shortlist = pqShortlistFor(corpus.count())
       val cb = pq.train(corpus)
-      pq.topK(cb, pq.encode(cb, corpus), corpus, queryVector(s, dir), k = 10)
+      val codes = pq.encode(cb, corpus)
+      recallGate("q98_pq_topk", dir, minRecall = 0.5) {
+        val truth = Similarity.bruteForceTopK(corpus,
+          t(s, dir, "embeddings").filter(col("vec_id") === 0)
+            .select(col("embedding").as("qv")), 10)
+          .collect().map(_.getLong(0)).toSet
+        (pq.topK(cb, codes, corpus, queryVector(s, dir), k = 10,
+           shortlist = shortlist)
+          .collect().map(_.getLong(0)).toSet, truth)
+      }
+      pq.topK(cb, codes, corpus, queryVector(s, dir), k = 10,
+        shortlist = shortlist)
     }),
 
     "q36_ivf_topk" -> ((s, dir) => {
@@ -352,6 +371,17 @@ object ExtQueries {
   private[graft] val AnnLshProbeH = 2
   private[graft] val IvfCentroids = 16
   private[graft] val IvfProbe = 4
+  private[graft] val PqM = 8
+  private[graft] val PqCodes = 16
+  /** ADC shortlist sized as a FRACTION of the corpus (floor 100): the
+    * shortlist is the PQ index's recall knob — ADC ordering only has to
+    * surface the true top-k somewhere in the shortlist, and how deep
+    * "somewhere" lands scales with corpus size for a fixed code budget.
+    * 5% keeps the exact re-rank a small partition-pruned fetch (the scan
+    * fraction Bench publishes as `q98_scan_frac`) while holding
+    * recall@10 ≥ 0.5 at every test SF — a fixed 100 was 0.4 at sf1. */
+  private[graft] def pqShortlistFor(n: Long): Int =
+    math.max(100L, math.ceil(n * 0.05).toLong).toInt
 
   /** The canonical ANN query vector (vec_id = 0), collected once per call —
     * one row, driver-side by design (probe-set computation is driver work). */
@@ -423,6 +453,14 @@ object ExtQueries {
       run: => (Set[Long], Set[Long])): Unit =
     if (recallGateRan.add((name, dir))) {
       val (found, truth) = run
+      // empty truth would make recall NaN and `NaN < min` false — the gate
+      // would silently PASS on a filtered-out corpus; fail loudly instead
+      if (truth.isEmpty) {
+        recallGateRan.remove((name, dir))
+        throw new IllegalStateException(
+          s"$name corpus-recall gate: brute-force truth set is EMPTY — " +
+            "corpus missing or filtered out; gate cannot be evaluated")
+      }
       val recall = found.intersect(truth).size.toDouble / truth.size
       if (recall < minRecall) {
         recallGateRan.remove((name, dir)) // keep failing on retry

@@ -80,7 +80,21 @@ object GenSf1 {
     // part file to `<name>.parquet`
     def write(name: String, df: DataFrame): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      // Small row groups: a coalesce(1) file with the default 128 MB block
+      // size is ONE row group — unsplittable, so every sf1 scan (Spark's
+      // FileSourceScan partitions AND DuckDB's row-group parallelism)
+      // serialized onto a single thread. A real 100 TB table is thousands
+      // of splits; the bench data must not accidentally measure
+      // single-threaded scans. 8 MB ≈ 10 groups for the 80 MB lineitem;
+      // documents/embeddings are only ~6 MB on disk but carry the highest
+      // CPU-per-byte work on the board (shingling, regex, per-row codecs),
+      // so they get 1 MB groups to stay splittable too.
+      val blockSize =
+        if (name == "documents" || name == "embeddings") 1 * 1024 * 1024
+        else 8 * 1024 * 1024
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size", blockSize)
+        .parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(conf)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
@@ -121,6 +135,18 @@ object GenSf1 {
     // documents: replica 0 verbatim; replicas 1..9 with the per-token
     // replica suffix (see scaladoc). n_chars re-derived from the new text.
     val docs = t("documents")
+    // The replica suffixing below splits on a literal single space while
+    // the engine tokenizes on \s+ — if the source corpus ever contained
+    // tabs/newlines/runs of spaces (or leading/trailing whitespace), some
+    // tokens would escape suffixing (or empty pieces would become bare
+    // "zzN" tokens), silently breaking the cross-replica vocabulary
+    // disjointness the scheme depends on. Assert the precondition loudly
+    // instead of relying on it (advisor, r12).
+    val nBadWs = docs.filter(col("text").rlike("^\\s|\\s$|\\s\\s|[^\\S ]")).count()
+    require(nBadWs == 0,
+      s"documents.text has $nBadWs rows with non-single-space whitespace; " +
+        "the per-token replica suffixing would miss tokens — fix the split " +
+        "(regexp-based, \\s+ semantics) before replicating this corpus")
     val docReps = docs.crossJoin(reps.filter(col("rep") =!= 0))
       .withColumn("doc_id", col("doc_id") + col("rep") * DK)
       .withColumn("text", array_join(

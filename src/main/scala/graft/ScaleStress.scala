@@ -291,7 +291,14 @@ object ScaleStress {
     def num(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
     // per-round artifact name so a later round's run never silently
     // overwrites an earlier round's committed evidence
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r12.json")
+    // A filtered local run (SPARK_GRAFT_SCALE_SHAPES) must not overwrite
+    // the round's full-battery artifact with its subset — r12 committed a
+    // SCALE json holding ONE shape under a note describing the whole
+    // battery (advisor). Filtered runs write to a `.partial` sibling
+    // unless an explicit SPARK_GRAFT_SCALE_OUT says otherwise.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      if (sys.env.contains("SPARK_GRAFT_SCALE_SHAPES")) "SCALE_partial.json"
+      else "SCALE_r13.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>

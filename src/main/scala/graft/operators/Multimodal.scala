@@ -281,28 +281,32 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("media_id")).as[Long]
       .repartition(par)
       .mapPartitions { it =>
-        it.map { id =>
-          val rate = (8000 + (id % 8) * 1000).toInt
-          val n = (400 + (id % 100) * 20).toInt
-          val amp = (1000 + (id % 30) * 500).toInt
-          val pcm = new Array[Byte](n * 2)
-          var i = 0
-          while (i < n) {
-            val s = if ((i / 8) % 2 == 0) amp else -amp
-            pcm(2 * i) = (s & 0xff).toByte
-            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-            i += 1
-          }
-          val fmt = new javax.sound.sampled.AudioFormat(
-            rate.toFloat, 16, 1, true, false)
-          val ais = new javax.sound.sampled.AudioInputStream(
-            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-          val out = new java.io.ByteArrayOutputStream()
-          javax.sound.sampled.AudioSystem.write(ais,
-            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-          MediaRecord(id, "audio", out.toByteArray)
-        }
+        it.map(id => MediaRecord(id, "audio", wavBytesForId(id)))
       }(Encoders.product[MediaRecord])
+  }
+
+  /** The per-id WAV bytes [[wavPayloadFromId]] ships — exposed so the
+    * MediaFloors harness can time encode/decode outside Spark. */
+  private[graft] def wavBytesForId(id: Long): Array[Byte] = {
+    val rate = (8000 + (id % 8) * 1000).toInt
+    val n = (400 + (id % 100) * 20).toInt
+    val amp = (1000 + (id % 30) * 500).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = if ((i / 8) % 2 == 0) amp else -amp
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** Partition-batched audio decode → features; iterator→iterator like
@@ -465,29 +469,33 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("media_id")).as[Long]
       .repartition(par)
       .mapPartitions { it =>
-        it.map { id =>
-          val w = (id % 48 + 8).toInt
-          val h = ((id / 48) % 48 + 8).toInt
-          val n = (id % 3 + 2).toInt
-          val frames = (0 until n).map { f =>
-            val rgb = ((((id + 29 * f) % 256) << 16) |
-              (((7 * id + 31 * f + 31) % 256) << 8) |
-              ((13 * id + 17 * f + 101) % 256)).toInt
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-              y += 1
-            }
-            val bytes = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "jpg", bytes)
-            bytes.toByteArray
-          }
-          MediaRecord(id, "video", buildAvi(w, h, frames))
-        }
+        it.map(id => MediaRecord(id, "video", aviBytesForId(id)))
       }(Encoders.product[MediaRecord])
+  }
+
+  /** The per-id AVI bytes [[aviPayloadFromId]] ships — exposed so the
+    * MediaFloors harness can time encode/parse/decode outside Spark. */
+  private[graft] def aviBytesForId(id: Long): Array[Byte] = {
+    val w = (id % 48 + 8).toInt
+    val h = ((id / 48) % 48 + 8).toInt
+    val n = (id % 3 + 2).toInt
+    val frames = (0 until n).map { f =>
+      val rgb = ((((id + 29 * f) % 256) << 16) |
+        (((7 * id + 31 * f + 31) % 256) << 8) |
+        ((13 * id + 17 * f + 101) % 256)).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bytes)
+      bytes.toByteArray
+    }
+    buildAvi(w, h, frames)
   }
 
   /** Minimal-but-valid AVI writer: RIFF(AVI ) → LIST(hdrl){avih,

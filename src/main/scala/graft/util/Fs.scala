@@ -134,6 +134,19 @@ object Fs {
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
   private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // Scratch dirs can hold embedded Derby databases (q99 / StreamFloors
+      // JDBC sinks); Derby's OWN shutdown hook writes a final checkpoint
+      // into the database directory at exit, racing this deletion and
+      // leaving partial trees behind (advisor, r12). Shut the engine down
+      // first — the system-wide shutdown URL deregisters Derby's hook and
+      // flushes synchronously; XJ015 is its documented success signal.
+      try {
+        java.sql.DriverManager.getConnection("jdbc:derby:;shutdown=true")
+        ()
+      } catch {
+        case _: java.sql.SQLException => () // XJ015 "system shut down" = ok
+        case scala.util.control.NonFatal(_) => () // driver never loaded
+      }
       scratchDirs.forEach { root =>
         try {
           java.nio.file.Files.walk(root)

@@ -35,7 +35,18 @@ class TextCleanSpec extends AnyFunSuite with SparkSpec {
     val in = Seq((1L, "link https://x.io/login?user=a@b.co end")).toDF("id", "text")
     val out = TextClean.scrubPii(in, col("text")).head()
     assert(out.getAs[String]("clean_text") === "link <URL> end")
-    // counts are measured independently on the raw text
+    // counts come from the SAME single left-to-right scan the scrub uses
+    // (round 13): the span is redacted as <URL>, so it counts as a URL and
+    // NOT additionally as an email — counts always agree with clean_text
+    assert(out.getAs[Int]("n_emails") === 0)
+    assert(out.getAs[Int]("n_urls") === 1)
+  }
+
+  test("standalone pii of all three kinds classifies from one scan") {
+    val in = Seq((1L, "+12 345-6789 then a@b.co then http://e.f/g?h=i@j.kl")).toDF("id", "text")
+    val out = TextClean.scrubPii(in, col("text")).head()
+    assert(out.getAs[String]("clean_text") === "<PHONE> then <EMAIL> then <URL>")
+    assert(out.getAs[Int]("n_phones") === 1)
     assert(out.getAs[Int]("n_emails") === 1)
     assert(out.getAs[Int]("n_urls") === 1)
   }

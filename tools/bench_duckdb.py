@@ -92,9 +92,14 @@ def main(sf_dir, out_dir, spark_json=None, runs="3"):
     if spark_times:
         print(f"Spark total (same set):  {report['spark_total']:.1f}s")
     os.makedirs("target", exist_ok=True)
-    with open("target/bench_duckdb.json", "w") as f:
+    # scale-suffixed like graft.Bench's bench_sf*.json (r12 verdict #4):
+    # one artifact path per scale factor, so an sf0.1 run can never
+    # overwrite a committed sf1 pair in the working tree
+    label = os.path.basename(sf_dir.rstrip("/")).replace(".", "")
+    out_path = f"target/bench_duckdb_{label}.json"
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote target/bench_duckdb.json")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
