@@ -232,6 +232,29 @@ object ScaleStress {
       shape("q110_bpe_train_corpus_scale", Seq(1, 10),
         k => stressDocs(k, hot = 0),
         df => graft.operators.BpeTrain.learnMerges(df, numMerges = 8).count()),
+      // q59: PII scrub is pure per-row regex — the 100 TB claim is
+      // embarrassing parallelism (wall ~ rows / cores), which r12's 14×
+      // sf1 factor contradicted because the single-split scan pinned all
+      // regex on one thread. The shape replays the declared query's
+      // injection + scrub (counts consumed THROUGH clean_text's length so
+      // Catalyst cannot prune the replace passes) over 1×/10× docs; the
+      // rebalance added in round 13 should hold the wall factor ~linear.
+      shape("q59_pii_scrub_row_scale", Seq(1, 10),
+        k => stressDocs(k, hot = 0),
+        { df =>
+          val injected = df.withColumn("text",
+            concat(col("text"),
+              lit(" contact: user"), (col("doc_id") % 100).cast("string"),
+              lit("@example.com via https://ex.com/p/"), col("doc_id").cast("string")))
+          val par = spark.sparkContext.defaultParallelism
+          val balanced =
+            if (injected.rdd.getNumPartitions < par) injected.repartition(par)
+            else injected
+          graft.operators.TextClean.scrubPii(balanced, col("text"))
+            .select((length(col("clean_text")) +
+              col("n_emails") + col("n_urls") + col("n_phones")).as("w"))
+            .agg(sum(col("w"))).count()
+        }),
       "q102_incremental_probe" -> { () =>
         def batch = docsBase.select((col("doc_id") + 80000000L).as("doc_id"),
           concat(col("text"), lit(" probe")).as("text"))
