@@ -292,7 +292,12 @@ object Bench {
     // that race structurally impossible (r12 verdict #4).
     println(body(withAux = false))
     val sfLabel = new java.io.File(sfDir).getName.replace(".", "")
-    val benchPath = s"target/bench_$sfLabel.json"
+    // A focused run (SPARK_GRAFT_BENCH_ONLY) must never clobber the round
+    // artifact with a subset measurement — same rule as ScaleStress's
+    // SCALE_partial.json: partial evidence gets a partial-named file.
+    val benchPath =
+      if (only.isDefined) s"target/bench_partial_$sfLabel.json"
+      else s"target/bench_$sfLabel.json"
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get(benchPath),

@@ -53,6 +53,37 @@ object MediaFloors {
       timed(wavs.foreach(operators.Multimodal.JavaSoundDecoder.decodeAudio(_)))
 
     def us(sec: Double, n: Long): Double = math.rint(sec * 1e6 / n * 10) / 10
+
+    // Parallel-efficiency probe: the per-unit costs above are single
+    // thread; the executor reality is 32 threads in ONE JVM hitting the
+    // same JDK codec entry points. ImageIO's default disk-backed stream
+    // cache (a temp FILE per read) and provider-registry synchronization
+    // can serialize that — measure 32-thread throughput vs 1-thread.
+    def parallelWall(threads: Int)(unit: Long => Unit): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val futs = ids.map(id => pool.submit(new Runnable {
+        def run(): Unit = unit(id) }))
+      futs.foreach(_.get())
+      pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val wavById = ids.map(id => id -> operators.Multimodal.wavBytesForId(id)).toMap
+    val aviById = ids.map(id => id -> avis((id - 1).toInt)).toMap
+    val wav1 = parallelWall(1)(id =>
+      operators.Multimodal.JavaSoundDecoder.decodeAudio(wavById(id)): Unit)
+    val wav32 = parallelWall(32)(id =>
+      operators.Multimodal.JavaSoundDecoder.decodeAudio(wavById(id)): Unit)
+    val riff1 = parallelWall(1)(id =>
+      operators.Multimodal.RiffWavDecoder.decodeAudio(wavById(id)): Unit)
+    val riff32 = parallelWall(32)(id =>
+      operators.Multimodal.RiffWavDecoder.decodeAudio(wavById(id)): Unit)
+    val avi1 = parallelWall(1)(id =>
+      operators.Multimodal.MjpegAviParser.decodeFrames(aviById(id)): Unit)
+    val avi32 = parallelWall(32)(id =>
+      operators.Multimodal.MjpegAviParser.decodeFrames(aviById(id)): Unit)
+    def eff(w1: Double, w32: Double): Double =
+      math.rint(w1 / w32 * 100) / 100 // ideal = 32
     val json =
       s"""{"n_clips":$nClips,"n_frames":$nFrames,
          |"avi_encode_us_per_frame":${us(tEncode, nFrames)},
@@ -61,6 +92,10 @@ object MediaFloors {
          |"full_decode_us_per_frame":${us(tFull, nFrames)},
          |"wav_encode_us_per_row":${us(tWavEnc, nClips)},
          |"wav_decode_us_per_row":${us(tWavDec, nClips)},
+         |"wav_decode_speedup_32t":${eff(wav1, wav32)},
+         |"riffwav_decode_us_per_row":${us(riff1, nClips)},
+         |"riffwav_decode_speedup_32t":${eff(riff1, riff32)},
+         |"avi_decode_speedup_32t":${eff(avi1, avi32)},
          |"note":"single-thread unit costs of the pure-JDK codec stand-ins behind q73/q97/q112; the RIFF walk is ~free — the wall is ImageIO JPEG decode, which is the JNI swap seam (libjpeg-turbo decodes the same frames ~10x faster). sf1 q112 wall ~= n_frames(sf1) * (encode+parse+decode) / 32 threads + bench floor."}"""
         .stripMargin.replace("\n", "")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))

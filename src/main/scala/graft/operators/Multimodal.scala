@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * recompute the decoded features exactly — the decode is verified
   * end-to-end through real image bytes.
   *
-  * AUDIO decode is REAL too (round 8): [[JavaSoundDecoder]] parses actual
-  * WAV/PCM bytes with the JDK's own `javax.sound.sampled.AudioSystem`,
-  * returning true sample rate, sample count and RMS amplitude;
+  * AUDIO decode is REAL too (round 8): actual WAV/PCM bytes are parsed to
+  * true sample rate, sample count and RMS amplitude — by [[RiffWavDecoder]]
+  * (a lock-free RIFF walker; default since round 13) or the JDK's
+  * [[JavaSoundDecoder]], spec-pinned feature-equal;
   * [[wavPayloadFromId]] generates deterministic square-wave WAVs whose
   * decoded features are closed-form in the row id (a square wave's RMS IS
   * its amplitude), so the real decode sits under an exact SQL oracle
@@ -37,6 +38,14 @@ import org.apache.spark.sql.functions._
   * md5-based [[StubDecoder]] remains only as q29's plumbing harness.
   */
 object Multimodal {
+
+  // ImageIO's default stream cache backs every read/write with a temp
+  // FILE — at 32 decode threads the tempfile create/delete serializes the
+  // codec path (MediaFloors measured 5.4x of an ideal 32x before this).
+  // Payloads here are in-memory byte arrays; memory-backed streams are
+  // strictly better. Class-load init so every executor JVM gets it before
+  // the first partition decodes.
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
 
@@ -235,6 +244,69 @@ object Multimodal {
     def decodeAudio(payload: Array[Byte]): (Int, Long, Double)
   }
 
+  /** Lock-free WAV/PCM decode: a hand-rolled RIFF chunk walker (the audio
+    * twin of [[MjpegAviParser]]) over the public WAVE spec — fmt chunk →
+    * (PCM, 16-bit, mono, rate), data chunk → the same exact-integer RMS
+    * loop as [[JavaSoundDecoder]].
+    *
+    * Exists because `AudioSystem.getAudioInputStream` serializes on the
+    * JDK's synchronized provider registry: MediaFloors measured **0.99×
+    * speedup on 32 threads** (i.e. NONE) — a globally-locked codec entry
+    * point turns a 32-thread executor into a single-threaded one, which
+    * was the entire q97 sf1 wall. This walker is pure per-call byte
+    * arithmetic, embarrassingly parallel, and spec-pinned feature-equal
+    * to JavaSoundDecoder on the same payloads (RiffWavSpec) — the same
+    * decoder-seam swap a production build makes toward JNI codecs. */
+  object RiffWavDecoder extends AudioDecoder {
+    private def u32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def cc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    override def decodeAudio(payload: Array[Byte]): (Int, Long, Double) = {
+      require(payload.length >= 12 && cc(payload, 0) == "RIFF" &&
+        cc(payload, 8) == "WAVE", "not a RIFF/WAVE payload")
+      var rate = -1
+      var dataOff = -1
+      var dataLen = -1
+      var off = 12
+      while (off + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+        val id = cc(payload, off)
+        val size = u32(payload, off + 4)
+        val body = off + 8
+        require(size >= 0 && body + size <= payload.length,
+          s"torn chunk '$id' at $off (size $size)")
+        if (id == "fmt ") {
+          require(size >= 16, s"fmt chunk too short ($size)")
+          val enc = u16(payload, body)
+          val channels = u16(payload, body + 2)
+          val bits = u16(payload, body + 14)
+          require(enc == 1 && channels == 1 && bits == 16,
+            s"expected 16-bit signed mono PCM, got enc=$enc ch=$channels bits=$bits")
+          rate = u32(payload, body + 4)
+        } else if (id == "data") {
+          dataOff = body; dataLen = size
+        }
+        off = body + size + (size & 1) // chunks are even-aligned
+      }
+      require(rate > 0 && dataOff >= 0, "missing fmt or data chunk")
+      val n = dataLen / 2
+      var i = 0
+      var sq = 0L // exact: |sample| ≤ 2^15, so n·s² fits a long to ~2^33 rows
+      while (i < n) {
+        val s = (payload(dataOff + 2 * i + 1).toInt << 8) |
+          (payload(dataOff + 2 * i) & 0xff)
+        sq += s.toLong * s
+        i += 1
+      }
+      val rms = if (n == 0) 0.0 else math.sqrt(sq.toDouble / n)
+      (rate, n.toLong, rms)
+    }
+  }
+
   /** REAL audio decode on the JDK's `javax.sound.sampled` (WAV/PCM/AIFF —
     * ships with every JRE, zero external dependencies). Expects 16-bit
     * signed mono PCM; RMS is sqrt(mean(sample²)) in raw sample units.
@@ -273,8 +345,11 @@ object Multimodal {
     * sqrt of a perfect-square double is exact), `n_bytes` is the
     * canonical 44-byte RIFF header + 2n, duration = n·1000/rate — while
     * the bytes that flow through the pipeline are REAL WAV (RIFF header,
-    * fmt/data chunks) written by `AudioSystem.write`, so
-    * [[JavaSoundDecoder]] is exercised end-to-end. */
+    * fmt/data chunks — byte-identical to `AudioSystem.write`'s output,
+    * RiffWavSpec), so the WAV decode path is exercised end-to-end.
+    * Decode defaults to [[RiffWavDecoder]] since round 13 —
+    * [[JavaSoundDecoder]]'s registry lock serialized 32 executor threads
+    * to 1× throughput; the spec pins the two decoders feature-equal. */
   def wavPayloadFromId(docs: DataFrame, idCol: String = "doc_id"): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -283,6 +358,37 @@ object Multimodal {
       .mapPartitions { it =>
         it.map(id => MediaRecord(id, "audio", wavBytesForId(id)))
       }(Encoders.product[MediaRecord])
+  }
+
+  /** Canonical 44-byte-header WAV bytes for 16-bit mono PCM — the exact
+    * file `AudioSystem.write` produces for this format (RiffWavSpec pins
+    * byte equality), minus its registry lock: AudioSystem.write funnels
+    * through the same synchronized provider lookup that serialized the
+    * decode path (see [[RiffWavDecoder]]), so the encode loop hand-rolls
+    * the header the way [[buildAvi]] does for AVI. */
+  private[graft] def wavBytes(rate: Int, pcm: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + pcm.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def cc(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, off)
+    cc(0, "RIFF"); le32(4, 36 + pcm.length); cc(8, "WAVE")
+    cc(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, rate)
+    le32(28, rate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    cc(36, "data"); le32(40, pcm.length)
+    pcm.copyToArray(out, 44)
+    out
   }
 
   /** The per-id WAV bytes [[wavPayloadFromId]] ships — exposed so the
@@ -299,14 +405,7 @@ object Multimodal {
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(
-      rate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    wavBytes(rate, pcm)
   }
 
   /** Partition-batched audio decode → features; iterator→iterator like
@@ -314,7 +413,7 @@ object Multimodal {
     * from [[wavPayloadFromId]] terminate before the 4th decimal, so the
     * rounding mode can't diverge between engines). */
   def audioFeatures(media: Dataset[MediaRecord],
-                    decoder: AudioDecoder = JavaSoundDecoder): Dataset[AudioFeatures] =
+                    decoder: AudioDecoder = RiffWavDecoder): Dataset[AudioFeatures] =
     media.mapPartitions { it =>
       it.map { rec =>
         val (rate, n, rms) = decoder.decodeAudio(rec.payload)
@@ -334,7 +433,7 @@ object Multimodal {
     * the error, never exceptions. Persist the third (combined) frame
     * before consuming both sides. */
   def audioFeaturesOrReject(media: Dataset[MediaRecord],
-                            decoder: AudioDecoder = JavaSoundDecoder)
+                            decoder: AudioDecoder = RiffWavDecoder)
       : (DataFrame, DataFrame, Dataset[DecodedAudio]) = {
     val decoded = media.mapPartitions { it =>
       it.map { rec =>
