@@ -217,6 +217,14 @@ object Ext5Queries {
         col("width"), col("height"))
     }),
 
+    // Gopher §A1 rule gate (round 13): the hard-threshold, per-rule-
+    // auditable sibling of q27's soft composite — which rule dropped the
+    // document is a first-class output column. Full oracle: every signal
+    // is exact integer arithmetic + one double division, booleans match
+    // hash-exact across engines.
+    "q113_gopher_gate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.gopherRules(t(s, dir, "documents"))),
+
     // Quality-weighted rejection sampling: acceptance probability == the
     // doc's own q27 quality score — soft filtering (FineWeb-style), no
     // threshold cliff, deterministic in (seed, doc_id).
@@ -526,6 +534,60 @@ object Ext5Queries {
         |       CAST(count(*) AS BIGINT) AS n_tokens,
         |       substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 16) AS chunk_hash
         |FROM cum GROUP BY doc_id, chunk_id""".stripMargin,
+
+    // q113: rule comparisons on UNROUNDED values (each is an exact
+    // integer ratio, so the single double division is the identical IEEE
+    // op in both engines); displayed ratios rounded to 4. The stop list,
+    // thresholds and the trim/lower/split pipeline mirror
+    // TextAnalysis.gopherRules verbatim.
+    "q113_gopher_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lower(trim(text)) AS txt,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_words,
+        |         CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+        |              AS BIGINT) AS sum_len,
+        |         CAST(len(list_filter(t, x -> list_contains(
+        |           ['the','be','to','of','and','that','have','with'], x)))
+        |              AS BIGINT) AS n_stop,
+        |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+        |              AS BIGINT) AS n_alpha,
+        |         CAST(length(txt) - length(replace(txt, '#', ''))
+        |              AS BIGINT) AS n_hash,
+        |         CAST((length(txt) - length(replace(txt, '...', ''))) / 3
+        |              AS BIGINT) AS n_ell
+        |  FROM toks)
+        |SELECT doc_id, n_words,
+        |       CASE WHEN n_words > 0
+        |            THEN round(CAST(sum_len AS DOUBLE) / n_words, 4) END
+        |         AS mean_word_len,
+        |       n_stop AS n_stopwords,
+        |       CASE WHEN n_words > 0
+        |            THEN round(CAST(n_alpha AS DOUBLE) / n_words, 4) END
+        |         AS frac_alpha_words,
+        |       CASE WHEN n_words > 0
+        |            THEN round(CAST(n_hash + n_ell AS DOUBLE) / n_words, 4) END
+        |         AS symbol_ratio,
+        |       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |       (n_words > 0 AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+        |                    AND CAST(sum_len AS DOUBLE) / n_words <= 10.0)
+        |         AS r_mean_word_len,
+        |       (n_words > 0 AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1)
+        |         AS r_symbol_ratio,
+        |       (n_words > 0 AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8)
+        |         AS r_alpha_words,
+        |       (n_stop >= 2) AS r_stopwords,
+        |       (n_words >= 50 AND n_words <= 100000 AND n_words > 0
+        |        AND CAST(sum_len AS DOUBLE) / n_words >= 3.0
+        |        AND CAST(sum_len AS DOUBLE) / n_words <= 10.0
+        |        AND CAST(n_hash + n_ell AS DOUBLE) / n_words <= 0.1
+        |        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+        |        AND n_stop >= 2) AS keep
+        |FROM m""".stripMargin,
 
     // Score formula shared verbatim with q27's oracle; the acceptance
     // comparison uses the q57/q104 md5 hash unit. Both operands are the

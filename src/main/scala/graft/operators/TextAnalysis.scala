@@ -203,6 +203,71 @@ object TextAnalysis {
           " ")), 1, 16).as("chunk_hash"))
   }
 
+  /** Gopher §A1-style rule GATE (Rae et al. 2021): the hard-threshold
+    * sibling of [[qualityScore]]'s soft composite. Production curation
+    * pipelines apply both — the composite ranks, the rule table explains
+    * WHICH rule dropped a document (auditable filtering, per-rule
+    * fail counts drive threshold tuning). Emits raw signals, one boolean
+    * per rule, and the conjunction:
+    *
+    *  - `r_word_count`: minWords ≤ n_words ≤ maxWords
+    *  - `r_mean_word_len`: minMeanLen ≤ Σlen(word)/n_words ≤ maxMeanLen
+    *  - `r_symbol_ratio`: (#'#' + #'...') / n_words ≤ maxSymbolRatio
+    *  - `r_alpha_words`: words containing a letter / n_words ≥ minAlphaFrac
+    *  - `r_stopwords`: ≥ minStopwords hits from the Gopher stop list
+    *
+    * Every signal is exact integer arithmetic followed by one double
+    * division, so the whole table (booleans included) hash-matches the
+    * DuckDB oracle; rule comparisons use UNROUNDED values, the published
+    * ratio columns are rounded to 4. One codegen'd projection over the
+    * scan — no shuffle, no UDF; gating 100 TB is one pass. */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+                  minStopwords: Int = 2): DataFrame = {
+    // tokens materialized before the HOF lambdas consume them (the
+    // re-evaluation trap documented on shinglesFromTokens)
+    val toked = docs.select(col(idCol).as("doc_id"),
+      lower(trim(col(textCol))).as("__txt"),
+      filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+    val t = col("__toks")
+    val n = size(t).cast("long")
+    val sumLen = aggregate(transform(t, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nStop = size(filter(t, w => w.isin(GopherStopwords: _*))).cast("long")
+    val nAlpha = size(filter(t, w => w.rlike("[a-z]"))).cast("long")
+    val nHash = (length(col("__txt")) -
+      length(call_function("replace", col("__txt"), lit("#"), lit("")))).cast("long")
+    val nEll = ((length(col("__txt")) -
+      length(call_function("replace", col("__txt"), lit("..."), lit("")))) / 3).cast("long")
+    val mean = sumLen.cast("double") / n
+    val symRatio = (nHash + nEll).cast("double") / n
+    val alphaFrac = nAlpha.cast("double") / n
+    toked.select(
+      col("doc_id"),
+      n.as("n_words"),
+      when(n > 0, round(mean, 4)).as("mean_word_len"),
+      nStop.as("n_stopwords"),
+      when(n > 0, round(alphaFrac, 4)).as("frac_alpha_words"),
+      when(n > 0, round(symRatio, 4)).as("symbol_ratio"),
+      (n >= minWords && n <= maxWords).as("r_word_count"),
+      (n > 0 && mean >= minMeanLen && mean <= maxMeanLen).as("r_mean_word_len"),
+      (n > 0 && symRatio <= maxSymbolRatio).as("r_symbol_ratio"),
+      (n > 0 && alphaFrac >= minAlphaFrac).as("r_alpha_words"),
+      (nStop >= minStopwords).as("r_stopwords"),
+      (n >= minWords && n <= maxWords &&
+        n > 0 && mean >= minMeanLen && mean <= maxMeanLen &&
+        symRatio <= maxSymbolRatio && alphaFrac >= minAlphaFrac &&
+        nStop >= minStopwords).as("keep"))
+  }
+
+  /** Gopher's stop list ("must contain ≥2 of…"): the word-level English
+    * function words Rae et al. §A1.1 gate on. Shared with the oracle. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Compression-ratio quality signal: DEFLATE-compressed size over raw
     * UTF-8 size per document, with a repetitive-text gate at `maxRatio`
     * (boilerplate/machine-generated text compresses far below natural

@@ -453,6 +453,31 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L).getAs[Double]("top_bigram_share") < 0.02)
   }
 
+  test("gopherRules: each rule flips on its own violation, keep is the conjunction") {
+    val good = ((1 to 58).map(i => s"word$i") ++ Seq("the", "of")).mkString(" ")
+    val short = "the of just a few words here"                    // < 50 words
+    val longWords = ((1 to 48).map(_ => "supercalifrag") ++ Seq("the", "of")).mkString(" ")
+    val symbols = ((1 to 40).map(i => s"w$i") ++ (1 to 8).map(_ => "#") ++
+      Seq("the", "of", "...", "...")).mkString(" ")               // 12/52 symbols
+    val noStops = (1 to 60).map(i => s"word$i").mkString(" ")
+    val in = Seq(1L -> good, 2L -> short, 3L -> longWords, 4L -> symbols,
+      5L -> noStops).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(in).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long) = Seq("r_word_count", "r_mean_word_len",
+      "r_symbol_ratio", "r_alpha_words", "r_stopwords", "keep")
+      .map(c => out(id).getAs[Boolean](c))
+    assert(flags(1L) === Seq(true, true, true, true, true, true))
+    assert(flags(2L).head === false && !out(2L).getAs[Boolean]("keep"))
+    assert(flags(3L) === Seq(true, false, true, true, true, false))
+    val s4 = flags(4L)
+    assert(!s4(2) && !s4.last, "symbol-heavy doc must fail r_symbol_ratio")
+    assert(flags(5L) === Seq(true, true, true, true, false, false))
+    // signal sanity on the symbol doc: 8 '#' + 2 '...' over 52 words
+    assert(out(4L).getAs[Long]("n_words") === 52L)
+    assert(math.abs(out(4L).getAs[Double]("symbol_ratio") - 10.0 / 52) < 1e-3)
+  }
+
   test("qualityScore is bounded [0,1] on real docs") {
     val scores = TextAnalysis.qualityScore(docs).select("quality_score")
       .collect().map(_.getDouble(0))
