@@ -225,6 +225,13 @@ object Ext5Queries {
     "q113_gopher_gate" -> ((s, dir) =>
       graft.operators.TextAnalysis.gopherRules(t(s, dir, "documents"))),
 
+    // N-gram novelty (round 13): fraction of each doc's distinct trigrams
+    // first seen IN that doc — the temporal-diversity signal (dedup asks
+    // "is this a copy?", novelty asks "how much is new?"). Full oracle on
+    // the shared shingle CTE.
+    "q114_ngram_novelty" -> ((s, dir) =>
+      graft.operators.TextAnalysis.noveltyScores(t(s, dir, "documents"))),
+
     // Quality-weighted rejection sampling: acceptance probability == the
     // doc's own q27 quality score — soft filtering (FineWeb-style), no
     // threshold cliff, deterministic in (seed, doc_id).
@@ -588,6 +595,21 @@ object Ext5Queries {
         |        AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
         |        AND n_stop >= 2) AS keep
         |FROM m""".stripMargin,
+
+    // q114: the same distinct-trigram CTE as the minhash family
+    // (ExtQueries.shingleCte), first-occurrence = min(doc_id) per gram.
+    // All-integer until the final division; round 4 both sides.
+    "q114_ngram_novelty" ->
+      s"""WITH ${ExtQueries.shingleCte},
+         |firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 4) AS novelty
+         |FROM sh JOIN firsts USING (s)
+         |GROUP BY doc_id""".stripMargin,
 
     // Score formula shared verbatim with q27's oracle; the acceptance
     // comparison uses the q57/q104 md5 hash unit. Both operands are the

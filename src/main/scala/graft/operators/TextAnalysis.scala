@@ -268,6 +268,35 @@ object TextAnalysis {
   val GopherStopwords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** N-gram novelty scoring: per document, the fraction of its DISTINCT
+    * word trigrams whose global FIRST occurrence (min doc_id across the
+    * corpus) is this document — the temporal-diversity signal a crawl
+    * ingest uses to down-weight documents that only restate earlier
+    * content (the dedup family answers "is this a copy?"; novelty answers
+    * "how much of this have we seen before, at all?"). Documents with
+    * fewer than 3 tokens have no trigrams and drop out (oracle mirrors).
+    *
+    * Scale shape: one explode over the corpus (rebalanced via
+    * [[TextDedup.shingleRows]]' conditional idiom), one gram-keyed
+    * aggregation for the first-occurrence map, and a gram-keyed join that
+    * REUSES the aggregation's exchange (same key, no second full
+    * shuffle), then a doc-keyed count — bucket-bounded throughout, no
+    * all-pairs anything. The first-occurrence map is gram-cardinality
+    * sized; at 100 TB it shards across the cluster like any
+    * aggregation — never a broadcast. */
+  def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val grams = TextDedup.shingleRows(docs, idCol, textCol)
+    val firsts = grams.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("__first"))
+    grams.join(firsts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE-compressed size over raw
     * UTF-8 size per document, with a repetitive-text gate at `maxRatio`
     * (boilerplate/machine-generated text compresses far below natural

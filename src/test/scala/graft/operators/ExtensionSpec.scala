@@ -478,6 +478,19 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out(4L).getAs[Double]("symbol_ratio") - 10.0 / 52) < 1e-3)
   }
 
+  test("noveltyScores: first writer gets 1.0, a copy 0.0, partial overlap the exact fraction") {
+    val in = Seq(
+      1L -> "a b c d e f",  // grams abc bcd cde def — all first here
+      2L -> "a b c d e f",  // exact copy → nothing novel
+      3L -> "a b c x y z"   // abc seen (doc 1); bcx cxy xyz novel → 3/4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(in).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((4L, 0L, 0.0)))
+    assert(out(3L) === ((4L, 3L, 0.75)))
+  }
+
   test("qualityScore is bounded [0,1] on real docs") {
     val scores = TextAnalysis.qualityScore(docs).select("quality_score")
       .collect().map(_.getDouble(0))
