@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-13 declarations — three more first-class training-data-pipeline
+  * operators, all full-oracle (cell-exact DuckDB twins, no rows-only):
+  *
+  *  - q115 PMI collocations ([[graft.operators.TermWeighting.pmiCollocations]])
+  *    — the phrase-mining / vocab-merge primitive.
+  *  - q116 held-out OOV rate ([[graft.operators.TermWeighting.oovRate]])
+  *    — tokenizer/vocab coverage of the q104 train split's vocabulary.
+  *  - q117 k-means assignment ([[graft.operators.Clustering.assignToCentroids]])
+  *    — proves the [[graft.plans.NearestCentroid]] codegen kernel (the
+  *    IVF fast path) cell-exact against a second engine, not just
+  *    against its own spec.
+  */
+object Ext6Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q117's fixed centroid set: the 8 smallest non-query vector ids
+    * (vec_id 0 is the ANN family's designated query vector). */
+  private val KmCentroidIds: Seq[Long] = 1L to 8L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus-level phrase mining: top-50 bigram collocations by PMI with
+    // a min-count floor. Exact integer counts; one float expression per
+    // surviving pair.
+    "q115_pmi_collocations" -> ((s, dir) =>
+      graft.operators.TermWeighting.pmiCollocations(t(s, dir, "documents"))),
+
+    // Vocab coverage: per-held-out-doc OOV token rate vs the train
+    // split's vocabulary (same md5 split unit as q104).
+    "q116_oov_rate" -> ((s, dir) =>
+      graft.operators.TermWeighting.oovRate(t(s, dir, "documents"))),
+
+    // One k-means assignment round against 8 fixed centroids — the
+    // broadcast-assign codegen kernel, oracle-checked per cell.
+    "q117_kmeans_assign" -> ((s, dir) =>
+      graft.operators.Clustering.assignToCentroids(
+        t(s, dir, "embeddings"), KmCentroidIds))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Same tokenizer CTE as the q85/q105 LM family; PMI from exact
+    // integer counts, rounded to 4, total order (pmi desc, w1, w2).
+    "q115_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS t
+        |  FROM documents),
+        |big AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+        |nb AS (SELECT CAST(sum(c2) AS BIGINT) AS nb FROM c2),
+        |cw AS (SELECT w, count(*) AS cw
+        |       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw),
+        |scored AS (
+        |  SELECT w1, w2, c2,
+        |         round(ln((CAST(c2 AS DOUBLE) / nb) /
+        |                  ((CAST(l.cw AS DOUBLE) / n) *
+        |                   (CAST(r.cw AS DOUBLE) / n))), 4) AS pmi
+        |  FROM c2 JOIN cw l ON c2.w1 = l.w JOIN cw r ON c2.w2 = r.w, n, nb
+        |  WHERE c2 >= 5)
+        |SELECT w1, w2, CAST(c2 AS BIGINT) AS c2, pmi,
+        |       CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT)
+        |         AS rk
+        |FROM scored
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // Train split = q104's md5 hash unit < 0.8; vocabulary = distinct
+    // train terms; OOV counts token INSTANCES on the held-out side.
+    // Docs with zero tokens emit no row (no token rows to count).
+    "q116_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                     x -> x <> '') AS t,
+        |         (('0x'||substr(md5('graft|'||doc_id), 1, 8))::BIGINT
+        |          % 1000000) / 1000000.0 AS u
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT DISTINCT unnest(t) AS term FROM toks WHERE u < 0.8),
+        |held AS (
+        |  SELECT doc_id, unnest(t) AS term FROM toks WHERE u >= 0.8)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 4) AS oov_rate
+        |FROM held h LEFT JOIN vocab v USING (term)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Distance fold mirrors the codegen kernel: index-order sum of
+    // squared per-dim differences in double (q23's proven list_sum /
+    // list_zip parity pattern); ties (impossible on this data, total
+    // order regardless) break to the smaller centroid index like the
+    // kernel's strict `<` first-wins.
+    "q117_kmeans_assign" ->
+      """WITH c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |         embedding AS cv
+        |  FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        |d AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_sum([(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+        |                   (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+        |                   for p in list_zip(e.embedding, c.cv)]) AS dist2
+        |  FROM embeddings e, c)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+        |       round(dist2, 4) AS dist2
+        |FROM (SELECT vec_id, cid AS cluster, dist2,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY dist2, cid) AS rn
+        |      FROM d)
+        |WHERE rn = 1""".stripMargin
+  )
+}

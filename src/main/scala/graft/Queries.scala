@@ -689,8 +689,9 @@ object Queries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     core ++ ExtQueries.queries ++ Ext2Queries.queries ++ Ext3Queries.queries ++
-      Ext4Queries.queries ++ Ext5Queries.queries
+      Ext4Queries.queries ++ Ext5Queries.queries ++ Ext6Queries.queries
   def oracles: Map[String, String] =
     coreOracles ++ ExtQueries.oracles ++ Ext2Queries.oracles ++
-      Ext3Queries.oracles ++ Ext4Queries.oracles ++ Ext5Queries.oracles
+      Ext3Queries.oracles ++ Ext4Queries.oracles ++ Ext5Queries.oracles ++
+      Ext6Queries.oracles
 }

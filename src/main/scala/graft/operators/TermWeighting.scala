@@ -291,4 +291,97 @@ object TermWeighting {
       .withColumn("rk", row_number().over(rkw).cast("long"))
       .select("doc_id", "n_hit_terms", "bm25", "rk")
   }
+
+  /** Top-`topK` bigram collocations by pointwise mutual information —
+    * the phrase-mining primitive (Mikolov-style "new york" detection): a
+    * tokenizer/vocab pipeline merges high-PMI pairs into single units
+    * before training, and a corpus-drift monitor watches the collocation
+    * head for contamination by templated text.
+    *
+    * `pmi(w1,w2) = ln( (c2/Nb) / ((c1(w1)/N) · (c1(w2)/N)) )` with `c2`
+    * the corpus bigram count, `Nb` total bigram instances, `c1` unigram
+    * counts, `N` total tokens — all exact integers, so the only float
+    * work is one fixed-shape expression per surviving pair (same IEEE
+    * ops in the oracle). Pairs below `minCount` are dropped BEFORE the
+    * model joins: rare-pair PMI is noise (one shared typo scores ~ln N)
+    * and the filter is what bounds the joined set.
+    *
+    * Output: `(w1, w2, c2, pmi, rk)`, `pmi` rounded to 4, `rk` 1-based
+    * by `(pmi desc, w1 asc, w2 asc)` — a total order, so top-k is
+    * deterministic cross-engine.
+    *
+    * Scale shape: one exchange of exploded bigrams into the `(w1,w2)`
+    * count (map-side partial aggregation eats the duplication), unigram
+    * counts are a vocabulary-sized aggregate joined back by broadcast
+    * (same stance and unbounded-vocab caveat as [[tfidfTopTerms]]), the
+    * two corpus totals are 1-row broadcasts, and the final rank runs on
+    * the ≤ topK survivors of an orderBy+limit (TakeOrderedAndProject —
+    * per-partition heaps, never a single-partition window over the
+    * full pair set). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
+                      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(termsOf(textCol).as("__t"))
+    val bigStructs = transform(sequence(lit(1), size(col("__t")) - 1),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + 1).as("w2")))
+    val big = toks.select(
+      explode(when(size(col("__t")) >= 2, bigStructs)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val nb = c2.agg(sum("c2").as("__nb"))
+    val cw = toks.select(explodeTerms(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = cw.agg(sum("cw").as("__n"))
+    val pmi = log((col("c2").cast("double") / col("__nb")) /
+      ((col("cw1").cast("double") / col("__n")) *
+        (col("cw2").cast("double") / col("__n"))))
+    val scored = c2.filter(col("c2") >= minCount)
+      .join(broadcast(cw.select(col("w").as("w1"), col("cw").as("cw1"))), "w1")
+      .join(broadcast(cw.select(col("w").as("w2"), col("cw").as("cw2"))), "w2")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c2"), round(pmi, 4).as("pmi"))
+    val rkw = Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(topK)
+      .withColumn("rk", row_number().over(rkw).cast("long"))
+  }
+
+  /** Held-out out-of-vocabulary rate against the train split's vocabulary
+    * — the tokenizer/vocab coverage check run before any training job: a
+    * vocab fit on the train split must cover the held-out text, and a
+    * per-document OOV spike flags drifted or foreign content the split
+    * design missed. Splits come from the same engine-portable md5 hash
+    * unit as q104's train/val/test assignment ([[Sampling.hashUnit]]), so
+    * "train" here is exactly the q104 train split when `seed`/`frac`
+    * match.
+    *
+    * Output: one row per held-out document with ≥1 token —
+    * `(doc_id, n_tokens, n_oov, oov_rate)`, `n_oov` counting token
+    * INSTANCES absent from the train vocabulary, `oov_rate` rounded to 4.
+    *
+    * Scale shape: the split predicate is a per-row hash filter at the
+    * scan (no shuffle); the train vocabulary is a vocabulary-sized
+    * distinct aggregate joined to the held-out token stream by broadcast
+    * (left join + null-miss count — the [[tfidfTopTerms]] stance: set
+    * `broadcastVocab = false` for an unbounded raw-text vocabulary and
+    * the miss-check becomes a shuffled left join on `term`, still one
+    * exchange each side, no driver-side size assumption). */
+  def oovRate(docs: DataFrame, trainFrac: Double = 0.8, seed: String = "graft",
+              idCol: String = "doc_id", textCol: String = "text",
+              broadcastVocab: Boolean = true): DataFrame = {
+    val withU = docs.select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"),
+      Sampling.hashUnit(seed, col(idCol)).as("__u"))
+    val vocab = withU.filter(col("__u") < trainFrac)
+      .select(explodeTerms(col("__t")).as("term")).distinct()
+      .withColumn("__in_vocab", lit(1))
+    val vocabSide = if (broadcastVocab) broadcast(vocab) else vocab
+    withU.filter(col("__u") >= trainFrac)
+      .select(col("doc_id"), explodeTerms(col("__t")).as("term"))
+      .join(vocabSide, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+  }
 }

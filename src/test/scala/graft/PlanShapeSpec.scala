@@ -99,4 +99,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.matches("(?s).*Filter [^\\n]*split\\(.*"),
       s"inlined tokenize chain found in a Filter condition:\n$plan")
   }
+
+  test("q117 plan: broadcast-assign is shuffle-free and join-free") {
+    val plan = SparkEntry.queries("q117_kmeans_assign")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the whole assignment is scan → project (kernel + dist fold): the
+    // centroid matrix rides inside codegen, never as a join side
+    assert(!plan.contains("Exchange"),
+      s"assignment pass must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assignment pass must not join:\n$plan")
+    assert(plan.contains("graft_nearest_centroid"),
+      s"NearestCentroid kernel missing from the plan:\n$plan")
+  }
+
+  test("q115 plan: unigram model broadcasts, top-k as heaps — no global sort") {
+    val plan = SparkEntry.queries("q115_pmi_collocations")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram-count joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle join in the scoring path:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$plan")
+  }
 }

@@ -688,4 +688,64 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(r.forall(row => Option(row.getAs[String]("decode_error"))
       .exists(_.nonEmpty)))
   }
+
+  test("pmiCollocations: always-paired bigram outranks the reversed pair, exact values") {
+    // one doc "a b a b a b": bigrams ab×3 ba×2, unigrams a×3 b×3, N=6 Nb=5
+    val in = Seq("a b a b a b").toDF("text")
+    val out = TermWeighting.pmiCollocations(in, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.length === 2)
+    val Seq(first, second) = out.sortBy(_._5).toSeq
+    assert((first._1, first._2, first._3) === (("a", "b", 3L)))
+    val expPmi = math.log((3.0 / 5) / ((3.0 / 6) * (3.0 / 6)))
+    assert(math.abs(first._4 - math.floor(expPmi * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert((second._1, second._2, second._3) === (("b", "a", 2L)))
+  }
+
+  test("pmiCollocations: pairs below minCount are dropped") {
+    // bigrams: xy×1, pq×2, qp×1 — only pq survives minCount=2
+    val in = Seq("x y", "p q p q").toDF("text")
+    val pairs = TermWeighting.pmiCollocations(in, minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("p", "q")))
+  }
+
+  test("oovRate: matches a naive recomputation of the same hash split") {
+    val in = (1L to 40L).map(i => (i, s"tok$i shared tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val out = TermWeighting.oovRate(in).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute the split with the SAME engine-portable unit
+    val us = in.select(col("doc_id"),
+        Sampling.hashUnit("graft", col("doc_id")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val texts = (1L to 40L).map(i => i -> s"tok$i shared tok${i % 7}").toMap
+    val vocab = texts.collect { case (id, t) if us(id) < 0.8 => t }
+      .flatMap(_.split(" ")).toSet
+    val held = texts.filter { case (id, _) => us(id) >= 0.8 }
+    assert(held.nonEmpty && out.keySet === held.keySet)
+    held.foreach { case (id, t) =>
+      val toks = t.split(" ")
+      val expOov = toks.count(w => !vocab.contains(w))
+      assert(out(id) === ((toks.length.toLong, expOov.toLong)),
+        s"doc $id: got ${out(id)} want (${toks.length}, $expOov)")
+    }
+  }
+
+  test("assignToCentroids: nearest wins, exact dist2, ties break to the smaller index") {
+    val in = Seq(
+      (1L, Seq(0f, 0f)),  // centroid 0
+      (2L, Seq(2f, 0f)),  // centroid 1
+      (10L, Seq(0.4f, 0f)),  // nearest: centroid 0, dist2 = 0.16
+      (11L, Seq(1.9f, 1f)),  // nearest: centroid 1, dist2 = 0.01+1
+      (12L, Seq(1f, 0f))     // exact tie (dist2 1.0 both) → first wins = 0
+    ).toDF("vec_id", "embedding")
+    val out = Clustering.assignToCentroids(in, Seq(1L, 2L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((0L, 0.0)) && out(2L) === ((1L, 0.0)))
+    assert(out(10L)._1 === 0L && math.abs(out(10L)._2 - 0.16) < 1e-9)
+    assert(out(11L)._1 === 1L)
+    assert(out(12L) === ((0L, 1.0)))
+  }
 }
