@@ -40,7 +40,28 @@ object Ext6Queries {
     // broadcast-assign codegen kernel, oracle-checked per cell.
     "q117_kmeans_assign" -> ((s, dir) =>
       graft.operators.Clustering.assignToCentroids(
-        t(s, dir, "embeddings"), KmCentroidIds))
+        t(s, dir, "embeddings"), KmCentroidIds)),
+
+    // Distributed Lloyd over the whole corpus: 5 refinement rounds,
+    // k = 8. Rows-only BY NATURE (float sums are partition-order
+    // dependent) with the inertia-monotonicity self-gate inside the
+    // operator — a broken kernel or mean update fails the query loudly.
+    "q118_kmeans_lloyd" -> ((s, dir) =>
+      graft.operators.Clustering.lloydRefine(
+        t(s, dir, "embeddings"), k = 8, iters = 5)),
+
+    // Quality-canonical dedup: per q50 LSH group keep the member with
+    // the highest q27 quality score (ties -> smallest doc_id) — the
+    // curation composition production dedup actually applies.
+    "q119_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = t(s, dir, "documents")
+      graft.operators.Dedup.keepBestByScore(
+        graft.operators.TextDedup.minhashLshGroups(docs,
+          k = ExtQueries.K, bands = ExtQueries.BANDS),
+        graft.operators.TextAnalysis.qualityScore(docs)
+          .select(col("doc_id"), col("quality_score")))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +124,26 @@ object Ext6Queries {
     // list_zip parity pattern); ties (impossible on this data, total
     // order regardless) break to the smaller centroid index like the
     // kernel's strict `<` first-wins.
+    // q118_kmeans_lloyd: intentionally no oracle — float sums across
+    // partitions have no cross-engine twin; the inertia-monotonicity
+    // self-gate and ClusteringSpec's planted-cluster recovery carry it.
+
+    // q119: the q50 group CTE chain composed with q27's quality formula;
+    // kept member = row_number 1 by (quality desc, doc_id) per group.
+    "q119_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${ExtQueries.lshGroupsCtes},
+         |q AS (${ExtQueries.qualityOracle}),
+         |m AS (
+         |  SELECT g.cluster_id, g.doc_id, q.quality_score,
+         |         count(*) OVER (PARTITION BY g.cluster_id) AS n_docs,
+         |         row_number() OVER (PARTITION BY g.cluster_id
+         |                            ORDER BY q.quality_score DESC, g.doc_id)
+         |           AS rn
+         |  FROM groups g JOIN q USING (doc_id))
+         |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+         |       doc_id AS kept_id, quality_score AS kept_score
+         |FROM m WHERE rn = 1""".stripMargin,
+
     "q117_kmeans_assign" ->
       """WITH c AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,

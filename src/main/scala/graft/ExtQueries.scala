@@ -488,8 +488,11 @@ object ExtQueries {
   /** Transitive closure over the LSH candidate graph via a recursive CTE —
     * tractable at oracle scale; the Spark side computes the same components
     * by label propagation. */
-  private def lshGroupsOracle: String =
-    s"""WITH RECURSIVE $shingleCte, $minhashSigSql,
+  /** The q50 group computation as a reusable CTE chain ending in
+    * `groups(doc_id, cluster_id)` — q119 composes it with the quality
+    * formula. Must follow a `WITH RECURSIVE`. */
+  private[graft] def lshGroupsCtes: String =
+    s"""$shingleCte, $minhashSigSql,
         bands AS ($bandSql),
         cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
                  FROM bands a JOIN bands b
@@ -498,9 +501,14 @@ object ExtQueries {
         reach(src, dst) AS (
           SELECT doc_id, doc_id FROM documents
           UNION
-          SELECT reach.src, cand.b FROM reach JOIN cand ON reach.dst = cand.a)
-        SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
-        FROM reach GROUP BY src"""
+          SELECT reach.src, cand.b FROM reach JOIN cand ON reach.dst = cand.a),
+        groups AS (
+          SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY src)"""
+
+  private def lshGroupsOracle: String =
+    s"""WITH RECURSIVE $lshGroupsCtes
+        SELECT doc_id, cluster_id FROM groups"""
 
   private def simhashOracle: String = {
     val votes = (0 until 60)

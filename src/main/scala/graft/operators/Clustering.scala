@@ -61,4 +61,91 @@ object Clustering {
         round(aggregate(zip_with(col("__v"), col("__c"),
           (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 4).as("dist2"))
   }
+
+  /** Distributed Lloyd refinement over the WHOLE corpus — the k-means a
+    * data-mixing pipeline runs when it needs *converged* semantic domain
+    * buckets, not IVF's rough sample-fit cells (at 100 TB a driver-side
+    * sample can fit cells but cannot converge means over data it never
+    * saw). Deterministic init: the `k` vectors with the smallest ids.
+    *
+    * Per round, two passes over the cached cast input:
+    *  1. broadcast-assign ([[graft.plans.NearestCentroid]] codegen — no
+    *     shuffle) + one `groupBy(cluster)` for counts and inertia
+    *     (k-row aggregate);
+    *  2. per-dimension mean via `posexplode` → `groupBy(cluster, dim)` —
+    *     the shuffle carries only the MAP-SIDE PARTIAL sums: k·dim rows
+    *     per input partition, never rows×dim. Both collects are k- or
+    *     k·dim-sized (bounded by construction).
+    *  An empty cluster keeps its previous center.
+    *
+    * Output: one row per round, `(round, inertia, max_shift)` — inertia
+    * the summed squared distance to the assigned centers (rounded to 4),
+    * `max_shift` the largest centroid L2 movement that round. Float sums
+    * are partition-order dependent, so there is no SQL oracle (rows-only
+    * by nature) — instead the query SELF-GATES on Lloyd's monotonicity
+    * invariant: inertia must not increase round over round (beyond float
+    * tolerance), which a broken assignment or mean update breaks
+    * immediately. */
+  def lloydRefine(vecs: DataFrame, k: Int, iters: Int,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "lloydRefine needs k >= 1 and iters >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    graft.plans.NearestCentroid.register(spark)
+    val withV = vecs.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("__v")).persist()
+    try {
+      var centers: Array[Array[Double]] = withV.orderBy(col("vec_id"))
+        .limit(k).select(col("__v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(centers.length == k, s"corpus has fewer than $k vectors")
+      val dim = centers.head.length
+      val rounds = Seq.newBuilder[(Int, Double, Double)]
+      for (r <- 1 to iters) {
+        val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+        val assigned = withV
+          .withColumn("c", graft.plans.NearestCentroid.assign(col("__v"), centers))
+          .withColumn("__ctr", element_at(centersLit, col("c") + 1))
+          .withColumn("__d2", aggregate(zip_with(col("__v"), col("__ctr"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _))
+        val stats = assigned.groupBy("c")
+          .agg(count(lit(1)).as("n"), sum("__d2").as("in"))
+          .collect().map(row => row.getInt(0) ->
+            (row.getLong(1), row.getDouble(2))).toMap
+        val sums = assigned
+          .select(col("c"), posexplode(col("__v")).as(Seq("pos", "x")))
+          .groupBy("c", "pos").agg(sum("x").as("sx"))
+          .collect().map(row =>
+            (row.getInt(0), row.getInt(1)) -> row.getDouble(2)).toMap
+        val inertia = stats.values.map(_._2).sum
+        val next = Array.tabulate(k) { c =>
+          stats.get(c) match {
+            case Some((n, _)) =>
+              Array.tabulate(dim)(p => sums((c, p)) / n)
+            case None => centers(c) // empty cluster keeps its center
+          }
+        }
+        val maxShift = (0 until k).map { c =>
+          math.sqrt((0 until dim)
+            .map(p => { val d = next(c)(p) - centers(c)(p); d * d }).sum)
+        }.max
+        rounds += ((r, inertia, maxShift))
+        centers = next
+      }
+      val out = rounds.result()
+      // Lloyd's invariant — the self-gate that makes this rows-only query
+      // fail loudly on a broken kernel/mean instead of shipping garbage
+      out.sliding(2).foreach {
+        case Seq((_, a, _), (rr, b, _)) =>
+          require(b <= a * (1 + 1e-9) + 1e-9,
+            f"lloydRefine: inertia INCREASED $a%.6f -> $b%.6f at round $rr " +
+              "— assignment or mean update is broken")
+        case _ => ()
+      }
+      out.map { case (r, i, s) =>
+        (r, math.floor(i * 1e4 + 0.5) / 1e4, math.floor(s * 1e4 + 0.5) / 1e4)
+      }.toDF("round", "inertia", "max_shift")
+    } finally { withV.unpersist(); () }
+  }
 }

@@ -66,4 +66,36 @@ object Dedup {
     if (useId) firstWins(df, Seq(idCol), order)
     else firstWins(df, fallbackKeys, order)
   }
+
+  /** Quality-canonical dedup: per duplicate group, keep the member with
+    * the HIGHEST score (ties → smallest id) — what production curation
+    * actually does with a near-dup cluster (keep the cleanest/longest
+    * copy, not whichever arrived first; the first-wins variants above
+    * answer a different question, reproducible *ingest* order).
+    *
+    * `groups` is any (id, group) assignment — e.g.
+    * [[TextDedup.minhashLshGroups]] — and `scores` any (id, score) frame
+    * — e.g. [[TextAnalysis.qualityScore]]. The score must be
+    * engine-portable (already rounded) for the kept set to be
+    * cross-engine exact.
+    *
+    * Output: `(cluster_id, n_docs, kept_id, kept_score)`, one row per
+    * group.
+    *
+    * Scale shape: one join of two id-keyed frames (same key — a single
+    * exchange each side, and co-partitioned inputs skip even that), then
+    * one hash aggregation on the group key with `max_by` over a
+    * `(score, -id)` struct — map-side partial combine carries ONE
+    * candidate per group per partition, never a window sort over
+    * members. */
+  def keepBestByScore(groups: DataFrame, scores: DataFrame,
+                      idCol: String = "doc_id", groupCol: String = "cluster_id",
+                      scoreCol: String = "quality_score"): DataFrame =
+    groups.join(scores, idCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(struct(col(idCol).as("id"), col(scoreCol).as("s")),
+          struct(col(scoreCol), -col(idCol))).as("__best"))
+      .select(col(groupCol), col("n_docs"),
+        col("__best.id").as("kept_id"), col("__best.s").as("kept_score"))
 }

@@ -733,6 +733,18 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("keepBestByScore: highest score wins, score ties break to the smaller id") {
+    val groups = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val out = Dedup.keepBestByScore(groups, scores).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(100L) === ((3L, 2L, 0.9))) // tie 0.9: doc 2 beats doc 3
+    assert(out(200L) === ((1L, 4L, 0.1)))
+  }
+
   test("assignToCentroids: nearest wins, exact dist2, ties break to the smaller index") {
     val in = Seq(
       (1L, Seq(0f, 0f)),  // centroid 0
