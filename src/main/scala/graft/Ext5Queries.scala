@@ -244,7 +244,7 @@ object Ext5Queries {
   )
 
   /** q103's query bag: mid-df corpus terms; shared with the oracle. */
-  private val Bm25Terms = Seq("hash", "merge", "vector")
+  private[graft] val Bm25Terms = Seq("hash", "merge", "vector")
 
   /** q104's bands: 80/10/10, cut points accumulated left-to-right (the
     * oracle mirrors the same additions — see [[Sampling.assignSplits]]). */

@@ -50,6 +50,19 @@ object Ext6Queries {
       graft.operators.Clustering.lloydRefine(
         t(s, dir, "embeddings"), k = 8, iters = 5)),
 
+    // Persisted inverted-index BM25: build postings once (partitioned by
+    // term bucket), probe with partition-pruned reads — must be
+    // cell-identical to q103's full-scan answer (same scoring tail, same
+    // oracle), the build-vs-probe parity bar the ANN indexes meet.
+    "q120_bm25_indexed" -> ((s, dir) => {
+      val path = graft.operators.Similarity.IndexStore.pathFor(
+        s, s"$dir/documents.parquet", "bm25inv64")
+      graft.operators.InvertedIndex.loadOrBuild(
+        s, t(s, dir, "documents"), path)
+      graft.operators.InvertedIndex.probeBm25(
+        s, path, Ext5Queries.Bm25Terms, topK = 20)
+    }),
+
     // Quality-canonical dedup: per q50 LSH group keep the member with
     // the highest q27 quality score (ties -> smallest doc_id) — the
     // curation composition production dedup actually applies.
@@ -127,6 +140,10 @@ object Ext6Queries {
     // q118_kmeans_lloyd: intentionally no oracle — float sums across
     // partitions have no cross-engine twin; the inertia-monotonicity
     // self-gate and ClusteringSpec's planted-cluster recovery carry it.
+
+    // q120: the indexed probe must reproduce the full-scan q103 answer
+    // cell for cell — SAME oracle SQL, by reference.
+    "q120_bm25_indexed" -> Ext5Queries.oracles("q103_bm25_rank"),
 
     // q119: the q50 group CTE chain composed with q27's quality formula;
     // kept member = row_number 1 by (quality desc, doc_id) per group.

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index for BM25 retrieval — the text-side analogue
+  * of the ANN index family's scale path ([[Similarity.SignLsh]] /
+  * [[Similarity.Ivf]]): q103 recomputes postings from raw text on every
+  * query, which is the right shape for one-off analytical pulls but not
+  * for a retrieval service issuing many probes against a fixed corpus.
+  * Here the corpus is tokenized ONCE into a postings table laid out for
+  * partition-pruned probes, and each query reads only the slivers its
+  * terms live in.
+  *
+  * Layout under `path` (build-once via [[Similarity.IndexStore]]
+  * fingerprint paths, `stats/` written last as the completeness marker):
+  *
+  *  - `postings/` — `(term, doc_id, tf, dl)` parquet partitioned by
+  *    `bucket = pmod(hash(term), nBuckets)`: a probe for q terms reads at
+  *    most q of `nBuckets` partitions (static partition pruning — the
+  *    directories never reach the scan), and parquet term-dictionary +
+  *    min/max pruning cuts within a bucket.
+  *  - `terms/` — `(term, df)` per-term document frequency, same
+  *    partitioning, same pruned read.
+  *  - `stats/` — one row `(n, avgdl)` of corpus constants.
+  *
+  * The probe feeds the SAME scoring tail as the on-the-fly path
+  * ([[TermWeighting.bm25Rank]]), so an indexed probe is cell-identical
+  * to q103's full-scan answer and shares its DuckDB oracle — the same
+  * build-vs-probe parity bar the ANN indexes are held to.
+  *
+  * 100 TB: the postings build is one tokenize pass + one (doc,term)
+  * aggregation (the q103 cost, paid once); postings shuffle once on
+  * `bucket` for the clustered write. A probe is q pruned partition
+  * reads + a broadcast of q df-rows + the heap top-k — independent of
+  * corpus size in partitions touched, linear only in the matched
+  * postings. */
+object InvertedIndex {
+
+  /** Build the index at `path` if absent (crash-safe: `stats/_SUCCESS`
+    * is the completeness marker), then return nothing — probes read the
+    * parquet. `docs` is by-name: a load hit never evaluates it. */
+  def loadOrBuild(spark: SparkSession, docs: => DataFrame, path: String,
+                  nBuckets: Int = 64, idCol: String = "doc_id",
+                  textCol: String = "text"): Unit = {
+    if (!Similarity.IndexStore.isBuilt(spark, s"$path/stats")) {
+      val withLen = docs.select(col(idCol).as("doc_id"),
+        TermWeighting.termsOf(textCol).as("__terms"))
+        .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),
+          TermWeighting.explodeTerms(col("__terms")).as("term"))
+      val tf = withLen.groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(hash(col("term")), lit(nBuckets)))
+      // cluster by bucket before the partitioned write (one file per
+      // bucket per final partition, not one per input task)
+      tf.repartition(col("bucket")).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$path/postings")
+      spark.read.parquet(s"$path/postings")
+        .groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+        .repartition(col("bucket")).write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(s"$path/terms")
+      docs.select(TermWeighting.termsOf(textCol).as("__terms"))
+        .agg(count(lit(1)).as("n"),
+          (sum(size(col("__terms")).cast("long")).cast("double") /
+            count(lit(1))).as("avgdl"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    }
+  }
+
+  /** BM25 top-`topK` for `queryTerms` against the index at `path` —
+    * output and scores cell-identical to
+    * [[TermWeighting.bm25TopDocs]] on the same corpus. */
+  def probeBm25(spark: SparkSession, path: String, queryTerms: Seq[String],
+                nBuckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+                topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "probeBm25 needs at least one query term")
+    import spark.implicits._
+    // bucket ids via the engine's own hash (a 1-row-per-term local job —
+    // never re-derive Murmur3 by hand and risk divergence)
+    val buckets = queryTerms.toDS()
+      .select(pmod(hash(col("value")), lit(nBuckets))).collect()
+      .map(_.getInt(0)).distinct.toSeq
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(queryTerms: _*))
+    TermWeighting.bm25Rank(
+      pruned("postings").select(col("doc_id"), col("dl"), col("term"), col("tf")),
+      pruned("terms").select(col("term"), col("df")),
+      spark.read.parquet(s"$path/stats"),
+      k1, b, topK)
+  }
+}

@@ -36,7 +36,7 @@ object TermWeighting {
     * all-whitespace or empty string yields `[""]` — filtered here so empty
     * docs contribute no terms (exact SQL twin:
     * `list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')`). */
-  private def termsOf(textCol: String) =
+  private[operators] def termsOf(textCol: String) =
     filter(tokens(col(textCol)), t => t =!= "")
 
   /** explode of an (already projected) term-array column behind a
@@ -49,7 +49,7 @@ object TermWeighting {
     * 3). The `when` wrapper is a complex child the rule declines on;
     * `size(arr) >= 0` holds for every non-null array, and a null array
     * explodes to nothing through either form. */
-  private def explodeTerms(arr: Column): Column =
+  private[operators] def explodeTerms(arr: Column): Column =
     explode(when(size(arr) >= 0, arr))
 
   /** Top-`topK` terms per document by TF-IDF (`tf * ln(N / df)`).
@@ -274,6 +274,17 @@ object TermWeighting {
       .agg(count(lit(1)).as("n"),
         (sum(size(col("__terms")).cast("long")).cast("double") /
           count(lit(1))).as("avgdl"))
+    bm25Rank(tf, dfc, stats, k1, b, topK)
+  }
+
+  /** The BM25 scoring + top-k tail, shared verbatim between the on-the-fly
+    * path ([[bm25TopDocs]]) and the persisted-index probe
+    * ([[InvertedIndex.probeBm25]]) so both produce cell-identical output
+    * against the same oracle. `tf` = `(doc_id, dl, term, tf)`,
+    * `dfc` = `(term, df)`, `stats` = one row `(n, avgdl)`. */
+  private[operators] def bm25Rank(tf: DataFrame, dfc: DataFrame,
+                                  stats: DataFrame, k1: Double, b: Double,
+                                  topK: Int): DataFrame = {
     val idf = log(lit(1.0) +
       (col("n").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = idf * (col("tf") * lit(k1 + 1.0)) /
