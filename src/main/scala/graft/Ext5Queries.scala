@@ -286,29 +286,11 @@ object Ext5Queries {
        |  FROM isl GROUP BY doc_id, island
        |)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-
-    // q112: every decoded feature in the projection is id-arithmetic —
-    // the DECODE is what the match proves (a parser that mis-walks the
-    // RIFF chunks or drops a frame changes frame_idx/n_frames/geometry).
-    "q112_video_decode" ->
-      s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
-         |       CAST(f AS INTEGER) AS frame_idx,
-         |       CAST(doc_id % 3 + 2 AS INTEGER) AS n_frames,
-         |       CAST(doc_id % 48 + 8 AS INTEGER) AS width,
-         |       CAST((doc_id // 48) % 48 + 8 AS INTEGER) AS height
-         |FROM documents, unnest(range(0, doc_id % 3 + 2)) AS t(f)
-         |ORDER BY media_id, frame_idx""".stripMargin,
-
-    // q111: the BPE recurrence unrolled two rounds in SQL. Greedy
-    // left-to-right application of merge (a,b): when a<>b matches cannot
-    // overlap so every match survives; when a==b, within each maximal run
-    // of consecutive match positions only every other match (odd
-    // row_number) survives — the same pairing the left-to-right fold
-    // makes. Tiebreak ORDER BY pc DESC, a, b is byte-order in both
-    // engines (DuckDB binary collation == Spark UTF8String compare).
-    "q111_bpe_first_merges" ->
-      s"""WITH btoks AS (
+  /** q111's merge-learning chain (btoks .. m2) as a reusable CTE
+    * string: q111 reads the learned rules, q122 re-applies them to
+    * every word. Must follow a WITH. */
+  private[graft] val bpeFirstTwoCtes: String =
+      s"""btoks AS (
          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
          |  FROM documents
          |),
@@ -357,11 +339,71 @@ object Ext5Queries {
          |  FROM merged, unnest(range(1, len(syms))) AS t(i)
          |  GROUP BY 1, 2
          |),
-         |m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)
+         |m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    // q112: every decoded feature in the projection is id-arithmetic —
+    // the DECODE is what the match proves (a parser that mis-walks the
+    // RIFF chunks or drops a frame changes frame_idx/n_frames/geometry).
+    "q112_video_decode" ->
+      s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |       CAST(f AS INTEGER) AS frame_idx,
+         |       CAST(doc_id % 3 + 2 AS INTEGER) AS n_frames,
+         |       CAST(doc_id % 48 + 8 AS INTEGER) AS width,
+         |       CAST((doc_id // 48) % 48 + 8 AS INTEGER) AS height
+         |FROM documents, unnest(range(0, doc_id % 3 + 2)) AS t(f)
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // q111: the BPE recurrence unrolled two rounds in SQL. Greedy
+    // left-to-right application of merge (a,b): when a<>b matches cannot
+    // overlap so every match survives; when a==b, within each maximal run
+    // of consecutive match positions only every other match (odd
+    // row_number) survives — the same pairing the left-to-right fold
+    // makes. Tiebreak ORDER BY pc DESC, a, b is byte-order in both
+    // engines (DuckDB binary collation == Spark UTF8String compare).
+    "q111_bpe_first_merges" ->
+      s"""WITH $bpeFirstTwoCtes
          |SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym, pc AS pair_count FROM m1
          |UNION ALL
          |SELECT 2, a, b, pc FROM m2
          |ORDER BY merge_rank""".stripMargin,
+
+    // q122: the same m1/m2 learning chain, then ENCODE every word by
+    // greedy left-to-right application of both rules. A merge of (a, b)
+    // on the unit-separator-joined symbol string is `replace(s,
+    // SEP a SEP b SEP, SEP ab SEP)`: the sentinel separators enforce
+    // symbol boundaries, and SQL replace's scan-after-replacement is
+    // exactly the greedy fold's no-remerge-within-one-rule semantics
+    // ("aaa" + (a,a) -> ["aa","a"] in both). chr(31) (US) cannot occur
+    // in the whitespace-tokenized corpus.
+    "q122_bpe_encode_2rules" ->
+      s"""WITH $bpeFirstTwoCtes,
+         |wtf AS (
+         |  SELECT doc_id, w, count(*) AS tf
+         |  FROM (SELECT doc_id,
+         |               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |        FROM documents)
+         |  WHERE w <> '' GROUP BY doc_id, w),
+         |enc AS (
+         |  SELECT d.w,
+         |         CAST(len(string_split(
+         |           replace(replace(
+         |             chr(31) || array_to_string(d.syms, chr(31)) || chr(31),
+         |             chr(31)||m1.a||chr(31)||m1.b||chr(31),
+         |             chr(31)||m1.a||m1.b||chr(31)),
+         |             chr(31)||m2.a||chr(31)||m2.b||chr(31),
+         |             chr(31)||m2.a||m2.b||chr(31)),
+         |           chr(31))) - 2 AS BIGINT) AS n_syms
+         |  FROM bdict d CROSS JOIN m1 CROSS JOIN m2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |       CAST(sum(tf * length(w)) AS BIGINT) AS n_chars,
+         |       CAST(sum(tf * n_syms) AS BIGINT) AS n_bpe_tokens,
+         |       round(CAST(sum(tf * length(w)) AS DOUBLE) / sum(tf * n_syms), 4)
+         |         AS chars_per_token
+         |FROM wtf JOIN enc USING (w)
+         |GROUP BY doc_id""".stripMargin,
+
 
     "q100_dup_spans" ->
       s"""WITH $gramCtes,

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Round-13 declarations — three more first-class training-data-pipeline
-  * operators, all full-oracle (cell-exact DuckDB twins, no rows-only):
+/** Round-13 declarations — more first-class training-data-pipeline
+  * operators, full-oracle except where float order forbids it:
   *
   *  - q115 PMI collocations ([[graft.operators.TermWeighting.pmiCollocations]])
   *    — the phrase-mining / vocab-merge primitive.
@@ -13,6 +13,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — proves the [[graft.plans.NearestCentroid]] codegen kernel (the
   *    IVF fast path) cell-exact against a second engine, not just
   *    against its own spec.
+  *  - q118 distributed Lloyd ([[graft.operators.Clustering.lloydRefine]])
+  *    — rows-only by nature, inertia-monotonicity self-gate.
+  *  - q119 quality-canonical dedup ([[graft.operators.Dedup.keepBestByScore]])
+  *    — q50 groups × q27 scores, oracle composes both CTE chains.
+  *  - q120 inverted-index BM25 ([[graft.operators.InvertedIndex]]) —
+  *    partition-pruned probes, shares q103's oracle.
+  *  - q121/q122 BPE encode ([[graft.operators.BpeTrain.encode]]) — full
+  *    12-rule encode (rows-only + round-trip gate + differential spec)
+  *    and the oracle-checked 2-rule prefix (the q110/q111 split).
   */
 object Ext6Queries {
 
@@ -22,6 +31,22 @@ object Ext6Queries {
   /** q117's fixed centroid set: the 8 smallest non-query vector ids
     * (vec_id 0 is the ANN family's designated query vector). */
   private val KmCentroidIds: Seq[Long] = 1L to 8L
+
+  /** Rank-ordered merge rules, trained ONCE per (source, data
+    * fingerprint) and persisted as a tiny parquet — the IndexStore
+    * protocol the ANN indexes use: the cold pass trains (q110's own
+    * measured cost), every later pass reads n rows. Training is
+    * deterministic, so the cache is exact. */
+  private def learnedMergesCached(s: SparkSession, dir: String,
+                                  n: Int): Seq[(String, String)] = {
+    val path = graft.operators.Similarity.IndexStore.pathFor(
+      s, s"$dir/documents.parquet", s"bpe-merges-$n")
+    if (!graft.operators.Similarity.IndexStore.isBuilt(s, path))
+      graft.operators.BpeTrain.learnMerges(t(s, dir, "documents"), n)
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -62,6 +87,24 @@ object Ext6Queries {
       graft.operators.InvertedIndex.probeBm25(
         s, path, Ext5Queries.Bm25Terms, topK = 20)
     }),
+
+    // BPE ENCODE under the full 12-rule vocabulary q110 trains — the
+    // apply half of the tokenizer story (fertility stats per document).
+    // Rows-only (the 12-round argmax loop that produces the rules has no
+    // tractable SQL twin); the BpeEncodeLen kernel's semantics are pinned
+    // by BpeTrainSpec's differential encoder AND by q122 — the
+    // oracle-checked 2-rule prefix of exactly this computation (the
+    // q110/q111 evidence split).
+    "q121_bpe_encode" -> ((s, dir) =>
+      graft.operators.BpeTrain.encode(
+        t(s, dir, "documents"), learnedMergesCached(s, dir, 12))),
+
+    // The first-two-merges ENCODE, fully oracle-checked: DuckDB
+    // re-learns m1/m2 (q111's CTE chain) and re-applies them to every
+    // word via greedy left-to-right replacement.
+    "q122_bpe_encode_2rules" -> ((s, dir) =>
+      graft.operators.BpeTrain.encode(
+        t(s, dir, "documents"), learnedMergesCached(s, dir, 2))),
 
     // Quality-canonical dedup: per q50 LSH group keep the member with
     // the highest q27 quality score (ties -> smallest doc_id) — the

@@ -99,4 +99,44 @@ object BpeTrain {
     base.unpersist()
     learned.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
+
+  /** ENCODE under rank-ordered merge rules — the apply half of the
+    * tokenizer story ([[learnMerges]] trains; this tokenizes the corpus
+    * with what was learned). Output: per document,
+    * `(doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token)` —
+    * the fertility stats a tokenizer change is judged by. Documents
+    * with no tokens emit no row.
+    *
+    * Scale shape: the corpus pass is one (doc, word) count; the merge
+    * chain runs over the DISTINCT-word dict only (vocabulary-sized,
+    * never corpus-sized — how production tokenizers encode), as ONE
+    * fused kernel call per dict word ([[graft.plans.BpeEncodeLen]] —
+    * the declarative 12-nested-`aggregate`-folds form evaluated the
+    * whole chain with an array allocation per symbol per rule and
+    * measured 14.5 s at sf0.1; the kernel is scan-cost), and symbol
+    * counts join back to the word instances by broadcast
+    * ([[TermWeighting.tfidfTopTerms]]'s broadcast-vocab stance).
+    * Kernel semantics are pinned two ways: the differential encoder
+    * spec (`BpeTrainSpec`), and q122's full DuckDB oracle on the
+    * 2-rule prefix. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(merges.nonEmpty, "encode needs at least one merge rule")
+    graft.plans.BpeEncodeLen.register(docs.sparkSession)
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(filter(tokens(col(textCol)), t => t =!= "")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dict = tf.select("w").distinct()
+      .select(col("w"), graft.plans.BpeEncodeLen.encodeLen(col("w"), merges)
+        .cast("long").as("n_syms"))
+    tf.join(broadcast(dict), "w")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_words"),
+        sum(col("tf") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("tf") * col("n_syms")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+  }
 }

@@ -50,23 +50,32 @@ object TextAnalysis {
     * reproducible in the oracle (round at the end only). */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text"): DataFrame = {
+    // counts come from ONE fused byte scan ([[graft.plans.CharClassCounts]]
+    // — replaces 2 regexp_replace traversals + the lower/pad/replace
+    // stopword chain; q27 was 13× DuckDB at sf1 on exactly this work).
+    // The score formula and the oracle are untouched: the kernel's counts
+    // are defined as the regex forms' semantics, spec-pinned in
+    // QualityKernelSpec.
+    graft.plans.CharClassCounts.register(docs.sparkSession)
     val text = col(textCol)
-    val nChars = length(text)
-    val nTokens = size(split(trim(text), "\\s+"))
-    val punct = nChars - length(regexp_replace(text, "[^a-zA-Z0-9_\\s]", ""))
-    val digits = nChars - length(regexp_replace(text, "[0-9]", ""))
-    val stop = occurrences(padded(text), " the ")
-    val punctRatio = punct.cast("double") / nChars
-    val stopRatio = stop.cast("double") / nTokens
-    docs.select(
+    val pre = docs.select(
       col(idCol),
-      nChars.cast("long").as("n_chars"),
-      nTokens.cast("long").as("n_tokens"),
-      punct.cast("long").as("n_punct"),
-      digits.cast("long").as("n_digits"),
-      stop.cast("long").as("n_stopwords"),
+      length(text).cast("long").as("n_chars"),
+      size(split(trim(text), "\\s+")).cast("long").as("n_tokens"),
+      call_function("graft_quality_counts", text).as("__cc"))
+    val punct = col("__cc.n_punct")
+    val stop = col("__cc.n_stop")
+    val punctRatio = punct.cast("double") / col("n_chars")
+    val stopRatio = stop.cast("double") / col("n_tokens")
+    pre.select(
+      col(idCol),
+      col("n_chars"),
+      col("n_tokens"),
+      punct.as("n_punct"),
+      col("__cc.n_digits").as("n_digits"),
+      stop.as("n_stopwords"),
       round(
-        lit(0.3) * least(nTokens.cast("double") / 100.0, lit(1.0)) +
+        lit(0.3) * least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
           lit(0.3) * (lit(1.0) - punctRatio) +
           lit(0.4) * least(stopRatio * 10.0, lit(1.0)),
         4).as("quality_score"))

@@ -107,4 +107,53 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(out.isEmpty) // no adjacent pairs exist at all
   }
+
+  /** Reference encoder: greedy left-to-right application of rank-ordered
+    * rules to each word's code points — the same fold as the reference
+    * trainer's merge step. */
+  private def referenceEncode(texts: Seq[String],
+                              rules: Seq[(String, String)]): Map[Long, (Long, Long, Long)] = {
+    def tok(t: String) = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def codePoints(w: String): Vector[String] =
+      w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+    def enc(w: String): Int = rules.foldLeft(codePoints(w)) { case (syms, (a, b)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    }.size
+    texts.zipWithIndex.map { case (t, i) =>
+      val ws = tok(t)
+      (i.toLong, (ws.length.toLong, ws.map(_.length.toLong).sum,
+        ws.map(w => enc(w).toLong).sum))
+    }.toMap
+  }
+
+  test("encode: per-doc token counts match the in-memory reference encoder") {
+    val rnd = new scala.util.Random(121)
+    val vocab = Seq("hash", "join", "scan", "merge", "aggregate", "sort",
+      "spill", "shuffle", "batch", "row")
+    val texts = (1 to 40).map(_ =>
+      (1 to 15).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rules = BpeTrain.learnMerges(docs, 12).orderBy("merge_rank")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeTrain.encode(docs, rules).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === referenceEncode(texts, rules))
+  }
+
+  test("encode: overlapping runs merge greedily (aaa + (a,a) -> 2 tokens)") {
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val out = BpeTrain.encode(docs, Seq(("a", "a"))).collect().head
+    assert(out.getLong(3) === 2L) // ["aa","a"]
+  }
+
+  test("encode: chained rules apply in rank order ((a,b) then (ab,c))") {
+    val docs = Seq((1L, "abc abc xbc")).toDF("doc_id", "text")
+    val out = BpeTrain.encode(docs, Seq(("a", "b"), ("ab", "c"))).collect().head
+    // abc -> [ab,c] -> [abc] = 1 token x2; xbc -> [x,b,c] = 3 tokens
+    assert(out.getLong(1) === 3L && out.getLong(3) === 5L)
+  }
 }
