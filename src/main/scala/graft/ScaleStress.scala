@@ -152,6 +152,12 @@ object ScaleStress {
       .select(col("s_suppkey"), col("s_nationkey"))
     val nationDim = spark.read.parquet("/root/testdata/sf0.1/nation.parquet")
       .select(col("n_nationkey").as("id"))
+    // q121's fixed tokenizer: 8 rules learned once on the 1x corpus
+    lazy val encodeRules: Seq[(String, String)] =
+      graft.operators.BpeTrain.learnMerges(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet"), 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
     def stressLineitem(k: Int): org.apache.spark.sql.DataFrame =
       spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -232,6 +238,23 @@ object ScaleStress {
       shape("q110_bpe_train_corpus_scale", Seq(1, 10),
         k => stressDocs(k, hot = 0),
         df => graft.operators.BpeTrain.learnMerges(df, numMerges = 8).count()),
+      // q121: BPE ENCODE's scale claim — the kernel chain runs on the
+      // distinct-word dict, and replication grows counts, not vocabulary,
+      // so 10× data should cost ~the extra corpus pass (scan-bound) with
+      // a constant-size dict join-back. Rules are FIXED (learned once on
+      // the 1× corpus): the operational shape — a tokenizer is trained
+      // rarely and applied to every new crawl.
+      shape("q121_bpe_encode_corpus_scale", Seq(1, 10),
+        k => stressDocs(k, hot = 0),
+        df => graft.operators.BpeTrain.encode(df, encodeRules).count()),
+      // q115: PMI mining under replication — the bigram/unigram model
+      // tables are vocabulary-bounded, so 10× rows mean linearly more
+      // exploded counting into the SAME aggregate keys (map-side combine
+      // absorbs it) and an unchanged survivor set to rank.
+      shape("q115_pmi_corpus_scale", Seq(1, 10),
+        k => stressDocs(k, hot = 0),
+        df => graft.operators.TermWeighting
+          .pmiCollocations(df, minCount = 5, topK = 50).count()),
       // q59: PII scrub is pure per-row regex — the 100 TB claim is
       // embarrassing parallelism (wall ~ rows / cores), which r12's 14×
       // sf1 factor contradicted because the single-split scan pinned all

@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_nearest_centroid", classOf[NearestCentroid])(NearestCentroid.builder)
     fn("graft_edit_distance", classOf[EditDistanceCapped])(EditDistanceCapped.builder)
     fn("graft_approx_topk", classOf[ApproxTopK])(ApproxTopK.builder)
+    fn("graft_quality_counts", classOf[CharClassCounts]) {
+      case Seq(c) => CharClassCounts(c)
+      case exprs => throw new IllegalArgumentException(
+        s"graft_quality_counts(col) takes one argument, got ${exprs.size}")
+    }
+    fn("graft_bpe_encode_len", classOf[BpeEncodeLen])(BpeEncodeLen.builder)
     // bloom pruning pair (SQL users get the same codegen'd predicates the
     // BloomJoin operator uses)
     fn("graft_bloom_agg",
