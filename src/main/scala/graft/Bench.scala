@@ -43,8 +43,9 @@ import org.apache.spark.sql.functions.col
   *    `layout_build`: q87's bucketed-table write, same treatment) —
   *    "build once, query many" measured as such.
   * The DuckDB side of the comparison is persisted by
-  * `tools/bench_duckdb.py` to `target/bench_duckdb.json` — committed per
-  * round so the spark-vs-duck ratio is an artifact, not a one-window claim.
+  * `tools/bench_duckdb.py` to `target/bench_duckdb_<sf>.json` (scale-suffixed,
+  * like this main's own `target/bench_<sf>.json`) — committed per round so
+  * the spark-vs-duck ratio is an artifact, not a one-window claim.
   */
 object Bench {
   /** Headline total = sum of SUCCESSFUL medians only. Failed queries carry a

@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Time each oracle SQL in DuckDB over the sf-dir tables — the single-node
 throughput reference the Spark bench is compared against — and PERSIST the
-comparison to target/bench_duckdb.json so the spark-vs-duck ratio is a
+comparison to target/bench_duckdb_<sf>.json (scale-suffixed) so the
+spark-vs-duck ratio is a
 committed artifact, not a one-window claim.
 
     python3 tools/bench_duckdb.py <sfDir> <verifyOutDir> [sparkBenchJson] [runs]
