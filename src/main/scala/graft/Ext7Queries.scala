@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 late additions — composition and vector-pipeline operators,
+  * all full-oracle:
+  *
+  *  - q123 curation pipeline ([[graft.operators.Curation.pipeline]]) —
+  *    the end-to-end funnel (langid gate → Gopher gate → exact dedup →
+  *    per-source attrition report): the "switch your pipeline to this
+  *    library" flagship, with every stage formula mirrored in one
+  *    composed oracle CTE chain.
+  *  - q124 hard-negative mining ([[graft.operators.Similarity.hardNegatives]])
+  *    — per-query top-k cosine among different-label vectors, the
+  *    contrastive-training pair generator; salted two-phase top-k.
+  *  - q125 random projection ([[graft.operators.Similarity.randomProjection]])
+  *    — deterministic sign-matrix Johnson–Lindenstrauss reduction,
+  *    bit-reproducible across engines via the md5 hash family.
+  */
+object Ext7Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q123_curation_pipeline" -> ((s, dir) =>
+      graft.operators.Curation.pipeline(t(s, dir, "documents"))),
+
+    "q124_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      graft.operators.Similarity.hardNegatives(emb, q, k = 3)
+    }),
+
+    "q125_random_projection" -> ((s, dir) =>
+      graft.operators.Similarity.randomProjection(t(s, dir, "embeddings")))
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  /** q123's oracle: the funnel stages as one CTE chain. Formulas are the
+    * q26 langid counts, the q113 Gopher metrics, and the q18 fingerprint,
+    * composed; the dedup canonical is the min doc_id among stage-2
+    * survivors per fingerprint (window-min over a CASE, ignoring NULLs on
+    * both engines). */
+  private def curationOracle: String = {
+    def cnt(markers: Seq[String]): String = markers.map { m =>
+      s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
+    }.mkString(" + ")
+    val langs = graft.operators.TextAnalysis.langMarkers
+    val cols = langs.map { case (l, ms) => s"${cnt(ms)} AS cnt_$l" }.mkString(", ")
+    val names = langs.map(_._1)
+    val cases = names.map { l =>
+      val beats = names.filterNot(_ == l).map(o => s"cnt_$l >= cnt_$o").mkString(" AND ")
+      s"WHEN cnt_$l > 0 AND $beats THEN '$l'"
+    }.mkString(" ")
+    s"""WITH base AS (
+          SELECT doc_id, source, lang,
+                 lower(trim(text)) AS txt,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS t,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+                 ' '||lower(text)||' ' AS p
+          FROM documents),
+        cnts AS (SELECT *, $cols FROM base),
+        m AS (
+          SELECT doc_id, source, lang, fingerprint,
+                 ${names.map(l => s"cnt_$l").mkString(", ")},
+                 CAST(len(t) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0)
+                      AS BIGINT) AS sum_len,
+                 CAST(len(list_filter(t, x -> list_contains(
+                   ['the','be','to','of','and','that','have','with'], x)))
+                      AS BIGINT) AS n_stop,
+                 CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+                      AS BIGINT) AS n_alpha,
+                 CAST(length(txt) - length(replace(txt, '#', ''))
+                      AS BIGINT) AS n_hash,
+                 CAST((length(txt) - length(replace(txt, '...', ''))) / 3
+                      AS BIGINT) AS n_ell
+          FROM cnts),
+        f AS (
+          SELECT *,
+                 (CASE $cases ELSE 'unknown' END) = lang AS s_lang,
+                 (n_words >= 50 AND n_words <= 100000 AND n_words > 0
+                  AND (CAST(sum_len AS DOUBLE) / n_words) >= 3.0
+                  AND (CAST(sum_len AS DOUBLE) / n_words) <= 10.0
+                  AND (CAST(n_hash + n_ell AS DOUBLE) / n_words) <= 0.1
+                  AND (CAST(n_alpha AS DOUBLE) / n_words) >= 0.8
+                  AND n_stop >= 2) AS gopher_keep
+          FROM m),
+        g AS (SELECT *, (s_lang AND gopher_keep) AS s_gopher FROM f),
+        d AS (
+          SELECT *, min(CASE WHEN s_gopher THEN doc_id END)
+                      OVER (PARTITION BY fingerprint) AS canonical_id
+          FROM g)
+        SELECT source, count(*) AS n_input,
+               CAST(sum(CASE WHEN s_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+               CAST(sum(CASE WHEN s_gopher THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+               CAST(sum(CASE WHEN s_gopher AND doc_id = canonical_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(CASE WHEN s_gopher AND doc_id = canonical_id
+                                 THEN n_words END), 0) AS BIGINT) AS words_kept
+        FROM d GROUP BY source"""
+  }
+
+  /** q125's sign matrix in SQL: parity of the first 8 md5 hex chars of
+    * 'rp|j|i' — the same bits [[graft.operators.Similarity.randomProjection]]
+    * derives on the driver. Left-to-right list_sum mirrors the HOF
+    * aggregate's association order. */
+  private def projectionOracle: String =
+    """SELECT vec_id, j AS dim,
+         round(list_sum([CAST(embedding[i+1] AS DOUBLE) *
+                 (CASE WHEN ('0x'||substr(md5('rp|'||j||'|'||i),1,8))::BIGINT % 2 = 0
+                       THEN 1.0 ELSE -1.0 END)
+                 for i in range(0, 64)]) / 8, 6) AS value
+       FROM embeddings, range(16) tj(j)"""
+
+  val oracles: Map[String, String] = Map(
+    "q123_curation_pipeline" -> curationOracle,
+
+    // Same cosine formulation as q23's oracle (proven bit-compatible with
+    // the native kernel); ranking on the RAW cosine with vec_id tiebreak
+    // on both engines.
+    "q124_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+                    FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+             list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) for p in list_zip(e.embedding, q.qv)]) /
+             (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+              sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qv]))) AS cos
+           FROM embeddings e, q
+           WHERE e.label <> q.qlabel AND e.vec_id <> q.qid),
+         r AS (SELECT qid, vec_id, cos,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+                   AS rank
+               FROM scored)
+         SELECT qid, rank, vec_id AS neg_id, round(cos, 6) AS cosine
+         FROM r WHERE rank <= 3""",
+
+    "q125_random_projection" -> projectionOracle
+  )
+}

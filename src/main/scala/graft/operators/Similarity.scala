@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.functions.TextFunctions.hash60
 import graft.functions.VectorFunctions._
@@ -141,6 +142,83 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-`k` most-similar corpus vectors whose label DIFFERS from the
+    * query's — the "looks alike, isn't" pairs a retrieval/embedding model
+    * trains against. Queries arrive as a small frame (qid, qv, qlabel)
+    * and are broadcast; candidates never shuffle for scoring.
+    *
+    * The per-query top-k is two-phase so it scales past a handful of
+    * queries: a first `row_number` over (qid, salt) keeps `k` survivors
+    * per salt bucket (the shuffle spreads each query over `salts`
+    * reducers instead of one), then a second window over the
+    * `k × salts`-row remnant picks the global top-k. With few queries a
+    * single window would serialize one reducer per query — the same skew
+    * the salted join (q83) exists to break. */
+  def hardNegatives(embeddings: DataFrame, queries: DataFrame, k: Int = 3,
+                    salts: Int = 32, idCol: String = "vec_id",
+                    vecCol: String = "embedding", labelCol: String = "label",
+                    scorer: (Column, Column) => Column = null): DataFrame = {
+    val score: (Column, Column) => Column =
+      if (scorer != null) scorer
+      else {
+        graft.plans.CosineSimilarity.register(embeddings.sparkSession)
+        cosineSimilarityNative
+      }
+    val scored = embeddings.crossJoin(broadcast(queries))
+      .filter(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("qid"))
+      .withColumn("cos", score(col(vecCol), col("qv")))
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+    val local = Window.partitionBy(col("qid"), col("__salt"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    val global = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+    scored
+      .withColumn("__rn", row_number().over(local))
+      .filter(col("__rn") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"),
+        col(idCol).as("neg_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic random-projection dimensionality reduction (the
+    * sign-matrix flavor of Johnson–Lindenstrauss): out_j = Σ_i s(j,i)·v_i
+    * / √dim with s(j,i) ∈ {−1,+1} derived from the engine-portable md5
+    * hash family — the projection is a pure function of (seed, j, i), so
+    * any engine (and the DuckDB oracle) reproduces it bit-for-bit. The
+    * matrix is outDim×dim, computed once on the driver and embedded as a
+    * literal: the whole operator is a single codegen'd projection, no
+    * shuffle, no broadcast join.
+    *
+    * Output is long-form (vec_id, dim, value) with value rounded to 6
+    * places; the sum runs left-to-right over i on both engines (HOF
+    * `aggregate` here, `list_sum` over a comprehension in the oracle) so
+    * float association order matches. */
+  def randomProjection(embeddings: DataFrame, outDim: Int = 16,
+                       seed: String = "rp", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val dim = firstVectorLength(embeddings, vecCol)
+    val signs: Seq[Seq[Double]] = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        val hex = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$seed|$j|$i").substring(0, 8)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val s = typedLit(signs)
+    val scale = math.sqrt(dim.toDouble)
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      round(
+        aggregate(
+          zip_with(col(vecCol), element_at(s, j + 1),
+            (x, sg) => x.cast("double") * sg),
+          lit(0.0), (acc, x) => acc + x) / scale,
+        6))
+    embeddings.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
   }
 
   /** All pairs with cosine ≥ `threshold` (embedding near-dup dedup).
