@@ -111,13 +111,14 @@ object Ext7Queries {
   /** q125's sign matrix in SQL: parity of the first 8 md5 hex chars of
     * 'rp|j|i' — the same bits [[graft.operators.Similarity.randomProjection]]
     * derives on the driver. Left-to-right list_sum mirrors the HOF
-    * aggregate's association order. */
+    * aggregate's association order; the `+ 0.0` canonicalizes −0.0 like
+    * the Spark side. */
   private def projectionOracle: String =
     """SELECT vec_id, j AS dim,
          round(list_sum([CAST(embedding[i+1] AS DOUBLE) *
                  (CASE WHEN ('0x'||substr(md5('rp|'||j||'|'||i),1,8))::BIGINT % 2 = 0
                        THEN 1.0 ELSE -1.0 END)
-                 for i in range(0, 64)]) / 8, 6) AS value
+                 for i in range(0, 64)]) / 8, 6) + 0.0 AS value
        FROM embeddings, range(16) tj(j)"""
 
   val oracles: Map[String, String] = Map(

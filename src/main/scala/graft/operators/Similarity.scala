@@ -196,7 +196,11 @@ object Similarity {
     * Output is long-form (vec_id, dim, value) with value rounded to 6
     * places; the sum runs left-to-right over i on both engines (HOF
     * `aggregate` here, `list_sum` over a comprehension in the oracle) so
-    * float association order matches. */
+    * float association order matches. The `+ 0.0` after the round
+    * canonicalizes IEEE −0.0 to +0.0: a sum landing in (−5e−7, 0] rounds
+    * to a signed zero whose sign the two engines derive differently, and
+    * the cell compare is textual ("0.0" ≠ "-0.0"). Mirrored in the
+    * oracle. */
   def randomProjection(embeddings: DataFrame, outDim: Int = 16,
                        seed: String = "rp", idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
@@ -216,7 +220,7 @@ object Similarity {
           zip_with(col(vecCol), element_at(s, j + 1),
             (x, sg) => x.cast("double") * sg),
           lit(0.0), (acc, x) => acc + x) / scale,
-        6))
+        6) + lit(0.0))
     embeddings.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
       .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
   }
