@@ -17,6 +17,18 @@ import org.apache.spark.sql.functions._
   *  - q125 random projection ([[graft.operators.Similarity.randomProjection]])
   *    — deterministic sign-matrix Johnson–Lindenstrauss reduction,
   *    bit-reproducible across engines via the md5 hash family.
+  *  - q126 scalar quantization error
+  *    ([[graft.operators.VectorCompress.scalarQuantizeError]]) — the
+  *    int8-storage-codec reconstruction report; stats pass is dim-bounded,
+  *    codec pass is one codegen projection.
+  *  - q127 vocabulary coverage curve
+  *    ([[graft.operators.TermWeighting.vocabCoverage]]) — Zipf coverage at
+  *    rank cutoffs for tokenizer vocab sizing; exact-integer cumulative
+  *    arithmetic until one final divide.
+  *  - q128 margin-based pair mining
+  *    ([[graft.operators.Similarity.marginMining]]) — Artetxe–Schwenk
+  *    margin scoring (cosine over the mean of both sides' top-k
+  *    neighborhoods), the parallel-corpus mining criterion.
   */
 object Ext7Queries {
 
@@ -37,7 +49,26 @@ object Ext7Queries {
     }),
 
     "q125_random_projection" -> ((s, dir) =>
-      graft.operators.Similarity.randomProjection(t(s, dir, "embeddings")))
+      graft.operators.Similarity.randomProjection(t(s, dir, "embeddings"))),
+
+    "q126_scalar_quantize" -> ((s, dir) =>
+      graft.operators.VectorCompress.scalarQuantizeError(t(s, dir, "embeddings"))),
+
+    // Cutoffs start at 5 because the synthetic corpus is Zipf over a small
+    // vocabulary — the dense low ranks are where its curve actually bends.
+    "q127_vocab_coverage" -> ((s, dir) =>
+      graft.operators.TermWeighting.vocabCoverage(t(s, dir, "documents"),
+        ranks = Seq(5, 10, 25, 50, 100, 1000, 5000))),
+
+    // Even-label sampled queries vs the full odd-label side: the label
+    // split stands in for the two corpora being mined against each other.
+    "q128_margin_mining" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("label") % 2 === 0 && col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Similarity.marginMining(
+        emb.filter(col("label") % 2 === 1), q)
+    })
   )
 
   // ------------------------------------------------------------------ oracles
@@ -144,6 +175,86 @@ object Ext7Queries {
          SELECT qid, rank, vec_id AS neg_id, round(cos, 6) AS cosine
          FROM r WHERE rank <= 3""",
 
-    "q125_random_projection" -> projectionOracle
+    "q125_random_projection" -> projectionOracle,
+
+    // q126: same [lo,hi] stats, same floor(t+0.5) code, same association
+    // order as scalarQuantizeError; the error list is computed once in its
+    // own CTE (mirrors the projected __e column) and folded left-to-right.
+    "q126_scalar_quantize" ->
+      """WITH e AS (SELECT vec_id,
+                      [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+                    FROM embeddings),
+         ex AS (SELECT vec_id, i, v[i+1] AS x FROM e, range(0, 64) t(i)),
+         s AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ex GROUP BY i),
+         a AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+               FROM s),
+         er AS (SELECT vec_id,
+                  [v[i+1] - (CASE WHEN a.hi[i+1] = a.lo[i+1] THEN a.lo[i+1]
+                     ELSE a.lo[i+1] +
+                       least(255.0, greatest(0.0,
+                         floor((v[i+1] - a.lo[i+1]) * 255.0 /
+                               (a.hi[i+1] - a.lo[i+1]) + 0.5)))
+                       * (a.hi[i+1] - a.lo[i+1]) / 255.0 END)
+                   FOR i IN range(0, 64)] AS errs
+                FROM e, a)
+         SELECT vec_id,
+                round(list_sum([d * d FOR d IN errs]) / len(errs), 6) AS mse,
+                round(list_max([abs(d) FOR d IN errs]), 6) AS max_abs_err
+         FROM er""",
+
+    // q127: cnt sums wrapped BIGINT (DuckDB sum(BIGINT) is HUGEINT);
+    // ranks over the FULL vocabulary equal the Spark top-maxRank + rank
+    // because both use the unique (cnt desc, term asc) total order.
+    "q127_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)),
+                                                        '\s+'),
+                         x -> x <> '')) AS term
+           FROM documents),
+         counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+         r AS (SELECT term, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, term) AS rnk,
+                 sum(cnt) OVER (ORDER BY cnt DESC, term
+                                ROWS UNBOUNDED PRECEDING) AS cum
+               FROM counts)
+         SELECT rnk AS vocab_rank, CAST(cum AS BIGINT) AS cum_tokens,
+                round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+         FROM r, tot WHERE rnk IN (5, 10, 25, 50, 100, 1000, 5000)""",
+
+    // q128: the q23/q124 cosine formulation (bit-compatible with the
+    // native kernel), quantized to 6 places before the sum/4 averages;
+    // margin parenthesization mirrors the operator exactly.
+    "q128_margin_mining" ->
+      """WITH x AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                    WHERE label % 2 = 0 AND vec_id % 40 = 0),
+         y AS (SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+         sc AS (
+           SELECT x.qid, y.vec_id,
+             round(
+               list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+                         for p in list_zip(y.embedding, x.qv)]) /
+               (sqrt(list_sum([CAST(v AS DOUBLE)*CAST(v AS DOUBLE)
+                               for v in y.embedding])) *
+                sqrt(list_sum([CAST(v AS DOUBLE)*CAST(v AS DOUBLE)
+                               for v in x.qv]))), 6) AS c6
+           FROM y, x),
+         rx AS (SELECT qid, vec_id, c6,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY c6 DESC, vec_id) AS rnx
+                FROM sc),
+         dx AS (SELECT qid, sum(c6) / 4 AS dx FROM rx
+                WHERE rnx <= 4 GROUP BY qid),
+         ry AS (SELECT qid, vec_id, c6,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY c6 DESC, qid) AS rny
+                FROM sc),
+         dy AS (SELECT vec_id, sum(c6) / 4 AS dy FROM ry
+                WHERE rny <= 4 GROUP BY vec_id),
+         m AS (SELECT sc.qid, sc.vec_id, sc.c6,
+                 round(sc.c6 / ((dx.dx + dy.dy) / 2), 6) AS mg
+               FROM sc JOIN dx USING (qid) JOIN dy USING (vec_id))
+         SELECT qid, vec_id AS cand_id, c6 + 0.0 AS cosine, mg + 0.0 AS margin
+         FROM m ORDER BY mg DESC, qid, vec_id LIMIT 25"""
   )
 }

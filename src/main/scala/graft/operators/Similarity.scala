@@ -184,6 +184,66 @@ object Similarity {
         col(idCol).as("neg_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Margin-based pair mining (the Artetxe & Schwenk scoring used for
+    * parallel-corpus / paired-data mining): a candidate pair (x, y) is
+    * strong not when cos(x, y) is large in absolute terms but when it is
+    * large RELATIVE to each side's neighborhood —
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK_x + avgTopK_y) / 2)
+    *
+    * where avgTopK_x is the mean of x's `k` best cosines over the corpus
+    * side and avgTopK_y is y's mean over the query side. The global
+    * `topN` pairs by margin are returned. Queries are a small sampled
+    * frame (qid, qv) and broadcast, so pair scoring never shuffles the
+    * corpus; the full-corpus method would swap the broadcast cross for an
+    * ANN probe (q24/q36) feeding the same margin arithmetic.
+    *
+    * Per-query top-k statistics reuse the [[hardNegatives]] salted
+    * two-phase discipline (few queries would otherwise serialize one
+    * reducer each); per-candidate statistics partition on the candidate
+    * id (corpus-cardinality keys, no skew) and the two windows over that
+    * partitioning share one exchange. The cross scores are recomputed for
+    * the query-side pass rather than checkpointed — the scored frame is
+    * |X|·|Y| rows, exactly the thing not to materialize at scale.
+    *
+    * Engine parity: every cosine is quantized to 6 places BEFORE any
+    * averaging (order-insensitive-sum rule), both averages are spelled
+    * `sum/k` with identical association, the margin re-rounds to 6, and
+    * the returned floats are `+ 0.0`-canonicalized. The top-N total order
+    * (margin desc, qid, cand_id) is unique. */
+  def marginMining(corpus: DataFrame, queries: DataFrame, k: Int = 4,
+                   topN: Int = 25, salts: Int = 32, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    graft.plans.CosineSimilarity.register(corpus.sparkSession)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("c6", round(cosineSimilarityNative(col(vecCol), col("qv")), 6))
+
+    val localW = Window.partitionBy(col("qid"), col("__salt"))
+      .orderBy(col("c6").desc, col(idCol).asc)
+    val globalW = Window.partitionBy(col("qid"))
+      .orderBy(col("c6").desc, col(idCol).asc)
+    val dx = scored
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
+      .withColumn("__rn", row_number().over(localW)).filter(col("__rn") <= k)
+      .withColumn("__rg", row_number().over(globalW)).filter(col("__rg") <= k)
+      .groupBy("qid").agg((sum(col("c6")) / k).as("dx"))
+
+    val wy = Window.partitionBy(col(idCol)).orderBy(col("c6").desc, col("qid").asc)
+    val withDy = scored
+      .withColumn("__rny", row_number().over(wy))
+      .withColumn("dy",
+        sum(when(col("__rny") <= k, col("c6")))
+          .over(Window.partitionBy(col(idCol))) / k)
+
+    withDy.join(broadcast(dx), "qid")
+      .withColumn("margin", round(col("c6") / ((col("dx") + col("dy")) / 2), 6))
+      .orderBy(col("margin").desc, col("qid").asc, col(idCol).asc)
+      .limit(topN)
+      .select(col("qid"), col(idCol).as("cand_id"),
+        (col("c6") + lit(0.0)).as("cosine"),
+        (col("margin") + lit(0.0)).as("margin"))
+  }
+
   /** Deterministic random-projection dimensionality reduction (the
     * sign-matrix flavor of Johnson–Lindenstrauss): out_j = Σ_i s(j,i)·v_i
     * / √dim with s(j,i) ∈ {−1,+1} derived from the engine-portable md5

@@ -107,6 +107,49 @@ object TermWeighting {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** Vocabulary coverage curve: what fraction of all token occurrences
+    * the top-`r` most-frequent terms cover, at each rank cutoff in
+    * `ranks` — the Zipf analytic behind tokenizer vocab sizing ("does a
+    * 32k vocab cover 99% of the stream, or do we need 64k").
+    *
+    * Output: `(vocab_rank, cum_tokens, coverage)`, one row per cutoff
+    * whose rank exists in the vocabulary; terms are ranked by the unique
+    * total order `(cnt desc, term asc)`, so the curve is deterministic.
+    *
+    * Scale shape: ONE vocabulary-sized term aggregation (map-side
+    * combined), materialized via `localCheckpoint` — without it the two
+    * consumers (the scalar total and the top-`max(ranks)`) each
+    * re-evaluate the subtree, i.e. re-tokenize the whole corpus; with it
+    * the token stream is scanned once and only the vocabulary-sized
+    * counts (bounded by distinct terms, not corpus rows) are held. The
+    * total is a 1-row broadcast cross; the top-k is
+    * `TakeOrderedAndProject` (per-partition partial top-k, never a
+    * global sort of the vocabulary); the rank/cumulative window then
+    * runs over at most `max(ranks)` rows. `cum_tokens` stays exact
+    * BIGINT arithmetic until the single final division, so the float
+    * surface is one engine-identical divide+round per output row. */
+  def vocabCoverage(docs: DataFrame, ranks: Seq[Int] = Seq(10, 100, 1000, 5000),
+                    textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explodeTerms(termsOf(textCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(ranks.max)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    top
+      .withColumn("vocab_rank", row_number().over(w))
+      .withColumn("cum_tokens",
+        sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("vocab_rank").isin(ranks.map(Int.box): _*))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_rank").cast("long").as("vocab_rank"),
+        col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+  }
+
   /** Dunning log-likelihood keyness (G²): which terms are over/under-
     * represented in the `target` sub-corpus (`partCol == target`) vs the
     * rest — contrastive corpus comparison for domain/source curation
