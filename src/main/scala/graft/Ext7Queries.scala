@@ -149,30 +149,33 @@ object Ext7Queries {
          round(list_sum([CAST(embedding[i+1] AS DOUBLE) *
                  (CASE WHEN ('0x'||substr(md5('rp|'||j||'|'||i),1,8))::BIGINT % 2 = 0
                        THEN 1.0 ELSE -1.0 END)
-                 for i in range(0, 64)]) / 8, 6) + 0.0 AS value
+                 for i in range(0, 64)]) / 4, 6) + 0.0 AS value
        FROM embeddings, range(16) tj(j)"""
 
   val oracles: Map[String, String] = Map(
     "q123_curation_pipeline" -> curationOracle,
 
     // Same cosine formulation as q23's oracle (proven bit-compatible with
-    // the native kernel); ranking on the RAW cosine with vec_id tiebreak
-    // on both engines.
+    // the native kernel); ranking on the 6-place-QUANTIZED cosine with
+    // vec_id tiebreak on both engines (the marginMining discipline —
+    // round-13 advisor: raw-double ranking made parity depend on
+    // bit-identical kernels rather than the 6-place contract).
     "q124_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
                     FROM embeddings WHERE vec_id < 5),
          scored AS (
            SELECT q.qid, e.vec_id,
-             list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) for p in list_zip(e.embedding, q.qv)]) /
-             (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
-              sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qv]))) AS cos
+             round(
+               list_sum([CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) for p in list_zip(e.embedding, q.qv)]) /
+               (sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding])) *
+                sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in q.qv]))), 6) AS c6
            FROM embeddings e, q
            WHERE e.label <> q.qlabel AND e.vec_id <> q.qid),
-         r AS (SELECT qid, vec_id, cos,
-                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+         r AS (SELECT qid, vec_id, c6,
+                 row_number() OVER (PARTITION BY qid ORDER BY c6 DESC, vec_id)
                    AS rank
                FROM scored)
-         SELECT qid, rank, vec_id AS neg_id, round(cos, 6) AS cosine
+         SELECT qid, rank, vec_id AS neg_id, c6 AS cosine
          FROM r WHERE rank <= 3""",
 
     "q125_random_projection" -> projectionOracle,
@@ -223,7 +226,10 @@ object Ext7Queries {
          FROM r, tot WHERE rnk IN (5, 10, 25, 50, 100, 1000, 5000)""",
 
     // q128: the q23/q124 cosine formulation (bit-compatible with the
-    // native kernel), quantized to 6 places before the sum/4 averages;
+    // native kernel), quantized to 6 places before the sum/count averages
+    // (count after the rank<=k filter IS least(k, neighborhood) — round-13
+    // advisor: a bare /k deflates short neighborhoods); a zero mean-
+    // neighborhood maps the margin to 0.0 explicitly on both engines;
     // margin parenthesization mirrors the operator exactly.
     "q128_margin_mining" ->
       """WITH x AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -243,16 +249,17 @@ object Ext7Queries {
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY c6 DESC, vec_id) AS rnx
                 FROM sc),
-         dx AS (SELECT qid, sum(c6) / 4 AS dx FROM rx
+         dx AS (SELECT qid, sum(c6) / count(*) AS dx FROM rx
                 WHERE rnx <= 4 GROUP BY qid),
          ry AS (SELECT qid, vec_id, c6,
                   row_number() OVER (PARTITION BY vec_id
                                      ORDER BY c6 DESC, qid) AS rny
                 FROM sc),
-         dy AS (SELECT vec_id, sum(c6) / 4 AS dy FROM ry
+         dy AS (SELECT vec_id, sum(c6) / count(*) AS dy FROM ry
                 WHERE rny <= 4 GROUP BY vec_id),
          m AS (SELECT sc.qid, sc.vec_id, sc.c6,
-                 round(sc.c6 / ((dx.dx + dy.dy) / 2), 6) AS mg
+                 CASE WHEN (dx.dx + dy.dy) / 2 = 0 THEN 0.0
+                      ELSE round(sc.c6 / ((dx.dx + dy.dy) / 2), 6) END AS mg
                FROM sc JOIN dx USING (qid) JOIN dy USING (vec_id))
          SELECT qid, vec_id AS cand_id, c6 + 0.0 AS cosine, mg + 0.0 AS margin
          FROM m ORDER BY mg DESC, qid, vec_id LIMIT 25"""

@@ -50,24 +50,51 @@ object Queries {
     }),
 
     // J1: fact → dims star join; dims broadcast (reference README.md:145-147).
+    // Plan (round-14): pre-aggregate lineitem revenue per order BEFORE the
+    // star join. The previous shape computed countDistinct(o_orderkey) over
+    // the full lineitem×orders fanout — a distinct-shuffle of every joined
+    // row, which is also the plan that dies first at 100× scale. Summing per
+    // l_orderkey first gets map-side partial aggregation on the scan, makes
+    // every later join 1:1 per order, and turns the distinct into a plain
+    // count(*). Result is identical: inner joins keep exactly the orders
+    // that have lineitems in both shapes.
     "q02_revenue_by_nation" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      // money sums aggregate EXACTLY, never in free-running double (round-12
+      // sf1 lesson: at ~1e10 the engines' double-sum association orders
+      // diverge in the 4th decimal). The oracle spells the rule as a
+      // per-row cast to decimal(23,6); executing that literally costs a
+      // BigDecimal box per lineitem row (measured: the cast alone was ~0.5s
+      // of a 1.5s sf0.1 wall). Instead each product is quantized to the
+      // SAME decimal(23,6) value as an unscaled long — floor(x*1e6 + 0.5)
+      // is half-up in millionths for the always-positive revenue, pure
+      // codegen FP — and the longs are summed: exact and order-independent.
+      // Quantization identity with the decimal cast is data-safe (products
+      // of 2-decimal money values sit ~0.5 away from any millionth-tie) and
+      // VERIFIED: zero mismatched orders against the decimal(23,6) per-row
+      // cast at both sf0.1 and sf1.
+      //
+      // Overflow bounds: the per-order long sum is bounded by lineitems-
+      // per-order (≤7 at any TPC-H SF) × ~1e11 unscaled « 2^63. The final
+      // per-nation sum runs in decimal(25,0) — compact-long internally
+      // until 9.2e18 and automatically widening beyond, so the group total
+      // is exact at ANY scale; the ÷10^6 decimal divide and round(,4)
+      // happen once per output row.
+      val rev6 = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(rev6).as("rev6"))
+      perOrder
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        // money sums aggregate in DECIMAL, not double (round-12 sf1
-        // lesson): at ~1e10 the two engines' double-sum association
-        // orders diverge in the 4th decimal — round(,4) is asking for
-        // more precision than a double carries at that magnitude. The
-        // per-row product stays one deterministic IEEE op; the cast to
-        // decimal(23,6) is exact on both engines away from impossible
-        // binary ties, and the decimal sum is order-independent.
         .agg(
-          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(23,6)")), 4).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          round(sum(col("rev6").cast("decimal(25,0)"))
+            / lit(1000000).cast("decimal(7,0)"), 4)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
     }),
 
     // O3: latest-per-key (top-1 window with deterministic tiebreak).

@@ -167,21 +167,27 @@ object Similarity {
         graft.plans.CosineSimilarity.register(embeddings.sparkSession)
         cosineSimilarityNative
       }
+    // Rank on the 6-place-QUANTIZED cosine (the marginMining discipline):
+    // ranking on the raw double would make cross-engine rank parity depend
+    // on bit-identical doubles between the native kernel and the oracle
+    // engine; after quantization the (cosine, id) total order is identical
+    // whenever the kernels agree to 6 places, which is the contract the
+    // q23 oracle already proves.
     val scored = embeddings.crossJoin(broadcast(queries))
       .filter(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("qid"))
-      .withColumn("cos", score(col(vecCol), col("qv")))
+      .withColumn("c6", round(score(col(vecCol), col("qv")), 6))
       .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
     val local = Window.partitionBy(col("qid"), col("__salt"))
-      .orderBy(col("cos").desc, col(idCol).asc)
+      .orderBy(col("c6").desc, col(idCol).asc)
     val global = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col(idCol).asc)
+      .orderBy(col("c6").desc, col(idCol).asc)
     scored
       .withColumn("__rn", row_number().over(local))
       .filter(col("__rn") <= k)
       .withColumn("rank", row_number().over(global))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"),
-        col(idCol).as("neg_id"), round(col("cos"), 6).as("cosine"))
+        col(idCol).as("neg_id"), col("c6").as("cosine"))
   }
 
   /** Margin-based pair mining (the Artetxe & Schwenk scoring used for
@@ -207,10 +213,14 @@ object Similarity {
     * |X|·|Y| rows, exactly the thing not to materialize at scale.
     *
     * Engine parity: every cosine is quantized to 6 places BEFORE any
-    * averaging (order-insensitive-sum rule), both averages are spelled
-    * `sum/k` with identical association, the margin re-rounds to 6, and
-    * the returned floats are `+ 0.0`-canonicalized. The top-N total order
-    * (margin desc, qid, cand_id) is unique. */
+    * averaging (order-insensitive-sum rule), both averages divide by the
+    * ACTUAL surviving neighborhood size (= least(k, n) — a side with fewer
+    * than k rows would otherwise deflate its average and inflate every
+    * margin), a zero mean-neighborhood denominator maps the margin to 0.0
+    * explicitly (Spark would emit IEEE Infinity, the oracle engine's
+    * division-by-zero differs — neither is a value to rank on), the margin
+    * re-rounds to 6, and the returned floats are `+ 0.0`-canonicalized.
+    * The top-N total order (margin desc, qid, cand_id) is unique. */
   def marginMining(corpus: DataFrame, queries: DataFrame, k: Int = 4,
                    topN: Int = 25, salts: Int = 32, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
@@ -222,21 +232,28 @@ object Similarity {
       .orderBy(col("c6").desc, col(idCol).asc)
     val globalW = Window.partitionBy(col("qid"))
       .orderBy(col("c6").desc, col(idCol).asc)
+    // Averages divide by the surviving row count (= least(k, n)), never a
+    // bare k: after the rank<=k filter count(*) IS min(k, neighborhood).
     val dx = scored
       .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
       .withColumn("__rn", row_number().over(localW)).filter(col("__rn") <= k)
       .withColumn("__rg", row_number().over(globalW)).filter(col("__rg") <= k)
-      .groupBy("qid").agg((sum(col("c6")) / k).as("dx"))
+      .groupBy("qid").agg((sum(col("c6")) / count(lit(1))).as("dx"))
 
     val wy = Window.partitionBy(col(idCol)).orderBy(col("c6").desc, col("qid").asc)
+    val wyAll = Window.partitionBy(col(idCol))
     val withDy = scored
       .withColumn("__rny", row_number().over(wy))
       .withColumn("dy",
-        sum(when(col("__rny") <= k, col("c6")))
-          .over(Window.partitionBy(col(idCol))) / k)
+        sum(when(col("__rny") <= k, col("c6"))).over(wyAll) /
+          sum(when(col("__rny") <= k, lit(1))).over(wyAll))
 
+    val denom = (col("dx") + col("dy")) / 2
     withDy.join(broadcast(dx), "qid")
-      .withColumn("margin", round(col("c6") / ((col("dx") + col("dy")) / 2), 6))
+      // zero mean-neighborhood: margin 0.0 on BOTH engines, never a
+      // division whose IEEE/error behavior the engines disagree on
+      .withColumn("margin",
+        when(denom === 0.0, lit(0.0)).otherwise(round(col("c6") / denom, 6)))
       .orderBy(col("margin").desc, col("qid").asc, col(idCol).asc)
       .limit(topN)
       .select(col("qid"), col(idCol).as("cand_id"),
@@ -246,7 +263,10 @@ object Similarity {
 
   /** Deterministic random-projection dimensionality reduction (the
     * sign-matrix flavor of Johnson–Lindenstrauss): out_j = Σ_i s(j,i)·v_i
-    * / √dim with s(j,i) ∈ {−1,+1} derived from the engine-portable md5
+    * / √outDim — the STANDARD JL scaling, so norms and pairwise Euclidean
+    * distances are preserved in expectation (÷√dim would shrink them all
+    * by √(outDim/dim); round-13 advisor catch) — with s(j,i) ∈ {−1,+1}
+    * derived from the engine-portable md5
     * hash family — the projection is a pure function of (seed, j, i), so
     * any engine (and the DuckDB oracle) reproduces it bit-for-bit. The
     * matrix is outDim×dim, computed once on the driver and embedded as a
@@ -273,7 +293,7 @@ object Similarity {
       }
     }
     val s = typedLit(signs)
-    val scale = math.sqrt(dim.toDouble)
+    val scale = math.sqrt(outDim.toDouble)
     val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
       round(
         aggregate(

@@ -117,11 +117,19 @@ object TermWeighting {
     * total order `(cnt desc, term asc)`, so the curve is deterministic.
     *
     * Scale shape: ONE vocabulary-sized term aggregation (map-side
-    * combined), materialized via `localCheckpoint` — without it the two
+    * combined), persisted MEMORY_AND_DISK — without it the two
     * consumers (the scalar total and the top-`max(ranks)`) each
     * re-evaluate the subtree, i.e. re-tokenize the whole corpus; with it
     * the token stream is scanned once and only the vocabulary-sized
-    * counts (bounded by distinct terms, not corpus rows) are held. The
+    * counts (bounded by distinct terms, not corpus rows) are held.
+    * `persist` (the Similarity.scala pattern), NOT `localCheckpoint`:
+    * checkpoint blocks have no lineage (an executor loss at scale is
+    * unrecoverable) and eager checkpointing fires a Spark job at
+    * operator-CONSTRUCTION time — a side effect a library operator that
+    * returns a lazy DataFrame shouldn't have (round-13 advisor). The
+    * persisted blocks are lazily materialized by whichever consumer runs
+    * first and shared by the second; both consumers sit in one returned
+    * plan, so they materialize together, never concurrently. The
     * total is a 1-row broadcast cross; the top-k is
     * `TakeOrderedAndProject` (per-partition partial top-k, never a
     * global sort of the vocabulary); the rank/cumulative window then
@@ -133,7 +141,7 @@ object TermWeighting {
     val counts = docs
       .select(explodeTerms(termsOf(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(ranks.max)
     val w = Window.orderBy(col("cnt").desc, col("term").asc)

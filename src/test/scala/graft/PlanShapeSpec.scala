@@ -57,7 +57,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"inlined tokenize chain found in a Filter condition:\n$plan")
   }
 
-  test("q02 star join: dims broadcast, predicate pushed to scan") {
+  test("q02 star join: pre-agg below the joins, dims broadcast, no distinct Expand") {
     val plan = SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
@@ -65,6 +65,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"fact-dim join fell back to a shuffle join:\n$plan")
     assert(plan.contains("PushedFilters: [IsNotNull"),
       s"no pushed filters on the scan:\n$plan")
+    // round-14 shape: lineitem revenue is pre-aggregated per l_orderkey
+    // BELOW the star join (map-side partial agg on the scan), so the final
+    // agg is a plain count(*)+sum — no countDistinct shuffle over the fanout.
+    assert("HashAggregate\\(keys=\\[l_orderkey".r.findFirstIn(plan).isDefined,
+      s"per-order pre-aggregate missing below the joins:\n$plan")
+    assert(!plan.contains("Expand") && !plan.contains("distinct"),
+      s"distinct aggregation crept back over the join fanout:\n$plan")
+    val preAggAt = plan.indexOf("HashAggregate(keys=[l_orderkey")
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0 && preAggAt > joinAt,
+      s"pre-agg must sit below the joins (parents print first):\n$plan")
   }
 
   test("q103 plan: model tables broadcast, top-k as heaps — no global window/sort") {

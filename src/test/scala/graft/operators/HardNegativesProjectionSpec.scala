@@ -28,9 +28,13 @@ class HardNegativesProjectionSpec extends AnyFunSuite with SparkSpec {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
       dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
     }
+    // ranks on the 6-place-quantized cosine, mirroring the operator's
+    // rank-on-c6 discipline (round-13 advisor)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val want = vecs.filter(_._1 < 3).flatMap { case (qid, qv, qlabel) =>
       vecs.filter(v => v._3 != qlabel && v._1 != qid)
-        .map(v => (v._1, cos(v._2, qv)))
+        .map(v => (v._1, r6(cos(v._2, qv))))
         .sortBy { case (id, c) => (-c, id) }
         .take(5).zipWithIndex
         .map { case ((id, _), i) => (qid, i + 1, id) }

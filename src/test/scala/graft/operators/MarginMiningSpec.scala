@@ -34,19 +34,22 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
     val xs = vecs.filter(v => v._3 % 2 == 0 && v._1 % 10 == 0)
     val ys = vecs.filter(_._3 % 2 == 1)
     val c6 = (for (x <- xs; y <- ys) yield ((x._1, y._1), r6(cos(y._2, x._2)))).toMap
+    // averages divide by the ACTUAL neighborhood (min(k, n)), matching the
+    // operator's least(k, count) semantics (round-13 advisor)
     val dx = xs.map { x =>
       val top = ys.map(y => (c6((x._1, y._1)), y._1))
         .sortBy { case (c, id) => (-c, id) }.take(k)
-      x._1 -> top.map(_._1).sum / k
+      x._1 -> top.map(_._1).sum / top.size
     }.toMap
     val dy = ys.map { y =>
       val top = xs.map(x => (c6((x._1, y._1)), x._1))
         .sortBy { case (c, id) => (-c, id) }.take(k)
-      y._1 -> top.map(_._1).sum / k
+      y._1 -> top.map(_._1).sum / top.size
     }.toMap
     (for (x <- xs; y <- ys) yield {
       val c = c6((x._1, y._1))
-      (x._1, y._1, c, r6(c / ((dx(x._1) + dy(y._1)) / 2)))
+      val denom = (dx(x._1) + dy(y._1)) / 2
+      (x._1, y._1, c, if (denom == 0.0) 0.0 else r6(c / denom))
     }).sortBy { case (q, cand, _, m) => (-m, q, cand) }.take(topN)
   }
 
