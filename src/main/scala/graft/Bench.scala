@@ -293,6 +293,33 @@ object Bench {
     // that race structurally impossible (r12 verdict #4).
     println(body(withAux = false))
     val sfLabel = new java.io.File(sfDir).getName.replace(".", "")
+    // Truncation-proof headline, printed LAST (r13 verdict #6): the
+    // driver's stdout capture truncates long output from the FRONT, so
+    // only the tail survives — this ~200-byte line carries the numbers a
+    // reader needs (total, n, ratio) even when the compact JSON above is
+    // cut mid-object and `parsed` stays null. The ratio compares THIS
+    // window's medians against the committed DuckDB artifact for the same
+    // scale factor over the intersection of query names — cross-window,
+    // so labeled as such; same-window pairs remain the citable numbers.
+    val ratioStr = try {
+      val dbPath = java.nio.file.Paths.get(s"target/bench_duckdb_$sfLabel.json")
+      if (java.nio.file.Files.exists(dbPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(dbPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // the artifact nests {"queries":{"name":{"median":sec,...},...}}:
+        // pull name→median pairs with a regex — no JSON lib on the classpath
+        val qmap = """"(q[0-9a-z_]+)"\s*:\s*\{\s*"median"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val shared = medians.filter { case (k, v) => v >= 0 && qmap.contains(k) }
+        val db = shared.keys.map(qmap).sum
+        if (db > 0)
+          s""","shared_n":${shared.size},"ratio_vs_duckdb_file":${num(shared.values.sum / db)}"""
+        else ""
+      } else ""
+    } catch { case scala.util.control.NonFatal(_) => "" }
+    println(s"""{"bench_summary":"$sfLabel","total_sec":${num(total)}""" +
+      s""","n_queries":${medians.values.count(_ >= 0)},"failed":${failedList.size}""" +
+      s""","calibration":[${num(calStart)},${num(calEnd)}]$ratioStr}""")
     // A focused run (SPARK_GRAFT_BENCH_ONLY) must never clobber the round
     // artifact with a subset measurement — same rule as ScaleStress's
     // SCALE_partial.json: partial evidence gets a partial-named file.
