@@ -205,8 +205,11 @@ object Bench {
             .select(col("embedding").as("qv"))
           val lsh = Similarity.SignLsh(nBits = ExtQueries.AnnLshBits, dim = 64,
             nTables = ExtQueries.AnnLshTables)
+          // same corpus-size-adaptive probe depth as the declared query
+          val probeH = ExtQueries.annLshProbeHFor(
+            emb.filter(col("vec_id") =!= 0).count())
           val lshFound = lsh.topK(lsh.index(corpus), probe, 10,
-              probeHamming = ExtQueries.AnnLshProbeH)
+              probeHamming = probeH)
             .collect().map(_.getLong(0)).toSet
           val ivf = Similarity.Ivf(ExtQueries.IvfCentroids, ExtQueries.IvfProbe)
           val (centers, index) = ivf.build(corpus)
@@ -219,7 +222,7 @@ object Bench {
             .select(col("vec_id"), col("embedding"))
           val scanFrac = lsh.candidateFraction(lsh.index(corpusReal),
             ExtQueries.plantedFixture(spark, sfDir)._2.map(_.toDouble),
-            probeHamming = ExtQueries.AnnLshProbeH)
+            probeHamming = probeH)
           val pq = Similarity.Pq(m = ExtQueries.PqM, nCodes = ExtQueries.PqCodes)
           val cbP = pq.train(corpus)
           val pqShortlist = ExtQueries.pqShortlistFor(corpus.count())
@@ -244,7 +247,7 @@ object Bench {
               ivfFound.intersect(plantedIds).size.toDouble / 5,
             "q25_lsh_bits" -> ExtQueries.AnnLshBits.toDouble,
             "q25_lsh_tables" -> ExtQueries.AnnLshTables.toDouble,
-            "q25_probe_hamming" -> ExtQueries.AnnLshProbeH.toDouble,
+            "q25_probe_hamming" -> probeH.toDouble,
             "q36_ivf_centroids" -> ExtQueries.IvfCentroids.toDouble,
             "q36_probe_cells" -> ExtQueries.IvfProbe.toDouble)
         } catch { case scala.util.control.NonFatal(e) =>

@@ -620,10 +620,19 @@ object Similarity {
     * exact re-score. One table at Hamming≤1 published corpus recall@10 of
     * 0.1 on the isotropic test embeddings (per-bit agreement for a
     * cos≈0.3 neighbor is only ~0.6, so a single 8-bit signature almost
-    * never lands within one flip); four tables at Hamming≤2 measure
-    * 0.6–0.9 while scanning ~half the corpus — on data with real cluster
-    * structure the same config prunes hard (planted near-duplicates hit
-    * at Hamming 0). Storage cost is the textbook one: vectors are stored
+    * never lands within one flip). The bits/tables/probe tradeoff,
+    * measured on the real corpora (80k vectors): 4×8-bit tables at
+    * Hamming≤2 reach recall@10 0.9 but their fat probe ball reads HALF
+    * the corpus (r13's config — a 2× index); 8×12-bit tables at the same
+    * Hamming≤2 hold recall 0.8–0.9 at scan_frac 0.16 — finer buckets cut
+    * each table's candidate set ~8× and the extra OR-tables buy the
+    * recall back. Isotropic data still bounds how far this goes (14-bit
+    * tables drop recall to 0.6 at scan 0.06); data with real cluster
+    * structure prunes much harder (planted near-duplicates hit at
+    * Hamming 0). Small corpora should widen the probe ball instead of
+    * paying more tables (multi-probe is the cheap recall knob when the
+    * whole corpus is a few hundred rows). Storage cost is the textbook
+    * one: vectors are stored
     * once PER TABLE (k·nTables bytes/vector) so the probe re-scores
     * in-place with zero joins; a 100 TB deployment that can't afford the
     * duplication stores id-only posting lists per table and re-fetches
