@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Round-14 additions — the scale-safe BPE encode pair (r13 verdict #3):
+  *
+  *  - q129 broadcast-table BPE encode ([[graft.operators.BpeCodec]]) at a
+  *    production-SHAPED vocabulary (300 rules, two frequency levels) —
+  *    the encoder whose cost is independent of rule count, hard-gated
+  *    in-query against the sequential per-rule kernel on a deterministic
+  *    word sample. Rows-only (a 300-rule greedy encode has no tractable
+  *    SQL twin); the evidence split is q130.
+  *  - q130 the same encoder under the table's 2-rule prefix, FULLY
+  *    oracle-checked: DuckDB recomputes the top-2 weighted code-point
+  *    pairs and replays them sequentially (the chr(31) separator-replace
+  *    trick from q122) — so the rank-priority scheduler's equivalence to
+  *    sequential application is engine-checked cell by cell, on every
+  *    word of the corpus.
+  */
+object Ext8Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Rules per frequency level of q129's table (two levels ⇒ a 300-rule
+    * vocabulary whose second half merges merged symbols). */
+  private[graft] val BpeVocabPerLevel = 150
+
+  /** Hard token-identity gate for q129 (the [[ExtQueries.plantedGate]]
+    * discipline, memoized per (query, dir, JVM)): the broadcast-table
+    * rank-priority encoder and the sequential per-rule kernel
+    * ([[graft.plans.BpeEncodeLen]]) must agree on every word of a
+    * deterministic sample — a scheduler-equivalence regression turns the
+    * board red instead of shipping as silently different token counts.
+    * The sample is the first 200 words in byte order: vocabulary-sized
+    * sort, 200-row collect, and the sequential kernel runs only here
+    * (200 words × 300 rules), never on the corpus. */
+  private val codecGateRan =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private def codecGate(name: String, dir: String)(mismatches: => Long): Unit =
+    if (codecGateRan.add((name, dir))) {
+      val bad = mismatches
+      if (bad != 0) {
+        codecGateRan.remove((name, dir)) // keep failing on retry
+        throw new IllegalStateException(
+          s"$name codec gate: $bad sampled words encode to different token " +
+            "counts under rank-priority vs sequential merge application")
+      }
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q129_bpe_encode_vocab" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val table = graft.operators.BpeCodec.frequencyMergeTable(
+        docs, perLevel = BpeVocabPerLevel, levels = 2)
+      codecGate("q129_bpe_encode_vocab", dir) {
+        graft.plans.BpeEncodeLen.register(s)
+        val bc = s.sparkContext.broadcast(
+          graft.operators.BpeCodec.rankTable(table))
+        val sample = docs
+          .select(explode(filter(tokens(col("text")), x => x =!= "")).as("w"))
+          .distinct().orderBy("w").limit(200).as[String]
+        sample.mapPartitions { it =>
+            val tb = bc.value
+            it.map(w =>
+              (w, graft.operators.BpeCodec.greedyEncode(w, tb).length))
+          }.toDF("w", "greedy_len")
+          .withColumn("seq_len",
+            graft.plans.BpeEncodeLen.encodeLen(col("w"), table))
+          .filter(col("greedy_len") =!= col("seq_len"))
+          .count()
+      }
+      graft.operators.BpeCodec.encode(docs, table)
+    }),
+
+    "q130_bpe_encode_prefix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.BpeCodec.encode(docs,
+        graft.operators.BpeCodec.frequencyMergeTable(
+          docs, perLevel = 2, levels = 1))
+    })
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+
+    // q130: DuckDB recomputes the 2-rule table (top-2 adjacent code-point
+    // pairs by weighted count, byte-order tiebreak — q111's p1 counts with
+    // LIMIT 2 instead of the sequential re-count) and re-encodes every
+    // word by applying rule 1 then rule 2, each greedy left-to-right via
+    // the separator-replace trick (chr(31) cannot occur in the
+    // whitespace-tokenized corpus; replace's scan-after-replacement is the
+    // fold's no-remerge-within-one-rule semantics). The Spark side runs
+    // the RANK-PRIORITY scheduler — a match proves scheduler equivalence
+    // on every word, not just the sampled gate.
+    "q130_bpe_encode_prefix" ->
+      """WITH btoks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |  FROM documents
+        |),
+        |bdict AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+        |  FROM btoks WHERE w <> '' GROUP BY w
+        |),
+        |p1 AS (
+        |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
+        |  FROM bdict, unnest(range(1, len(syms))) AS t(i)
+        |  GROUP BY 1, 2
+        |),
+        |mr AS (
+        |  SELECT a, b,
+        |         row_number() OVER (ORDER BY pc DESC, a ASC, b ASC) AS rnk
+        |  FROM p1
+        |),
+        |m1 AS (SELECT a, b FROM mr WHERE rnk = 1),
+        |m2 AS (SELECT a, b FROM mr WHERE rnk = 2),
+        |wtf AS (
+        |  SELECT doc_id, w, count(*) AS tf
+        |  FROM btoks WHERE w <> '' GROUP BY doc_id, w
+        |),
+        |enc AS (
+        |  SELECT d.w,
+        |         CAST(len(string_split(
+        |           replace(replace(
+        |             chr(31) || array_to_string(d.syms, chr(31)) || chr(31),
+        |             chr(31)||m1.a||chr(31)||m1.b||chr(31),
+        |             chr(31)||m1.a||m1.b||chr(31)),
+        |             chr(31)||m2.a||chr(31)||m2.b||chr(31),
+        |             chr(31)||m2.a||m2.b||chr(31)),
+        |           chr(31))) - 2 AS BIGINT) AS n_syms
+        |  FROM bdict d CROSS JOIN m1 CROSS JOIN m2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+        |       CAST(sum(tf * length(w)) AS BIGINT) AS n_chars,
+        |       CAST(sum(tf * n_syms) AS BIGINT) AS n_bpe_tokens,
+        |       round(CAST(sum(tf * length(w)) AS DOUBLE) / sum(tf * n_syms), 4)
+        |         AS chars_per_token
+        |FROM wtf JOIN enc USING (w)
+        |GROUP BY doc_id""".stripMargin
+  )
+}

@@ -30,7 +30,7 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     Set("q25_ann_topk", "q36_ivf_topk", "q42_approx_distinct",
       "q80_compressibility", "q89_quality_classifier", "q98_pq_topk",
       "q107_sketch_rollup", "q109_approx_percentiles", "q110_bpe_train",
-      "q118_kmeans_lloyd", "q121_bpe_encode")
+      "q118_kmeans_lloyd", "q121_bpe_encode", "q129_bpe_encode_vocab")
 
   test("q42 approx distinct is within 5% of exact") {
     val row = Queries.all("q42_approx_distinct")(spark, sfDir).head()
