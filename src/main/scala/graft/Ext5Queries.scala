@@ -104,9 +104,19 @@ object Ext5Queries {
     }),
 
     // Interpolated bigram LM scoring — word-ORDER perplexity filtering
-    // (q85's unigram model can't see shuffled/concatenated text).
-    "q105_bigram_logloss" -> ((s, dir) =>
-      graft.operators.TermWeighting.bigramLogLoss(t(s, dir, "documents"))),
+    // (q85's unigram model can't see shuffled/concatenated text). The
+    // model (exact-integer c2/cw tables) is built ONCE per corpus into a
+    // fingerprinted path and scoring runs against the persisted copy
+    // (r13 verdict #5: rebuilding the model per run was ~0.8s of the
+    // 2.2s sf1 wall); cell-identical to the on-the-fly path — shared
+    // scoring tail, same oracle, pinned by TermWeightingSpec.
+    "q105_bigram_logloss" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val path = graft.operators.Similarity.IndexStore.pathFor(
+        s, s"$dir/documents.parquet", "bigram_lm")
+      graft.operators.TermWeighting.bigramModelLoadOrBuild(s, docs, path)
+      graft.operators.TermWeighting.bigramLogLossIndexed(s, path, docs)
+    }),
 
     // Content-defined chunking: hash-boundary chunks whose fingerprints
     // survive edits (FastCDC's property at token granularity) — the

@@ -256,34 +256,117 @@ object TermWeighting {
     * [[tfidfTopTerms]]. */
   def bigramLogLoss(docs: DataFrame, lambda: Double = 0.7,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"))
-      .repartition(col("doc_id"))
+    val toks = tokenized(docs, idCol, textCol)
+    val pos = bigramPositions(toks)
+    val c2 = pos.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val cw = toks.select(explodeTerms(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    bigramScore(pos, c2, cw, lambda)
+  }
+
+  /** Conditional rebalance (TextDedup.shingleRows' idiom): driver
+    * testdata is single-row-group parquet, so without it the whole
+    * tokenize+explode map side runs on one core; when the scan already
+    * has enough splits the shuffle is skipped. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String) = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    balanced.select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"))
+  }
+
+  /** One row per bigram POSITION `(doc_id, w1, w2)` — no per-doc
+    * pre-aggregation: a document's exploded rows stay contiguous in its
+    * map partition, so the per-doc aggregate downstream completes in the
+    * map-side partial and the only exchange carries ~one row per
+    * document (r14: the previous shape pre-shuffled full token arrays by
+    * doc_id to make a (doc,w1,w2) count ride the exchange — the shuffle
+    * WAS the q105 floor, 2.5 s → 0.8-1.1 s at sf1 without it). Short-doc
+    * guard lives INSIDE the generator expression (the SpanDedup pushdown
+    * lesson). */
+  private def bigramPositions(toks: DataFrame): DataFrame = {
     val bigStructs = transform(sequence(lit(1), size(col("__t")) - 1),
       i => struct(element_at(col("__t"), i).as("w1"),
         element_at(col("__t"), i + 1).as("w2")))
-    val big = toks.select(col("doc_id"),
+    toks.select(col("doc_id"),
       explode(when(size(col("__t")) >= 2, bigStructs)
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val tf2 = big.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    val c2 = tf2.groupBy("w1", "w2").agg(sum("tf").as("c2"))
+  }
+
+  /** The SHARED scoring tail: bigram positions joined to the model by
+    * broadcast. `c1` and `N` are DERIVED from `c2`/`cw` (exact long
+    * marginals), so the on-the-fly and persisted-model paths run the
+    * identical expression tree — the q103/q120 build-vs-probe parity
+    * stance.
+    *
+    * The per-bigram `−ln p` is folded into the MODEL frame before the
+    * broadcast: p is a function of (w1, w2) alone, so computing it on the
+    * vocabulary-sized table (9.3k rows at sf1) instead of per corpus
+    * bigram row (~40M) replaces three broadcast joins + a cross join +
+    * per-row log with ONE broadcast join carrying one double.
+    *
+    * Float parity note: the oracle sums `tf·(−ln p)` per distinct
+    * (doc, w1, w2) while this sums `−ln p` per position — the same
+    * multiset of probabilities associated differently, diverging at
+    * ~1e−12 relative (nll ≤ ~15, ≤ 10⁴ addends/doc) against a round(,4)
+    * surface: ~8 orders of magnitude of headroom, verified green at
+    * sf0.01 and sf1. */
+  private def bigramScore(pos: DataFrame, c2: DataFrame, cw: DataFrame,
+                          lambda: Double): DataFrame = {
     val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
-    val cw = toks.select(explodeTerms(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
     val n = cw.agg(sum("cw").as("__n"))
     // constants as the same IEEE ops both sides: lit(1.0) − lit(λ), never
     // a precomputed 0.3
     val p = lit(lambda) * (col("c2").cast("double") / col("c1")) +
       (lit(1.0) - lit(lambda)) * (col("cw").cast("double") / col("__n"))
-    tf2.join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .join(broadcast(cw), col("w2") === col("w"))
-      .crossJoin(broadcast(n))
+    val model = c2.join(c1, Seq("w1"))
+      .join(cw, col("w2") === col("w"))
+      .crossJoin(n)
+      .select(col("w1"), col("w2"), (-log(p)).as("__nll"))
+    pos.join(broadcast(model), Seq("w1", "w2"))
       .groupBy("doc_id")
-      .agg(sum("tf").as("n_bigrams"),
-        round(sum(col("tf") * -log(p)) / sum("tf"), 4).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("__nll")) / count(lit(1)), 4).as("avg_nll"))
   }
+
+  /** Build-once persisted bigram model (r13 verdict #5 — the q120
+    * persisted-index pattern applied to q105): the model tables are
+    * exact-integer aggregates (`c2`: bigram counts, `cw`: unigram
+    * counts; `c1`/`N` are marginals derived at load), so a parquet
+    * round-trip is bit-exact and the indexed path shares
+    * [[bigramLogLoss]]'s oracle. `cw/` is written LAST as the
+    * completeness marker. Rebuilding the model was ~0.8 s of q105's
+    * 2.2 s sf1 wall (measured decomposition: tf2 scoring pass 1.47 s,
+    * c2 build 1.74 s incl. the shared tokenize, cw 0.99 s) — a scoring
+    * run against the persisted model pays only the corpus pass.
+    * `docs` is by-name: a load hit never evaluates it. */
+  def bigramModelLoadOrBuild(spark: org.apache.spark.sql.SparkSession,
+                             docs: => DataFrame, path: String,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): Unit = {
+    if (!Similarity.IndexStore.isBuilt(spark, s"$path/cw")) {
+      val toks = tokenized(docs, idCol, textCol)
+      bigramPositions(toks).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/c2")
+      toks.select(explodeTerms(col("__t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+        .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/cw")
+    }
+  }
+
+  /** [[bigramLogLoss]] against the persisted model at `path` — one
+    * corpus pass (the per-doc bigram tfs) + broadcast joins of the
+    * loaded vocabulary-sized tables; cell-identical to the on-the-fly
+    * path by construction (shared scoring tail, exact-integer model). */
+  def bigramLogLossIndexed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, docs: DataFrame,
+                           lambda: Double = 0.7, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    bigramScore(bigramPositions(tokenized(docs, idCol, textCol)),
+      spark.read.parquet(s"$path/c2"), spark.read.parquet(s"$path/cw"), lambda)
 
   /** Okapi BM25 document ranking for a fixed bag of query terms — the
     * retrieval scorer a curation pipeline uses for targeted corpus pulls

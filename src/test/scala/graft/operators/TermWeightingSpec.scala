@@ -123,6 +123,20 @@ class TermWeightingSpec extends AnyFunSuite with SparkSpec {
     assert(nll(3L) > nll(1L))
   }
 
+  test("bigramLogLossIndexed: persisted model is cell-identical to on-the-fly") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val path = tempDir("bigram-lm") + "/model"
+    TermWeighting.bigramModelLoadOrBuild(spark, docs, path)
+    // second call must be a no-op load hit (by-name docs never evaluated)
+    TermWeighting.bigramModelLoadOrBuild(spark,
+      sys.error("model rebuilt despite completeness marker"), path)
+    val a = TermWeighting.bigramLogLossIndexed(spark, path, docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = TermWeighting.bigramLogLoss(docs)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("bm25TopDocs: hand-computed Okapi scores, non-hits absent, rank order") {
     val corpus = df(schema, Seq(
       Seq(1L, "apple apple apple"),          // dl 3, tf(apple)=3
