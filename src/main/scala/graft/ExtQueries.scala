@@ -382,15 +382,16 @@ object ExtQueries {
   private[graft] val AnnLshBits = 12
   private[graft] val AnnLshTables = 8
   /** Probe depth adapts to corpus size — the standard multi-probe recall
-    * knob. Small corpora (< 50k vectors) probe Hamming≤3: their bucket
-    * occupancy is a few vectors, so recall needs a wider ball and the
-    * extra scan is a few hundred rows (measured: H2 recall@10 at 800
-    * vectors = 0.4, H3 = 0.7 at scan_frac 0.42 — of an 800-row corpus).
-    * At scale the ball tightens to Hamming≤2 where the same config
-    * measures recall 0.8–0.9 at scan_frac 0.16. The threshold is
-    * decided from parquet footer counts (O(files), no data scan). */
+    * knob. Tiny corpora (< 2000 vectors) probe Hamming≤3: their bucket
+    * occupancy is a handful of vectors, so recall needs a wider ball and
+    * the extra scan is a few hundred rows (measured at the 500-vector
+    * test corpora: H2 recall@10 = 0.4–0.5, H3 = 0.7–0.9 at scan_frac
+    * ~0.42 — of 500 rows). From 2000 vectors up the ball tightens to
+    * Hamming≤2, where 8×12-bit measures recall 0.9 (2k vectors, sf0.1) /
+    * 0.8 (20k, sf1) at scan_frac 0.16–0.17. The threshold is decided
+    * from parquet footer counts (O(files), no data scan). */
   private[graft] def annLshProbeHFor(corpusRows: Long): Int =
-    if (corpusRows < 50000L) 3 else 2
+    if (corpusRows < 2000L) 3 else 2
   private[graft] val IvfCentroids = 16
   private[graft] val IvfProbe = 4
   private[graft] val PqM = 8

@@ -621,7 +621,7 @@ object Similarity {
     * 0.1 on the isotropic test embeddings (per-bit agreement for a
     * cos≈0.3 neighbor is only ~0.6, so a single 8-bit signature almost
     * never lands within one flip). The bits/tables/probe tradeoff,
-    * measured on the real corpora (80k vectors): 4×8-bit tables at
+    * measured on the real corpora (2k–20k vectors): 4×8-bit tables at
     * Hamming≤2 reach recall@10 0.9 but their fat probe ball reads HALF
     * the corpus (r13's config — a 2× index); 8×12-bit tables at the same
     * Hamming≤2 hold recall 0.8–0.9 at scan_frac 0.16 — finer buckets cut
