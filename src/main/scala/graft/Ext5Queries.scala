@@ -258,7 +258,7 @@ object Ext5Queries {
 
   /** q104's bands: 80/10/10, cut points accumulated left-to-right (the
     * oracle mirrors the same additions — see [[Sampling.assignSplits]]). */
-  private val SplitBands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private[graft] val SplitBands = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   // ------------------------------------------------------------------ oracles
 

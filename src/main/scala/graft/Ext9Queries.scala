@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions — the training-mix curation trio:
+  *
+  *  - q131 leakage-safe train/val/test split: near-duplicate groups (the
+  *    q50 LSH components) are the split unit, so no near-duplicate pair
+  *    ever straddles train and test — the eval-contamination failure mode
+  *    a row-hash split (q104) cannot prevent.
+  *  - q132 DSIR importance weights ([[graft.operators.DataSelection]]):
+  *    hashed-n-gram log p_target − log p_raw per document — the data
+  *    SELECTION rung the funnel's filters (gates drop, weights rank).
+  *  - q133 distinct-n diversity report
+  *    ([[graft.operators.TextAnalysis.distinctNgramStats]]): per-source
+  *    unique/total n-gram ratios — the mix-level degeneracy check.
+  *
+  * All three carry full DuckDB oracles (q131 composes the q50 recursive
+  * components CTE with q104's split-hash formula; q132/q133 mirror the
+  * md5 hash family and the q85 float discipline).
+  */
+object Ext9Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** q132's target predicate: English documents — "more like the English
+    * slice" is the demo target distribution; any row predicate works. */
+  private val DsirBuckets = 256
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Group-aware split: hash the GROUP representative (q50's cluster_id,
+    // = min doc_id of the LSH component), not the row — every member of a
+    // near-duplicate cluster lands in the same band by construction, so
+    // the 80/10/10 cut can never leak a near-duplicate of a training
+    // document into test. Costs exactly the q50 group computation; the
+    // split itself is one hash projection, no extra shuffle.
+    "q131_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val groups = graft.operators.TextDedup.minhashLshGroups(
+        docs, k = ExtQueries.K, bands = ExtQueries.BANDS)
+      graft.operators.Sampling.assignSplits(
+        groups, col("cluster_id"), Ext5Queries.SplitBands)
+    }),
+
+    // DSIR importance weights against the English slice as the target
+    // distribution (lang = 'en' — a stand-in for "high-quality reference
+    // corpus"; the operator takes any predicate).
+    "q132_dsir_weights" -> ((s, dir) =>
+      graft.operators.DataSelection.dsirWeights(
+        t(s, dir, "documents"), col("lang") === "en", buckets = DsirBuckets)),
+
+    // Distinct-n diversity per source, n ∈ {1,2,3}.
+    "q133_distinct_ngrams" -> ((s, dir) =>
+      graft.operators.TextAnalysis.distinctNgramStats(
+        t(s, dir, "documents")))
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  val oracles: Map[String, String] = Map(
+
+    // The q50 recursive-CTE components feed q104's split-hash CASE — the
+    // same 'graft|' seed, ppm quantizer, and LEFT-TO-RIGHT accumulated cut
+    // points (0.8, then 0.8 + 0.1; never a fresh 0.9 literal).
+    "q131_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${ExtQueries.lshGroupsCtes}
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN u < 0.8 THEN 'train'
+         |            WHEN u < 0.8 + 0.1 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |             (('0x'||substr(md5('graft|'||cluster_id), 1, 8))::BIGINT
+         |              % 1000000) / 1000000.0 AS u
+         |      FROM groups) g""".stripMargin,
+
+    // Exact-integer bucket counts under the shared 60-bit md5 family; one
+    // double log per bucket; Σ tf·Δ rounded to 4 at the end only (the q85
+    // discipline). Smoothing denominators spelled as the same
+    // BIGINT + literal additions the Scala side performs.
+    "q132_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang,
+         |         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+         |  FROM documents
+         |),
+         |tk AS (
+         |  SELECT doc_id, lang = 'en' AS t,
+         |         ('0x'||substr(md5(w),1,15))::BIGINT % $DsirBuckets AS b
+         |  FROM toks WHERE w <> ''
+         |),
+         |tf AS (
+         |  SELECT doc_id, t, b, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY 1, 2, 3
+         |),
+         |model AS (
+         |  SELECT b, CAST(sum(tf) AS BIGINT) AS cs,
+         |         CAST(sum(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS ct
+         |  FROM tf GROUP BY b
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(cs) AS BIGINT) AS s, CAST(sum(ct) AS BIGINT) AS tt
+         |  FROM model
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |       round(sum(tf * (ln(CAST(ct + 1 AS DOUBLE) / (tt + $DsirBuckets)) -
+         |                       ln(CAST(cs + 1 AS DOUBLE) / (s + $DsirBuckets)))),
+         |             4) AS log_weight
+         |FROM tf JOIN model USING (b) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
+
+    // Same tokenization (lower/trim/\s+/drop-empties), same space-joined
+    // n-grams; `range(1, len−n+2)` is empty when the doc is shorter than
+    // n, mirroring the Spark side's in-expression guard.
+    "q133_distinct_ngrams" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                     w -> w <> '') AS tk
+        |  FROM documents
+        |),
+        |grams AS (
+        |  SELECT source, n,
+        |         unnest(list_transform(range(1, len(tk) - n + 2),
+        |                i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+        |  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) levels
+        |)
+        |SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+        |       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        |       round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 4)
+        |         AS distinct_ratio
+        |FROM grams GROUP BY source, n""".stripMargin
+  )
+}

@@ -717,9 +717,10 @@ object Queries {
   def all: Map[String, (SparkSession, String) => DataFrame] =
     core ++ ExtQueries.queries ++ Ext2Queries.queries ++ Ext3Queries.queries ++
       Ext4Queries.queries ++ Ext5Queries.queries ++ Ext6Queries.queries ++
-      Ext7Queries.queries ++ Ext8Queries.queries
+      Ext7Queries.queries ++ Ext8Queries.queries ++ Ext9Queries.queries
   def oracles: Map[String, String] =
     coreOracles ++ ExtQueries.oracles ++ Ext2Queries.oracles ++
       Ext3Queries.oracles ++ Ext4Queries.oracles ++ Ext5Queries.oracles ++
-      Ext6Queries.oracles ++ Ext7Queries.oracles ++ Ext8Queries.oracles
+      Ext6Queries.oracles ++ Ext7Queries.oracles ++ Ext8Queries.oracles ++
+      Ext9Queries.oracles
 }

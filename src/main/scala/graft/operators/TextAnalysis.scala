@@ -335,4 +335,51 @@ object TextAnalysis {
       .withColumn("is_repetitive",
         coalesce(col("compress_ratio") < maxRatio, lit(false)))
   }
+
+  /** Corpus diversity report: distinct-n ratios (unique n-grams over total
+    * n-grams, the "distinct-1/distinct-2" metric of Li et al. 2016) per
+    * group, for each n in `ns` — the mix-level health check that catches a
+    * source gone templated/degenerate (its distinct-2 collapses) before
+    * per-document gates like [[repetitionStats]] would, since boilerplate
+    * REPEATED ACROSS documents looks novel inside each one.
+    *
+    * Output: `(<groupCol>, n, total_ngrams, distinct_ngrams,
+    * distinct_ratio)` — one row per (group, n); groups whose documents are
+    * all shorter than n emit no row for that n.
+    *
+    * Shape: one tokenize pass; all levels ride ONE generator (an array of
+    * (n, grams) structs, so the scan is not re-read per level), then one
+    * (group, n) aggregate with a single `countDistinct` — one distinct
+    * column keeps the plan on hash aggregation (the multi-distinct Expand
+    * + SortAggregate trap). At 100 TB the exact distinct shuffles every
+    * n-gram once; the approx path swaps `countDistinct` for the q42 HLL
+    * sketch at the same shape. The short-doc guard lives INSIDE the
+    * expression (`sequence(1, size−n+1)` must never see size < n — it
+    * would generate a DESCENDING range). */
+  def distinctNgramStats(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
+                         groupCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val toks = col("__toks")
+    val levels = ns.map { n =>
+      struct(lit(n).as("n"),
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - n + 1), i =>
+            array_join(slice(toks, i, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    }
+    docs
+      .select(col(groupCol).as("__grp"),
+        filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+      .select(col("__grp"), explode(array(levels: _*)).as("__lvl"))
+      .select(col("__grp"), col("__lvl.n").as("n"),
+        explode(col("__lvl.grams")).as("__gram"))
+      .groupBy("__grp", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("__gram")).as("distinct_ngrams"))
+      .select(col("__grp").as(groupCol), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 4)
+          .as("distinct_ratio"))
+  }
 }

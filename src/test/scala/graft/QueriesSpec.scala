@@ -59,6 +59,17 @@ class QueriesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q131 leakage invariant: no LSH cluster straddles two splits") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val out = Queries.all("q131_leakage_safe_split")(spark, sfDir)
+    val straddling = out.groupBy("cluster_id")
+      .agg(countDistinct("split").as("ns")).filter(col("ns") > 1).count()
+    assert(straddling === 0)
+    // every document is assigned exactly once
+    val docs = Tables.load(spark, sfDir, "documents").count()
+    assert(out.count() === docs)
+  }
+
   test("every query has an oracle (or is a declared rows-only op)") {
     val missing = Queries.all.keySet -- Queries.oracles.keySet -- oracleless
     assert(missing.isEmpty, s"queries without oracle: $missing")
