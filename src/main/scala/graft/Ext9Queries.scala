@@ -107,7 +107,7 @@ object Ext9Queries {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
          |       round(sum(tf * (ln(CAST(ct + 1 AS DOUBLE) / (tt + $DsirBuckets)) -
          |                       ln(CAST(cs + 1 AS DOUBLE) / (s + $DsirBuckets)))),
-         |             4) AS log_weight
+         |             4) + 0.0 AS log_weight
          |FROM tf JOIN model USING (b) CROSS JOIN tot
          |GROUP BY doc_id""".stripMargin,
 

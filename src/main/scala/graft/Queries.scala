@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,13 +37,29 @@ object Queries {
 
     // A3/A4: grouped aggregation with arithmetic (TPC-H Q1 shape).
     "q01_pricing_summary" -> ((s, dir) => {
+      // Money sums follow the q02 exact-aggregation rule (the round-12 sf1
+      // lesson surfaced HERE in round 14: at ~1e10 magnitudes the engines'
+      // double-sum association orders diverge in the 4th decimal — q01's
+      // sf1 compare flipped run-to-run): quantize each product to
+      // millionths as a long (pure codegen FP, identical to the oracle's
+      // per-row decimal(23,6) cast — see q02 for the verified identity),
+      // sum exactly in decimal(25,0), divide/round once per output row.
+      // sum_qty/avg_qty are sums of INTEGRAL doubles (exact at any order)
+      // and avg_disc's rounding headroom is ~1e7× its association error,
+      // so those stay free-running.
+      val base6 = floor(col("l_extendedprice") * lit(1000000.0) + lit(0.5))
+        .cast("long")
+      val disc6 = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+      def money(c: Column) = round(sum(c.cast("decimal(25,0)"))
+        / lit(1000000).cast("decimal(7,0)"), 4).cast("double")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(ts_19980902))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum("l_quantity"), 4).as("sum_qty"),
-          round(sum("l_extendedprice"), 4).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          money(base6).as("sum_base_price"),
+          money(disc6).as("sum_disc_price"),
           round(avg("l_quantity"), 4).as("avg_qty"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -466,8 +482,8 @@ object Queries {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),4) AS sum_qty,
-         round(sum(l_extendedprice),4) AS sum_base_price,
-         round(sum(l_extendedprice*(1.0-l_discount)),4) AS sum_disc_price,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(23,6))),4) AS DOUBLE) AS sum_base_price,
+         CAST(round(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(23,6))),4) AS DOUBLE) AS sum_disc_price,
          round(avg(l_quantity),4) AS avg_qty,
          round(avg(l_discount),4) AS avg_disc,
          count(*) AS count_order

@@ -278,6 +278,16 @@ object ScaleStress {
               col("n_emails") + col("n_urls") + col("n_phones")).as("w"))
             .agg(sum(col("w"))).count()
         }),
+      // q132: DSIR importance weights under replication — the bucket
+      // model is FIXED-SIZE (256 rows) at any corpus, so 10× rows mean
+      // linearly more (doc, bucket) tf rows flowing through the same
+      // broadcast-scored aggregates; the wall factor should track rows
+      // (never vocabulary), the claim that distinguishes hashed features
+      // from a vocabulary-keyed model at 100 TB.
+      shape("q132_dsir_corpus_scale", Seq(1, 10),
+        k => stressDocs(k, hot = 0),
+        df => graft.operators.DataSelection
+          .dsirWeights(df, col("doc_id") % 2 === 0).count()),
       "q102_incremental_probe" -> { () =>
         def batch = docsBase.select((col("doc_id") + 80000000L).as("doc_id"),
           concat(col("text"), lit(" probe")).as("text"))

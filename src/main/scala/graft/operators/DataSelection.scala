@@ -76,6 +76,10 @@ object DataSelection {
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"),
-        round(sum(col("tf") * (log(pT) - log(pR))), 4).as("log_weight"))
+        // + 0.0 canonicalizes IEEE −0.0 after the round (the q125 lesson:
+        // a sum landing in (−5e−7, 0] rounds to a signed zero whose sign
+        // the engines derive differently, and the compare is textual)
+        (round(sum(col("tf") * (log(pT) - log(pR))), 4) + lit(0.0))
+          .as("log_weight"))
   }
 }
