@@ -386,12 +386,17 @@ object ExtQueries {
     * occupancy is a handful of vectors, so recall needs a wider ball and
     * the extra scan is a few hundred rows (measured at the 500-vector
     * test corpora: H2 recall@10 = 0.4–0.5, H3 = 0.7–0.9 at scan_frac
-    * ~0.42 — of 500 rows). From 2000 vectors up the ball tightens to
+    * ~0.42 — of 500 rows). From ~2000 vectors up the ball tightens to
     * Hamming≤2, where 8×12-bit measures recall 0.9 (2k vectors, sf0.1) /
     * 0.8 (20k, sf1) at scan_frac 0.16–0.17. The threshold is decided
-    * from parquet footer counts (O(files), no data scan). */
+    * from parquet footer counts (O(files), no data scan) and sits at 1000
+    * — midway between the corpus sizes it separates — because the scored
+    * corpus EXCLUDES the query vector (sf0.1's 2000 rows score as 1999;
+    * a threshold at exactly 2000 put sf0.1 in the wide-ball branch and
+    * published scan_frac 0.45 for a corpus the tight ball serves at
+    * 0.16 with recall 0.9). */
   private[graft] def annLshProbeHFor(corpusRows: Long): Int =
-    if (corpusRows < 2000L) 3 else 2
+    if (corpusRows < 1000L) 3 else 2
   private[graft] val IvfCentroids = 16
   private[graft] val IvfProbe = 4
   private[graft] val PqM = 8
