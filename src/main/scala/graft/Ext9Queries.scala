@@ -55,7 +55,17 @@ object Ext9Queries {
     // Distinct-n diversity per source, n ∈ {1,2,3}.
     "q133_distinct_ngrams" -> ((s, dir) =>
       graft.operators.TextAnalysis.distinctNgramStats(
-        t(s, dir, "documents")))
+        t(s, dir, "documents"))),
+
+    // MMR diversity re-rank of the brute top-20 pool for the standard
+    // vec_id-0 query — the retrieved-context selection step of a RAG
+    // pipeline. The oracle replays the same greedy loop as a recursive
+    // CTE (tractable at oracle scale; the Spark side's pool collect is
+    // poolSize-bounded at any corpus size).
+    "q134_mmr_rerank" -> ((s, dir) =>
+      graft.operators.Similarity.mmrRerank(
+        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        ExtQueries.queryVector(s, dir)))
   )
 
   // ------------------------------------------------------------------ oracles
@@ -131,6 +141,49 @@ object Ext9Queries {
         |       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
         |       round(CAST(count(DISTINCT gram) AS DOUBLE) / count(*), 4)
         |         AS distinct_ratio
-        |FROM grams GROUP BY source, n""".stripMargin
+        |FROM grams GROUP BY source, n""".stripMargin,
+
+    // Greedy MMR as a recursive CTE: each step LATERAL-picks the argmax
+    // of 7·rel − 3·max(sim to picked) over the unpicked pool. rel/sim are
+    // the q23 cosine formulation quantized to 6; the score is λ = 0.7
+    // SCALED ×10 so it stays on the inputs' 1e-6 decimal grid (see
+    // [[graft.operators.Similarity.mmrRerank]] — an unscaled 0.7·rel has
+    // a 7th decimal landing on round-half ties the engines resolve
+    // differently). Selection order (score desc, vec_id asc) is unique.
+    "q134_mmr_rerank" ->
+      """WITH RECURSIVE
+        |n AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+        |      FROM embeddings),
+        |q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT n.vec_id, n.v,
+        |         round(list_sum([p[1]*p[2] for p in list_zip(n.v, q.qv)]) /
+        |               (sqrt(list_sum([x*x for x in n.v])) *
+        |                sqrt(list_sum([x*x for x in q.qv]))), 6) + 0.0 AS rel
+        |  FROM n, q WHERE n.vec_id <> 0
+        |  ORDER BY rel DESC, vec_id ASC LIMIT 20),
+        |sims AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |         round(list_sum([p[1]*p[2] for p in list_zip(a.v, b.v)]) /
+        |               (sqrt(list_sum([x*x for x in a.v])) *
+        |                sqrt(list_sum([x*x for x in b.v]))), 6) + 0.0 AS sim
+        |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        |sel(step, vec_id, rel, mmr, picked) AS (
+        |  (SELECT 1, vec_id, rel, round(7*rel, 6) + 0.0, [vec_id]
+        |   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT sel.step+1, nxt.vec_id, nxt.rel, nxt.mmr,
+        |         list_append(sel.picked, nxt.vec_id)
+        |  FROM sel, LATERAL (
+        |    SELECT c.vec_id, c.rel,
+        |           round(7*c.rel - 3*(SELECT max(sim) FROM sims
+        |                              WHERE ia = c.vec_id
+        |                                AND list_contains(sel.picked, ib)),
+        |                 6) + 0.0 AS mmr
+        |    FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
+        |    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
+        |  WHERE sel.step < 10)
+        |SELECT step AS rank, vec_id, rel AS relevance, mmr AS mmr_score
+        |FROM sel""".stripMargin
   )
 }

@@ -413,7 +413,7 @@ object ExtQueries {
 
   /** The canonical ANN query vector (vec_id = 0), collected once per call —
     * one row, driver-side by design (probe-set computation is driver work). */
-  private def queryVector(s: SparkSession, dir: String): Array[Double] =
+  private[graft] def queryVector(s: SparkSession, dir: String): Array[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Any](0)
       .map { case f: Float => f.toDouble; case d: Double => d }.toArray

@@ -144,6 +144,73 @@ object Similarity {
       .select(col(idCol), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+    * the diversity-aware selection used when retrieved context feeds an
+    * LLM: from a relevance-ranked candidate pool, greedily pick the item
+    * maximizing `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, so the
+    * second pick stops being a near-duplicate of the first.
+    *
+    * Scale shape: ONE corpus scan builds the top-`poolSize` pool by
+    * quantized cosine (at 100 TB the pool comes from an ANN probe —
+    * q24/q25/q36 — feeding this same re-rank; MMR itself is O(k·pool)
+    * and runs on the driver over a POOL-BOUNDED collect, the centroid
+    * rule). Pairwise pool similarities are computed by the SAME native
+    * cosine kernel on a pool×pool frame (poolSize² tiny rows) — never
+    * driver float math that could drift from the kernel.
+    *
+    * Engine parity: rel and sim are quantized to 6 places (rank-parity
+    * discipline); the published score is `7·rel − 3·maxsim` — λ = 0.7
+    * SCALED BY 10, which keeps the score on the same 1e-6 decimal grid
+    * as its inputs (integer 7k − 3m over 10⁶). A plain `0.7·rel` carries
+    * a 7th decimal that lands exactly on round-half ties whenever rel's
+    * 6th digit is 5, and the engines' round() disagree on halves (the
+    * q81 lesson); on-grid values sit ~1e-16 from their rounding target,
+    * where both engines agree. Selection order: (score desc, vec_id asc)
+    * — unique. Output: (rank, vec_id, relevance, mmr_score). */
+  def mmrRerank(embeddings: DataFrame, queryVec: Array[Double], k: Int = 10,
+                poolSize: Int = 20, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.plans.CosineSimilarity.register(spark)
+    def r6(x: Double): Double = // Spark round() semantics: decimal HALF_UP
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val pool = embeddings
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        (round(cosineSimilarityNative(col("v"),
+          typedLit(queryVec.toSeq)), 6) + lit(0.0)).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val rel = pool.map { case (id, _, r) => id -> r }.toMap
+    // pool×pool sims through the kernel — poolSize² rows, one tiny job
+    val sim = pool.toSeq.toDF("ia", "va", "ra")
+      .crossJoin(pool.toSeq.toDF("ib", "vb", "rb"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        (round(cosineSimilarityNative(col("va"), col("vb")), 6) + lit(0.0))
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    val remaining = scala.collection.mutable.SortedSet[Long](pool.map(_._1): _*)
+    while (selected.size < math.min(k, pool.length)) {
+      val scored = remaining.toSeq.map { id =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => sim((id, s._2))).max
+        (r6(7.0 * rel(id) - 3.0 * maxSim), id)
+      }
+      val (score, best) = scored.minBy { case (s, id) => (-s, id) }
+      selected += ((selected.size + 1, best, rel(best), score))
+      remaining -= best
+    }
+    selected.toSeq.toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector,
     * the top-`k` most-similar corpus vectors whose label DIFFERS from the
     * query's — the "looks alike, isn't" pairs a retrieval/embedding model
