@@ -133,4 +133,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be per-partition heaps, not a global sort:\n$plan")
   }
+
+  test("q133 plan: single-distinct stays on hash aggregation — no Expand, " +
+    "no SortAggregate") {
+    val plan = SparkEntry.queries("q133_distinct_ngrams")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one countDistinct + one plain count must rewrite to the two-level
+    // hash aggregate; a second distinct column (or a var-length min/max)
+    // would trigger the Expand + SortAggregate trap (45M gram rows at sf1
+    // would then sort instead of hash)
+    assert(!plan.contains("Expand"), s"Expand in the distinct path:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"aggregation fell off hash aggregation:\n$plan")
+  }
+
+  test("q132 plan: bucket-model joins broadcast; tf reuse via cache") {
+    val plan = SparkEntry.queries("q132_dsir_weights")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket-model join must broadcast (256 rows at any corpus):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"shuffle join in the scoring path:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"(doc, bucket) tf frame must be cached — model build and scorer " +
+        s"both consume it:\n$plan")
+  }
 }
