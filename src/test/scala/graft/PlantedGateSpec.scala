@@ -32,4 +32,15 @@ class PlantedGateSpec extends AnyFunSuite {
     ExtQueries.plantedGate("gate-spec-ok", "d2")(run) // new dir: runs
     assert(calls == 2)
   }
+
+  test("annLshProbeHFor: every SF corpus lands on the intended side of " +
+    "the threshold (the corpus EXCLUDES the query vector — round-14's " +
+    "off-by-one shipped scan_frac 0.45 because 2000-row sf0.1 scored " +
+    "as 1999)") {
+    assert(ExtQueries.annLshProbeHFor(499L) === 3)   // sf0.001/sf0.01: 500 − 1
+    assert(ExtQueries.annLshProbeHFor(999L) === 3)   // last wide-ball corpus
+    assert(ExtQueries.annLshProbeHFor(1000L) === 2)  // first tight-ball corpus
+    assert(ExtQueries.annLshProbeHFor(1999L) === 2)  // sf0.1: 2000 − 1
+    assert(ExtQueries.annLshProbeHFor(19999L) === 2) // sf1: 20000 − 1
+  }
 }
