@@ -130,9 +130,11 @@ object Bench {
       graft.util.Fs.deleteRecursively(
         s"${sys.props("java.io.tmpdir")}/graft-index",
         spark.sparkContext.hadoopConfiguration)
-    // q87 builds its bucketed tables on first call per JVM — its warm-up
-    // pass is the layout build, its timed passes the co-located join.
-    val layoutQueries = Seq("q87_bucketed_join").filter(selected.contains)
+    // q87/q02 build their bucketed tables on first call per JVM — the
+    // warm-up pass is the layout build, the timed passes the co-located
+    // join (pay-once layout measured as such).
+    val layoutQueries = Seq("q87_bucketed_join", "q02_revenue_by_nation")
+      .filter(selected.contains)
 
     val maxRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_RUNS", "7").toInt
     final case class Timing(median: Double, min: Double, spread: Double,

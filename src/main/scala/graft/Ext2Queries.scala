@@ -201,18 +201,28 @@ object Ext2Queries {
     // Train/test contamination report: winnowed-fingerprint overlap
     // between the (deterministic) even/odd split — the pre-training check
     // that eval data didn't leak into the corpus.
+    //
+    // Shape (round-15): ONE winnow pass and ONE fingerprint exchange —
+    // per fingerprint, a single aggregation marks whether the even
+    // (train) side saw it AND collects the odd (test) docs carrying it
+    // (collect_list skips the nulls the CASE leaves on even rows); the
+    // contaminated-fingerprint groups explode back to (doc, fp) pairs and
+    // one doc-keyed count finishes. The previous persist+count + distinct
+    // + join shape paid a cache materialization pass plus three
+    // exchanges for the same answer. Per-group memory is bounded by the
+    // fingerprint's document frequency — the same bound the join's
+    // fan-out had. `count(*)` IS the distinct count: winnow emits each
+    // fingerprint at most once per doc.
     "q66_contamination" -> ((s, dir) => {
-      // fp feeds both the train set and the test join arm: persist +
-      // materialize once (the q44 discipline) or winnowing computes twice
-      val fp = graft.operators.TextDedup.winnowFingerprints(t(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      fp.count()
-      val train = fp.filter(col("doc_id") % 2 === 0)
-        .select(col("fingerprint")).distinct()
-      fp.filter(col("doc_id") % 2 === 1)
-        .join(train, "fingerprint")
+      graft.operators.TextDedup.winnowFingerprints(t(s, dir, "documents"))
+        .groupBy(col("fingerprint"))
+        .agg(
+          max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("he"),
+          collect_list(when(col("doc_id") % 2 === 1, col("doc_id"))).as("odds"))
+        .filter(col("he") === 1 && size(col("odds")) > 0)
+        .select(explode(col("odds")).as("doc_id"))
         .groupBy(col("doc_id"))
-        .agg(count_distinct(col("fingerprint")).as("n_shared"))
+        .agg(count(lit(1)).as("n_shared"))
     }),
 
     // Built-in session_window (gap-merge semantics, end = last event +
@@ -452,7 +462,8 @@ object Ext2Queries {
           shp AS (SELECT doc_id,
                    [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))] AS sh
                   FROM toks),
-          hashes AS (SELECT doc_id, [substr(md5(s),1,8) for s in sh] AS hs FROM shp),
+          hashes AS (SELECT doc_id,
+                   [('0x'||substr(md5(s),1,15))::BIGINT for s in sh] AS hs FROM shp),
           win AS (SELECT doc_id,
                    CASE WHEN len(hs) >= 4
                         THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-2)])

@@ -25,8 +25,10 @@ object Ext9Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** q132's target predicate: English documents — "more like the English
-    * slice" is the demo target distribution; any row predicate works. */
+  /** q132's hashed-feature dimension: the DSIR bucket count — the model is
+    * a `DsirBuckets`-row table regardless of vocabulary size. Interpolated
+    * into both the Spark call and the oracle SQL so the two can never
+    * desync. */
   private val DsirBuckets = 256
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -47,7 +49,7 @@ object Ext9Queries {
 
     // DSIR importance weights against the English slice as the target
     // distribution (lang = 'en' — a stand-in for "high-quality reference
-    // corpus"; the operator takes any predicate).
+    // corpus"; the operator takes any row predicate over the corpus).
     "q132_dsir_weights" -> ((s, dir) =>
       graft.operators.DataSelection.dsirWeights(
         t(s, dir, "documents"), col("lang") === "en", buckets = DsirBuckets)),
@@ -122,8 +124,11 @@ object Ext9Queries {
          |GROUP BY doc_id""".stripMargin,
 
     // Same tokenization (lower/trim/\s+/drop-empties), same space-joined
-    // n-grams; `range(1, len−n+2)` is empty when the doc is shorter than
-    // n, mirroring the Spark side's in-expression guard.
+    // n-grams hashed through the portable md5-60bit family (round-15:
+    // both engines count the SAME 60-bit hashes, so totals/distincts
+    // agree exactly by construction); `range(1, len−n+2)` is empty when
+    // the doc is shorter than n, mirroring the Spark side's in-expression
+    // guard.
     "q133_distinct_ngrams" ->
       """WITH toks AS (
         |  SELECT source,
@@ -134,7 +139,8 @@ object Ext9Queries {
         |grams AS (
         |  SELECT source, n,
         |         unnest(list_transform(range(1, len(tk) - n + 2),
-        |                i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+        |                i -> ('0x'||substr(md5(array_to_string(tk[i:i+n-1], ' ')),
+        |                      1, 15))::BIGINT)) AS gram
         |  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) levels
         |)
         |SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
@@ -150,8 +156,12 @@ object Ext9Queries {
     // [[graft.operators.Similarity.mmrRerank]] — an unscaled 0.7·rel has
     // a 7th decimal landing on round-half ties the engines resolve
     // differently). Selection order (score desc, vec_id asc) is unique.
-    "q134_mmr_rerank" ->
-      """WITH RECURSIVE
+    // The weights, pool size and step bound are INTERPOLATED from the
+    // Similarity constants the operator itself uses — changing the
+    // operator defaults moves the oracle with it (round-14 advisor item).
+    "q134_mmr_rerank" -> {
+      import graft.operators.Similarity.{MmrK, MmrPool, MmrRelWeight, MmrSimWeight}
+      s"""WITH RECURSIVE
         |n AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
         |      FROM embeddings),
         |q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
@@ -161,7 +171,7 @@ object Ext9Queries {
         |               (sqrt(list_sum([x*x for x in n.v])) *
         |                sqrt(list_sum([x*x for x in q.qv]))), 6) + 0.0 AS rel
         |  FROM n, q WHERE n.vec_id <> 0
-        |  ORDER BY rel DESC, vec_id ASC LIMIT 20),
+        |  ORDER BY rel DESC, vec_id ASC LIMIT $MmrPool),
         |sims AS (
         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
         |         round(list_sum([p[1]*p[2] for p in list_zip(a.v, b.v)]) /
@@ -169,21 +179,23 @@ object Ext9Queries {
         |                sqrt(list_sum([x*x for x in b.v]))), 6) + 0.0 AS sim
         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
         |sel(step, vec_id, rel, mmr, picked) AS (
-        |  (SELECT 1, vec_id, rel, round(7*rel, 6) + 0.0, [vec_id]
+        |  (SELECT 1, vec_id, rel, round($MmrRelWeight*rel, 6) + 0.0, [vec_id]
         |   FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
         |  UNION ALL
         |  SELECT sel.step+1, nxt.vec_id, nxt.rel, nxt.mmr,
         |         list_append(sel.picked, nxt.vec_id)
         |  FROM sel, LATERAL (
         |    SELECT c.vec_id, c.rel,
-        |           round(7*c.rel - 3*(SELECT max(sim) FROM sims
+        |           round($MmrRelWeight*c.rel -
+        |                 $MmrSimWeight*(SELECT max(sim) FROM sims
         |                              WHERE ia = c.vec_id
         |                                AND list_contains(sel.picked, ib)),
         |                 6) + 0.0 AS mmr
         |    FROM cand c WHERE NOT list_contains(sel.picked, c.vec_id)
         |    ORDER BY mmr DESC, c.vec_id LIMIT 1) nxt
-        |  WHERE sel.step < 10)
+        |  WHERE sel.step < $MmrK)
         |SELECT step AS rank, vec_id, rel AS relevance, mmr AS mmr_score
         |FROM sel""".stripMargin
+    }
   )
 }

@@ -276,25 +276,26 @@ object ExtQueries {
     // catches copied RUNS (plagiarism shape), complementing MinHash's
     // whole-document similarity. Fingerprints with df > 50 are pruned
     // (fan-out control, same rationale as the Jaccard shingle cap).
+    //
+    // Shape (round-15, the q22 bucket idiom): candidate pairs come from
+    // per-fingerprint doc buckets, NOT a df-join + self-join — ONE
+    // groupBy(fingerprint).collect_list buckets every fingerprint's doc
+    // ids (the 2..50 size filter IS the df filter, and the cap bounds
+    // each collected list, so memory per group is fixed), ordered pairs
+    // are emitted in place from the sorted bucket, and one pair
+    // aggregation counts shared fingerprints. The previous formulation
+    // (persist + count + df agg + join back + two-arm self-join) paid
+    // three extra stages and a cache round-trip for the identical
+    // n_shared. Fingerprints are hash60 longs end to end.
     "q44_containment_pairs" -> ((s, dir) => {
-      // fp feeds three plan branches (the df aggregation and both join
-      // arms): persist once so winnowing computes once, same discipline as
-      // the LSH signature frames
       val fp = TextDedup.winnowFingerprints(t(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the cache BEFORE fanning out into three consumers:
-      // lazily-persisted branches race to fill it and can compute the
-      // winnowing repeatedly (measured as multi-second timing spread)
-      fp.count()
-      val rare = fp.join(
-        fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
-          .filter(col("df").between(2, 50)).select("fingerprint"),
-        "fingerprint")
-      rare.as("a")
-        .join(rare.as("b"),
-          col("a.fingerprint") === col("b.fingerprint") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      fp.groupBy(col("fingerprint"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 50))
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
     }),
@@ -388,9 +389,10 @@ object ExtQueries {
     * test corpora: H2 recall@10 = 0.4–0.5, H3 = 0.7–0.9 at scan_frac
     * ~0.42 — of 500 rows). From ~2000 vectors up the ball tightens to
     * Hamming≤2, where 8×12-bit measures recall 0.9 (2k vectors, sf0.1) /
-    * 0.8 (20k, sf1) at scan_frac 0.16–0.17. The threshold is decided
-    * from parquet footer counts (O(files), no data scan) and sits at 1000
-    * — midway between the corpus sizes it separates — because the scored
+    * 0.8 (20k, sf1) at scan_frac 0.16–0.17. Call sites derive the corpus
+    * size from a one-column filtered count (`vec_id =!= 0`), cheap at any
+    * scale. The threshold sits at 1000 — midway between the corpus sizes
+    * it separates — because the scored
     * corpus EXCLUDES the query vector (sf0.1's 2000 rows score as 1999;
     * a threshold at exactly 2000 put sf0.1 in the wide-ball branch and
     * published scan_frac 0.45 for a corpus the tight ball serves at
@@ -696,7 +698,8 @@ object ExtQueries {
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
                        FROM documents),
           bg AS (SELECT doc_id,
-                   unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+                   unnest([('0x'||substr(md5(t[i] || ' ' || t[i+1]),1,15))::BIGINT
+                           for i in range(1, len(t))]) AS bg
                  FROM toks),
           cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
           SELECT doc_id,
@@ -727,7 +730,8 @@ object ExtQueries {
           shp AS (SELECT doc_id,
                    [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))] AS sh
                   FROM toks),
-          hashes AS (SELECT doc_id, [substr(md5(s),1,8) for s in sh] AS hs FROM shp),
+          hashes AS (SELECT doc_id,
+                   [('0x'||substr(md5(s),1,15))::BIGINT for s in sh] AS hs FROM shp),
           win AS (SELECT doc_id,
                    CASE WHEN len(hs) >= 4
                         THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-2)])
@@ -769,7 +773,8 @@ object ExtQueries {
           shp AS (SELECT doc_id,
                    [array_to_string(t[i:i+2], ' ') for i in range(1, greatest(len(t)-1, 1))] AS sh
                   FROM toks),
-          hashes AS (SELECT doc_id, [substr(md5(s),1,8) for s in sh] AS hs FROM shp),
+          hashes AS (SELECT doc_id,
+                   [('0x'||substr(md5(s),1,15))::BIGINT for s in sh] AS hs FROM shp),
           win AS (SELECT doc_id,
                    CASE WHEN len(hs) >= 4
                         THEN list_distinct([list_min(hs[i:i+3]) for i in range(1, len(hs)-2)])

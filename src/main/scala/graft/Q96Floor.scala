@@ -92,8 +92,14 @@ object Q96Floor {
       s""""final_read":${n(finalRead)},"full":${n(full)},""" +
       s""""note":"seed_build + stream_run + final_read are per-RUN constants of a streaming sink (table seeding, AvailableNow micro-batch machinery, bucketed layout read); none scales with data volume at fixed key cardinality","sf":"$sfDir"}"""
     println(json)
+    // sf-suffixed artifact for non-default scale factors (round-15: the
+    // sf1 decomposition is a separate committed file, q96_floor_sf1.json;
+    // the legacy unsuffixed name stays the sf0.1 artifact)
+    val sfLabel = new java.io.File(sfDir).getName.replace(".", "")
+    val out = if (sfLabel == "sf01") "target/q96_floor.json"
+              else s"target/q96_floor_$sfLabel.json"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/q96_floor.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

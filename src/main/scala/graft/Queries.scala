@@ -95,14 +95,55 @@ object Queries {
       // until 9.2e18 and automatically widening beyond, so the group total
       // is exact at ANY scale; the ÷10^6 decimal divide and round(,4)
       // happen once per output row.
+      // Layout (round-15, the q87 machinery): lineitem and orders live as
+      // PAY-ONCE tables bucketed by order key, so both remaining heavy
+      // exchanges vanish — the per-order pre-aggregation rides the
+      // lineitem bucketing (a hash aggregate over a bucketed scan has its
+      // required distribution satisfied, no exchange) and the
+      // perOrder ⋈ orders join is bucket-co-located (32 = 32). Build is
+      // once per JVM per (path, mtime) — the q87 cache-key discipline —
+      // and Bench reports the warm-up build separately (`layout_build`).
+      // 32 buckets = local[32] parallelism; a cluster writes the same
+      // layout with O(data / target-file-size) buckets. Customer joins by
+      // broadcast (projected: 2 longs/row — MBs at bench scale; a
+      // deployment where customer is fact-sized buckets it on custkey
+      // with the same machinery instead).
+      import graft.operators.Layout
+      val mtimes = Seq("lineitem", "orders")
+        .map(tn => new java.io.File(s"$dir/$tn.parquet").lastModified).max
+      val sfx = s"${dir}_$mtimes".replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val liTbl = s"graft_q02_li_$sfx"; val ordTbl = s"graft_q02_ord_$sfx"
+      if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(ordTbl)) {
+        Seq(liTbl, ordTbl).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          graft.util.Fs.deleteRecursively(
+            s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + tbl,
+            s.sparkContext.hadoopConfiguration)
+        }
+        Layout.writeBucketed(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          liTbl, "l_orderkey", numBuckets = 32)
+        Layout.writeBucketed(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          ordTbl, "o_orderkey", numBuckets = 32)
+      }
       val rev6 = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * lit(1000000.0) + lit(0.5)).cast("long")
-      val perOrder = t(s, dir, "lineitem")
+      val perOrder = s.table(liTbl)
         .groupBy(col("l_orderkey"))
         .agg(sum(rev6).as("rev6"))
       perOrder
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        // co-partitioned buckets make the join exchange-free either way;
+        // the SHUFFLE_HASH hint swaps the SMJ's two per-partition sorts
+        // (1.5M rows each side at sf1) for one build-side hash map per
+        // bucket — measured faster at every SF, and the build side is
+        // bucket-bounded (rows/buckets) at any scale
+        .join(s.table(ordTbl).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

@@ -56,9 +56,15 @@ object StreamFloors {
     }
     def timedMedian(passes: Int)(f: => Double): Double = { f; med(Seq.fill(passes)(f)) }
     def n(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
+    // sf-suffixed artifacts for non-default scale factors (round-15: the
+    // sf1 decompositions are separate committed files, *_floor_sf1.json;
+    // the legacy unsuffixed names stay the sf0.1 artifacts)
+    val sfLabel = new java.io.File(sfDir).getName.replace(".", "")
     def write(name: String, json: String): Unit = {
+      val out = if (sfLabel == "sf01") name
+                else name.replace("_floor.json", s"_floor_$sfLabel.json")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
-      java.nio.file.Files.write(java.nio.file.Paths.get(s"target/$name"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"target/$out"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(json)
     }

@@ -50,13 +50,17 @@ object TextFunctions {
     * sequence: the minimum hash of every length-`w` window, deduplicated.
     * Guarantees any match of length ≥ w+n-1 tokens shares a fingerprint,
     * with ~2/(w+1) of hashes kept — the standard local sampling for
-    * plagiarism/near-dup detection. */
+    * plagiarism/near-dup detection. `hashes` is an `array<bigint>` of
+    * portable [[hash60]] values (round-15: fingerprints ride as 8-byte
+    * longs, not hex strings — the min-selection, shuffle keys and
+    * aggregation keys all work on fixed-width integers, and the oracle
+    * mirrors the same 60-bit family so parity is exact by construction). */
   def winnow(hashes: Column, w: Int = 4): Column =
     when(size(hashes) >= w,
       array_distinct(transform(sequence(lit(0), size(hashes) - w), i =>
         array_min(slice(hashes, i + 1, lit(w))))))
       .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
-        .otherwise(array().cast("array<string>")))
+        .otherwise(array().cast("array<bigint>")))
 
   /** Seeded portable hash to hex (full md5). */
   def seededMd5(seed: Int, value: Column): Column =
@@ -66,6 +70,24 @@ object TextFunctions {
     * conv base 16). 60 bits keeps it inside BIGINT range in both engines. */
   def hash60(value: Column): Column =
     conv(substring(md5(value), 1, 15), 16, 10).cast("long")
+
+  /** Kernel form of [[hash60]] ([[graft.plans.Hash60]]): bit-identical
+    * value (differential-tested), ~6× cheaper — no hex-string round-trip.
+    * Callers must register the kernel on the session first
+    * (`graft.plans.Hash60.register`); every operator entry point using
+    * this does so. The SQL-oracle twin is unchanged:
+    * `('0x'||substr(md5(s),1,15))::BIGINT`. */
+  def hash60Fast(value: Column): Column = call_function("graft_hash60", value)
+
+  /** Fused positional-n-gram hash kernel ([[graft.plans.NgramHash60]]):
+    * element-for-element equal to
+    * `transform(positionalShinglesFromTokens(t, n), s => hash60(s))`
+    * (differential-tested) with no intermediate gram strings. Callers
+    * register the kernel on the session first. `t` must be a
+    * MATERIALIZED tokens attribute (same contract as
+    * [[positionalShinglesFromTokens]]). */
+  def ngramHash60(t: Column, n: Int): Column =
+    call_function("graft_ngram_hash60", t, lit(n))
 
   /** Count of non-overlapping occurrences of literal `marker` in `text`
     * via the replace-length trick (plain string replace, not regex) —

@@ -54,6 +54,15 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     require(Fs.readMarker(s"$path/${Upsert.BucketMarker}", conf).isDefined,
       s"$path is not a graft bucketed layout")
+    Upsert.withWriterLock(path, conf) {
+      compactBucketsLocked(spark, path, maxFilesPerBucket)
+    }
+  }
+
+  private def compactBucketsLocked(spark: SparkSession, path: String,
+                                   maxFilesPerBucket: Int): Int = {
+    import graft.util.Fs
+    val conf = spark.sparkContext.hadoopConfiguration
 
     // crash recovery FIRST: a previous run that died inside swapInto
     // (between deleting the bucket dir and renaming the staged copy in)

@@ -146,7 +146,18 @@ object Merge {
                             keys: Seq[String],
                             matched: Seq[MatchedAction],
                             notMatched: Option[NotMatchedInsert],
-                            sourcePriority: Seq[Column]): Unit = {
+                            sourcePriority: Seq[Column]): Unit =
+    // single-writer contract, enforced: a concurrent writer fails loudly
+    // instead of interleaving bucket swaps (see Upsert.withWriterLock)
+    Upsert.withWriterLock(path, spark.sparkContext.hadoopConfiguration) {
+      mergePartitionedTableLocked(spark, path, source, keys, matched,
+        notMatched, sourcePriority)
+    }
+
+  private def mergePartitionedTableLocked(
+      spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], matched: Seq[MatchedAction],
+      notMatched: Option[NotMatchedInsert], sourcePriority: Seq[Column]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val markerBuckets = graft.util.Fs
       .readMarker(s"$path/${Upsert.BucketMarker}", conf).map(_.toInt)

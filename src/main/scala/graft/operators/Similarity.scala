@@ -144,6 +144,16 @@ object Similarity {
       .select(col(idCol), round(col("cos"), 6).as("cosine"))
   }
 
+  /** MMR defaults, shared VERBATIM with the q134 oracle (which
+    * interpolates them into its SQL, so operator and oracle can never
+    * silently desync — round-14 advisor item): λ = 0.7 scaled ×10 into
+    * the integer weights 7 (relevance) / 3 (max-similarity), which keeps
+    * the blended score on the inputs' 1e-6 grid (see [[mmrRerank]]). */
+  val MmrRelWeight = 7
+  val MmrSimWeight = 3
+  val MmrK = 10
+  val MmrPool = 20
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
     * the diversity-aware selection used when retrieved context feeds an
     * LLM: from a relevance-ranked candidate pool, greedily pick the item
@@ -167,8 +177,8 @@ object Similarity {
     * q81 lesson); on-grid values sit ~1e-16 from their rounding target,
     * where both engines agree. Selection order: (score desc, vec_id asc)
     * — unique. Output: (rank, vec_id, relevance, mmr_score). */
-  def mmrRerank(embeddings: DataFrame, queryVec: Array[Double], k: Int = 10,
-                poolSize: Int = 20, idCol: String = "vec_id",
+  def mmrRerank(embeddings: DataFrame, queryVec: Array[Double], k: Int = MmrK,
+                poolSize: Int = MmrPool, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -202,7 +212,7 @@ object Similarity {
         val maxSim =
           if (selected.isEmpty) 0.0
           else selected.map(s => sim((id, s._2))).max
-        (r6(7.0 * rel(id) - 3.0 * maxSim), id)
+        (r6(MmrRelWeight.toDouble * rel(id) - MmrSimWeight.toDouble * maxSim), id)
       }
       val (score, best) = scored.minBy { case (s, id) => (-s, id) }
       selected += ((selected.size + 1, best, rel(best), score))
@@ -240,7 +250,13 @@ object Similarity {
     // engine; after quantization the (cosine, id) total order is identical
     // whenever the kernels agree to 6 places, which is the contract the
     // q23 oracle already proves.
-    val scored = embeddings.crossJoin(broadcast(queries))
+    // same scan-parallelism rebalance as marginMining: a single-file
+    // corpus is one partition and would score on one core
+    val par = embeddings.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (embeddings.rdd.getNumPartitions < par) embeddings.repartition(par)
+      else embeddings
+    val scored = balanced.crossJoin(broadcast(queries))
       .filter(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("qid"))
       .withColumn("c6", round(score(col(vecCol), col("qv")), 6))
       .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
@@ -275,9 +291,17 @@ object Similarity {
     * two-phase discipline (few queries would otherwise serialize one
     * reducer each); per-candidate statistics partition on the candidate
     * id (corpus-cardinality keys, no skew) and the two windows over that
-    * partitioning share one exchange. The cross scores are recomputed for
-    * the query-side pass rather than checkpointed — the scored frame is
-    * |X|·|Y| rows, exactly the thing not to materialize at scale.
+    * partitioning share one exchange.
+    *
+    * The cross scores are computed ONCE and persisted as a COMPACT
+    * (qid, id, c6) frame — ids plus one quantized double, the vectors
+    * dropped before anything shuffles (round-15; the previous
+    * recompute-not-materialize stance paid the cross-scoring pass twice
+    * AND sorted vector-wide ~1 KB rows through both window exchanges —
+    * measured 14.2 s vs 3.4 s DuckDB at sf1, the suite's largest compute
+    * wall. The compact frame is 24 bytes/row: |X|·|Y| rows of ids+score
+    * is ~60 MB at bench scale and spills cleanly at any scale, which is
+    * a different object than materializing vector-wide cross rows).
     *
     * Engine parity: every cosine is quantized to 6 places BEFORE any
     * averaging (order-insensitive-sum rule), both averages divide by the
@@ -292,8 +316,22 @@ object Similarity {
                    topN: Int = 25, salts: Int = 32, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     graft.plans.CosineSimilarity.register(corpus.sparkSession)
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("c6", round(cosineSimilarityNative(col(vecCol), col("qv")), 6))
+    // scoring parallelism is the corpus SCAN's: a small single-file corpus
+    // is one partition, putting every cosine — and the cached frame all
+    // three downstream branches read — on one core (the shingleRows
+    // lesson; measured 10.0 s → sub-second for the sf1 scoring pass).
+    // A many-split 100 TB corpus takes the free path.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
+    val scored = balanced.crossJoin(broadcast(queries))
+      .select(col("qid"), col(idCol),
+        round(cosineSimilarityNative(col(vecCol), col("qv")), 6).as("c6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE fanning out into the dx and dy branches:
+    // lazily-persisted branches race to fill the cache and can run the
+    // cross-scoring pass twice (the q44/q66 lesson)
+    scored.count()
 
     val localW = Window.partitionBy(col("qid"), col("__salt"))
       .orderBy(col("c6").desc, col(idCol).asc)

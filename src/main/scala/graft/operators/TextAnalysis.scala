@@ -102,25 +102,60 @@ object TextAnalysis {
     * `top_bigram_share` (most frequent bigram / all bigrams) and
     * `repetition` (1 − distinct/total) flag boilerplate, template and
     * looped text that length/stopword ratios miss — a standard pretraining
-    * quality rule alongside [[qualityScore]]. One explode + two hash
-    * aggregations; docs with fewer than two tokens have no bigrams and
-    * drop out (the oracle mirrors this). */
+    * quality rule alongside [[qualityScore]]. Docs with fewer than two
+    * tokens have no bigrams and drop out (the oracle mirrors this).
+    *
+    * Shape (round-15): the statistics are PER-DOCUMENT, so the whole
+    * operator is one codegen'd projection — zero shuffles. Bigrams ride
+    * as sorted portable 60-bit hashes ([[graft.functions.TextFunctions.hash60]],
+    * mirrored verbatim in the oracle so counts agree exactly even under a
+    * hash collision); distinct count and the top-bigram multiplicity are
+    * array-land run-length passes over the sorted hash array. The
+    * previous explode + two-hash-aggregation form shuffled every bigram
+    * twice — 16.7× DuckDB at sf1 on work a scan can do in place; at
+    * 100 TB this shape is one pass with no exchange at all. The empty-doc
+    * drop is a 1-element `filter` HOF under the explode (a computed
+    * generator child keeps InferFiltersFromGenerate off, and no row-level
+    * Filter means predicate pushdown can never re-inline the tokenize
+    * chain below the projection barrier). */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     // tokens materialized into a column BEFORE the shingle lambda consumes
-    // them (the re-evaluation trap documented on shinglesFromTokens)
-    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-    toked
+    // them (the re-evaluation trap documented on shinglesFromTokens).
+    // Rebalance first: ALL of this operator's work is per-row and there is
+    // no downstream exchange to spread it, so a small single-file corpus
+    // would hash+sort every bigram on one core (the shingleRows lesson).
+    graft.plans.NgramHash60.register(docs.sparkSession)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val hashed = balanced
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        explode(positionalShinglesFromTokens(col("__toks"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(sum("cnt").as("n_bigrams"),
-        count(lit(1)).as("distinct_bigrams"),
-        max("cnt").as("__top"))
-      .select(col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
-        round(col("__top").cast("double") / col("n_bigrams"), 4).as("top_bigram_share"),
-        round(lit(1.0) - col("distinct_bigrams").cast("double") / col("n_bigrams"), 4)
+        array_sort(ngramHash60(col("__toks"), 2)).as("__bh"))
+    // max run length over the sorted hashes = top bigram multiplicity;
+    // hash60 is non-negative, so -1 is a safe "no previous" sentinel
+    def topRun(arr: Column): Column =
+      aggregate(arr,
+        struct(lit(-1L).as("p"), lit(0L).as("r"), lit(0L).as("b")),
+        (acc, x) => {
+          val run = when(x === acc.getField("p"), acc.getField("r") + 1L)
+            .otherwise(lit(1L))
+          struct(x.as("p"), run.as("r"), greatest(acc.getField("b"), run).as("b"))
+        },
+        acc => acc.getField("b"))
+    val st = struct(
+      size(col("__bh")).cast("long").as("nb"),
+      size(array_distinct(col("__bh"))).cast("long").as("db"),
+      topRun(col("__bh")).as("tp"))
+    hashed
+      .select(col("doc_id"),
+        explode(filter(array(st), x => x.getField("nb") > 0)).as("st"))
+      .select(col("doc_id"),
+        col("st.nb").as("n_bigrams"),
+        col("st.db").as("distinct_bigrams"),
+        round(col("st.tp").cast("double") / col("st.nb"), 4).as("top_bigram_share"),
+        round(lit(1.0) - col("st.db").cast("double") / col("st.nb"), 4)
           .as("repetition"))
   }
 
@@ -351,24 +386,36 @@ object TextAnalysis {
     * (n, grams) structs, so the scan is not re-read per level), then one
     * (group, n) aggregate with a single `countDistinct` — one distinct
     * column keeps the plan on hash aggregation (the multi-distinct Expand
-    * + SortAggregate trap). At 100 TB the exact distinct shuffles every
-    * n-gram once; the approx path swaps `countDistinct` for the q42 HLL
-    * sketch at the same shape. The short-doc guard lives INSIDE the
-    * expression (`sequence(1, size−n+1)` must never see size < n — it
-    * would generate a DESCENDING range). */
+    * + SortAggregate trap). Grams ride as portable 60-bit hashes
+    * ([[graft.functions.TextFunctions.hash60]], round-15): the distinct
+    * aggregation keys on fixed-width longs instead of variable-length
+    * strings and the shuffle moves 8 bytes per gram — the string form was
+    * 8.8× DuckDB at sf1 on exactly this aggregation. The oracle counts
+    * the IDENTICAL hashes, so totals and distincts agree exactly by
+    * construction (a cross-engine mismatch would need the two engines'
+    * md5 to differ, not a collision). At 100 TB the exact distinct
+    * shuffles every gram hash once; the approx path swaps `countDistinct`
+    * for the q42 HLL sketch at the same shape. The short-doc guard lives
+    * INSIDE the expression (`sequence(1, size−n+1)` must never see
+    * size < n — it would generate a DESCENDING range). */
   def distinctNgramStats(docs: DataFrame, ns: Seq[Int] = Seq(1, 2, 3),
                          groupCol: String = "source",
                          textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    graft.plans.NgramHash60.register(docs.sparkSession)
     val toks = col("__toks")
+    // the kernel yields an empty array for docs shorter than n — the
+    // short-doc guard lives inside it
     val levels = ns.map { n =>
-      struct(lit(n).as("n"),
-        when(size(toks) >= n,
-          transform(sequence(lit(1), size(toks) - n + 1), i =>
-            array_join(slice(toks, i, lit(n)), " ")))
-          .otherwise(array().cast("array<string>")).as("grams"))
+      struct(lit(n).as("n"), ngramHash60(toks, n).as("grams"))
     }
-    docs
+    // gram construction + hashing run BEFORE the aggregation exchange, so
+    // their parallelism is the scan's — rebalance a small single-file
+    // corpus off one core (the shingleRows conditional idiom)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    balanced
       .select(col(groupCol).as("__grp"),
         filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
       .select(col("__grp"), explode(array(levels: _*)).as("__lvl"))

@@ -264,10 +264,16 @@ object TextDedup {
     * one aggregation pass. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val tok = docs
+    graft.plans.Hash60.register(docs.sparkSession)
+    // tokenize+hash run before the bit-vote exchange — rebalance a
+    // single-file corpus off one core (the shingleRows conditional idiom)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val tok = balanced
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(noInfer(col("__toks"))).as("tok"))
-      .withColumn("h", hash60(col("tok")))
+      .withColumn("h", hash60Fast(col("tok")))
     val bitVotes = (0 until 60).map { b =>
       sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")
     }
@@ -308,15 +314,29 @@ object TextDedup {
     * `fingerprint` finds docs sharing any ≥(w+2)-token run — the
     * containment/plagiarism complement to MinHash's whole-doc similarity.
     * One projection chain + one explode; no shuffle until the caller
-    * aggregates. */
+    * aggregates.
+    *
+    * Fingerprints are portable 60-bit [[hash60]] longs (round-15, the
+    * q133/q51/q66 hash-gram move): every downstream consumer
+    * (q37's dump, q44's df-capped pair buckets, q66's contamination join)
+    * shuffles and aggregates 8-byte integers instead of hex strings, and
+    * the window-min comparisons inside [[winnow]] are long compares. The
+    * oracle applies the identical `md5 → first 15 hex → BIGINT` map, so
+    * counts and min-selections agree exactly by construction. */
   def winnowFingerprints(docs: DataFrame, w: Int = 4,
-                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.WinnowHash60.register(docs.sparkSession)
+    // shingle+hash+winnow all run before any exchange — rebalance a
+    // single-file corpus off one core (the shingleRows conditional idiom)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    balanced
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        transform(positionalShinglesFromTokens(col("__toks")),
-          s => substring(md5(s), 1, 8)).as("__hs"))
-      .select(col("doc_id"), explode(winnow(col("__hs"), w)).as("fingerprint"))
+        explode(call_function("graft_winnow_hash60",
+          col("__toks"), lit(3), lit(w))).as("fingerprint"))
+  }
 
   /** Derived df cap for [[ngramJaccardPairs]]: fan-out control is
     * RELATIVE to corpus size, so an absolute cap must grow with the
@@ -374,10 +394,16 @@ object TextDedup {
     // 8-byte hashes — strictly smaller than the text itself, and far
     // smaller than the exploded (doc_id, n, sh) stream the previous
     // formulation persisted.
-    val docSh = docs
+    graft.plans.Hash60.register(docs.sparkSession)
+    // shingling+hashing parallelism is the scan's (the shingleRows lesson
+    // — the cached frame's partitioning throttles every consumer too)
+    val parJ = docs.sparkSession.sparkContext.defaultParallelism
+    val balancedJ =
+      if (docs.rdd.getNumPartitions < parJ) docs.repartition(parJ) else docs
+    val docSh = balancedJ
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),
-        transform(shinglesFromTokens(col("__toks")), s => hash60(s)).as("__sh"))
+        transform(shinglesFromTokens(col("__toks")), s => hash60Fast(s)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = docSh
       .select(col("doc_id"), size(col("__sh")).as("n"),

@@ -41,6 +41,66 @@ object Upsert {
     * (underscore prefix → ignored by parquet file listing). */
   val BucketMarker = "_graft_buckets"
 
+  /** Writer-lock marker ENFORCING the parquet warehouse's single-writer
+    * contract (round-15; the JDBC paths are transactional, the parquet
+    * paths were contract-by-documentation only — two concurrent pipeline
+    * runs could interleave bucket swaps). Underscore prefix → ignored by
+    * parquet file listing. */
+  val LockMarker = "_graft_writer_lock"
+
+  /** Run `body` holding the exclusive writer lock on the table at `path`.
+    * A second concurrent writer FAILS LOUDLY (IllegalStateException naming
+    * the holder) instead of corrupting the layout — writers must be
+    * serialized by the caller; this turns a silent interleaving into a
+    * defined outcome. The lock is a create-exclusive marker file (atomic
+    * namenode op on HDFS; see [[graft.util.Fs.createExclusive]]) and is
+    * removed on completion, success or failure. A writer that DIES without
+    * cleanup leaves a stale lock: recovery is [[releaseLock]] (manual,
+    * deliberate — the lock content names the holder pid/timestamp so an
+    * operator can check it is truly dead), after which re-running the
+    * batch is safe because every partitioned write is idempotent-replay
+    * (staging materializes fully before any swap). */
+  private[operators] def withWriterLock[T](
+      path: String, conf: org.apache.hadoop.conf.Configuration)(body: => T): T = {
+    val lock = s"$path/$LockMarker"
+    val info = s"pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"ts=${java.time.Instant.now()} nonce=${java.util.UUID.randomUUID()}"
+    if (!graft.util.Fs.createExclusive(lock, info, conf))
+      throw new IllegalStateException(
+        s"concurrent writer on $path: lock held by " +
+          s"(${graft.util.Fs.readMarker(lock, conf).getOrElse("unreadable")}). " +
+          "The parquet warehouse is single-writer per table: serialize " +
+          "upsert/merge/compact calls, or — after verifying the holder is a " +
+          "crashed writer — clear the stale lock with Upsert.releaseLock and " +
+          "re-run the batch (partitioned writes replay idempotently).")
+    try body
+    finally {
+      // release ONLY our own lock: the wholesale-swap paths (upsertTable,
+      // the migrate branch) replace the table directory — lock included —
+      // as their final act, and a successor may have locked the fresh
+      // directory before this finally runs. The nonce makes ownership
+      // checkable; a non-matching lock belongs to that successor.
+      if (graft.util.Fs.readMarker(lock, conf).contains(info))
+        graft.util.Fs.deleteRecursively(lock, conf)
+    }
+  }
+
+  /** Remove a stale writer lock left by a crashed writer. Deliberately
+    * manual: the caller asserts the holder named in the lock is dead. */
+  def releaseLock(spark: SparkSession, path: String): Unit =
+    graft.util.Fs.deleteRecursively(s"$path/$LockMarker",
+      spark.sparkContext.hadoopConfiguration)
+
+  /** True when `path` holds table content beyond the writer lock (the lock
+    * file itself creates the directory, so bare existence is not enough). */
+  private def hasTableContent(
+      path: String, conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName != LockMarker)
+  }
+
   /** Upsert into a HASH-PARTITIONED keyed parquet table — the 100 TB shape.
     *
     * [[upsertTable]] rewrites the whole table per batch, which is correct but
@@ -53,15 +113,25 @@ object Upsert {
     * bucket size), independent of total table size.
     *
     * All filesystem ops go through the Hadoop `FileSystem` resolved from the
-    * path (hdfs://, s3a://, file:// all work). Crash recovery under the
-    * single-writer contract: the staging write materializes fully before any
+    * path (hdfs://, s3a://, file:// all work). The single-writer contract is
+    * ENFORCED by [[withWriterLock]]: a second concurrent writer fails loudly
+    * rather than interleaving bucket swaps. Crash recovery under that
+    * contract: the staging write materializes fully before any
     * target bucket is replaced, so a crash mid-swap leaves some buckets
-    * updated and some not — re-running the same batch is idempotent and
+    * updated and some not — clear the stale lock ([[releaseLock]]) and
+    * re-run the same batch: the upsert is idempotent and
     * heals the table (the upsert of an already-applied batch is a no-op
     * merge). */
   def upsertPartitionedTable(spark: SparkSession, path: String, updates: DataFrame,
                              keys: Seq[String], updatePriority: Seq[Column],
-                             numBuckets: Int = 64): Unit = {
+                             numBuckets: Int = 64): Unit =
+    withWriterLock(path, spark.sparkContext.hadoopConfiguration) {
+      upsertPartitionedTableLocked(spark, path, updates, keys, updatePriority, numBuckets)
+    }
+
+  private def upsertPartitionedTableLocked(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keys: Seq[String], updatePriority: Seq[Column], numBuckets: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val withBucket = Dedup.firstWins(updates, keys, updatePriority)
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
@@ -72,7 +142,9 @@ object Upsert {
     // layout was written with lives in a marker file: merging with a
     // different modulus would leave stale same-key rows in un-touched
     // buckets, so a count mismatch forces a full re-bucket migration.
-    val tableExists = graft.util.Fs.exists(path, conf)
+    // lock-aware existence: the writer lock itself creates the directory,
+    // so "table exists" must mean "has content beyond the lock marker"
+    val tableExists = hasTableContent(path, conf)
     val bucketed = graft.util.Fs.hasChildDirWithPrefix(path, BucketCol + "=", conf)
     val markerPath = s"$path/$BucketMarker"
     val layoutBuckets = graft.util.Fs.readMarker(markerPath, conf).map(_.toInt)
@@ -125,18 +197,22 @@ object Upsert {
     spark.read.parquet(path).drop(BucketCol)
 
   /** Upsert into a parquet-backed keyed table at `path`, creating it when
-    * absent. Atomic-enough for a single writer: writes to a temp dir then
-    * swaps, mirroring the reference's single-transaction load
-    * (reference etl/load.py:50-51). */
+    * absent. Single-writer, ENFORCED by [[withWriterLock]]: writes to a
+    * temp dir then swaps, mirroring the reference's single-transaction load
+    * (reference etl/load.py:50-51). NOTE: the final swap replaces the table
+    * directory wholesale (the in-flight lock marker goes with it — by then
+    * the write is complete and the lock has nothing left to protect). */
   def upsertTable(spark: SparkSession, path: String, updates: DataFrame,
                   keys: Seq[String], updatePriority: Seq[Column]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val merged =
-      if (graft.util.Fs.exists(path, conf))
-        upsert(spark.read.parquet(path), updates, keys, updatePriority)
-      else Dedup.firstWins(updates, keys, updatePriority)
-    val tmp = path + ".__graft_tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    graft.util.Fs.swapInto(tmp, path, conf)
+    withWriterLock(path, conf) {
+      val merged =
+        if (hasTableContent(path, conf))
+          upsert(spark.read.parquet(path), updates, keys, updatePriority)
+        else Dedup.firstWins(updates, keys, updatePriority)
+      val tmp = path + ".__graft_tmp"
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      graft.util.Fs.swapInto(tmp, path, conf)
+    }
   }
 }

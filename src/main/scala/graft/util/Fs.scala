@@ -169,6 +169,39 @@ object Fs {
     p.toString
   }
 
+  /** Create `path` with `content` ONLY if it does not already exist;
+    * returns false when it does. On HDFS-like filesystems
+    * `FileSystem.create(p, overwrite=false)` is an atomic namenode
+    * operation. On the LOCAL filesystem Hadoop's create is
+    * exists-check-then-create — NOT atomic (the 8-writer lock hammer in
+    * UpsertSpec caught two same-instant winners) — so local paths go
+    * through the kernel's O_CREAT|O_EXCL via java.nio instead. Parent
+    * dirs are created as needed. */
+  def createExclusive(path: String, content: String, conf: Configuration): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        if (local.getParent != null)
+          java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.write(local,
+          content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
   def readMarker(path: String, conf: Configuration): Option[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)

@@ -78,6 +78,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"pre-agg must sit below the joins (parents print first):\n$plan")
   }
 
+  test("q02 bucketed layout: pre-agg and orders join ride the bucket " +
+    "partitioning — only the final group agg exchanges") {
+    // broadcast disabled EXCEPT the explicit dim hints (broadcast() wins
+    // over the threshold), so the perOrder ⋈ orders join must expose its
+    // distribution requirement: co-located buckets ⇒ zero join exchanges.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val plan = SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"bucketed table scan missing — layout not in effect:\n$plan")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles === 1,
+        s"expected exactly 1 hash exchange (the final 25-group agg), " +
+          s"got $shuffles in:\n$plan")
+    } finally spark.conf.set(key, saved)
+  }
+
   test("q103 plan: model tables broadcast, top-k as heaps — no global window/sort") {
     val plan = SparkEntry.queries("q103_bm25_rank")(spark, sfDir)
       .queryExecution.executedPlan.toString
@@ -147,15 +167,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"aggregation fell off hash aggregation:\n$plan")
   }
 
-  test("q132 plan: bucket-model joins broadcast; tf reuse via cache") {
+  test("q132 plan: scoring pass is join-free and shuffle-free over the " +
+    "cached compact frame") {
     val plan = SparkEntry.queries("q132_dsir_weights")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"bucket-model join must broadcast (256 rows at any corpus):\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"shuffle join in the scoring path:\n$plan")
+    // round-15 fused shape: the bucket model is collected (bounded —
+    // `buckets` rows) and inlined as a literal delta array, so the
+    // scoring pass the query returns is scan-cache → project. Any Join
+    // or Exchange ABOVE the cache scan means the fusion regressed to the
+    // 4-stage shape. (The cached relation PRINTS its own build plan —
+    // which legitimately contains the rebalance exchange — so only the
+    // scoring section above InMemoryTableScan is inspected.)
     assert(plan.contains("InMemoryTableScan"),
-      s"(doc, bucket) tf frame must be cached — model build and scorer " +
+      s"compact (bucket, tf) frame must be cached — model build and scorer " +
         s"both consume it:\n$plan")
+    val scoring = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(!scoring.contains("Join"), s"join crept into the scoring pass:\n$plan")
+    assert(!scoring.contains("Exchange"), s"shuffle in the scoring pass:\n$plan")
   }
 }

@@ -62,12 +62,19 @@ class DataSelectionSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === w(Seq("delta", "delta", "delta")))
   }
 
-  test("dsirWeights: model join is broadcast, no vocabulary-sized shuffle") {
+  test("dsirWeights: scoring is a join-free, shuffle-free projection over " +
+    "the cached compact frame (round-15 fused shape)") {
     val plan = DataSelection.dsirWeights(docs, col("lang") === "en")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") ||
-           plan.contains("BroadcastNestedLoopJoin"))
-    assert(!plan.contains("SortMergeJoin"))
+    // the cached relation prints its own build plan (which contains the
+    // rebalance exchange) — only the scoring section above the cache
+    // scan must be join- and shuffle-free
+    assert(plan.contains("InMemoryTableScan"),
+      s"compact (bucket, tf) frame must be cached — model build and scorer " +
+        s"both consume it:\n$plan")
+    val scoring = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert(!scoring.contains("Join"), s"join crept into the scoring pass:\n$plan")
+    assert(!scoring.contains("Exchange"), s"shuffle in the scoring pass:\n$plan")
   }
 
   test("distinctNgramStats: exact ratios on a hand-checked corpus") {

@@ -64,14 +64,65 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("graft_hash60 kernel == md5-hex-conv expression form, bit-identical " +
+    "(the value contract every hashed-gram oracle rests on)") {
+    graft.plans.Hash60.register(spark)
+    val strs = (1 to 300).map(i => s"tok$i gram ${i * 7} x") ++
+      Seq("", "a", "é ü 中文 🙂", " leading space", "two  spaces")
+    val out = strs.toDF("s").select(
+      graft.functions.TextFunctions.hash60Fast(org.apache.spark.sql.functions.col("s")).as("k"),
+      graft.functions.TextFunctions.hash60(org.apache.spark.sql.functions.col("s")).as("e"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_ngram_hash60 kernel == transform(positionalShingles, hash60) " +
+    "for n in 1..4 (incl. short docs and unicode)") {
+    import org.apache.spark.sql.functions.{col, transform => htransform}
+    import graft.functions.TextFunctions
+    graft.plans.NgramHash60.register(spark)
+    val texts = Seq("one two three four five", "solo", "a b", "",
+      "é ü 中文 🙂 mixed bytes here", "x " * 50)
+    val toked = texts.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+    for (n <- 1 to 4) {
+      val rows = toked.select(
+        TextFunctions.ngramHash60(col("t"), n).as("k"),
+        htransform(TextFunctions.positionalShinglesFromTokens(col("t"), n),
+          s => TextFunctions.hash60(s)).as("e")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"n=$n")
+      }
+    }
+  }
+
+  test("graft_winnow_hash60 kernel == winnow(transform(shingles, hash60)) " +
+    "(order-preserving first-occurrence dedup, short-input rule)") {
+    import org.apache.spark.sql.functions.{col, lit, call_function, transform => htransform}
+    import graft.functions.TextFunctions
+    graft.plans.WinnowHash60.register(spark)
+    val texts = Seq("one two three four five six seven eight", "a b c",
+      "a b c d e", "", "solo", "x " * 40, "é ü 中文 🙂 bytes here now ok")
+    val toked = texts.toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("t"))
+    val rows = toked.select(
+      call_function("graft_winnow_hash60", col("t"), lit(3), lit(4)).as("k"),
+      TextFunctions.winnow(
+        htransform(TextFunctions.positionalShinglesFromTokens(col("t"), 3),
+          s => TextFunctions.hash60(s)), 4).as("e")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("winnowFingerprints == naive MOSS winnowing (positional shingles, window mins)") {
     def md5hex(s: String): String =
       org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
-    def naive(text: String, w: Int): Set[String] = {
+    // the portable 60-bit family: first 15 md5 hex chars as a long —
+    // mirrors graft.functions.TextFunctions.hash60 and the SQL oracle
+    def naive(text: String, w: Int): Set[Long] = {
       val toks = text.trim.toLowerCase.split("\\s+").toSeq
       val sh = if (toks.size < 3) Seq.empty[String]
                else toks.sliding(3).map(_.mkString(" ")).toSeq
-      val hs = sh.map(s => md5hex(s).substring(0, 8))
+      val hs = sh.map(s => java.lang.Long.parseLong(md5hex(s).substring(0, 15), 16))
       if (hs.size >= w) hs.sliding(w).map(_.min).toSet
       else hs.minOption.toSet
     }
@@ -80,7 +131,7 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
       val expected = docs.flatMap { case (id, t) =>
         naive(t, 4).map(f => id -> f) }.toSet
       val got = TextDedup.winnowFingerprints(docs.toDF("doc_id", "text"))
-        .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
       assert(got === expected, s"seed=$seed")
       assert(expected.nonEmpty)
     }

@@ -70,6 +70,69 @@ class UpsertSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.exact(in, Seq("k"), Seq(col("ord"))).count() === 1)
   }
 
+  test("writer lock: an in-flight writer makes a second writer FAIL LOUDLY; " +
+    "releaseLock recovers a stale lock") {
+    val path = tempDir("upsert-lock") + "/t"
+    val first = Seq((1L, "a")).toDF("k", "v")
+    Upsert.upsertTable(spark, path, first, Seq("k"), Seq(col("k")))
+    // simulate an in-flight (or crashed) writer: the lock marker is present
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(graft.util.Fs.createExclusive(
+      s"$path/${Upsert.LockMarker}", "pid=0 host=test ts=never", conf))
+    val e = intercept[IllegalStateException] {
+      Upsert.upsertTable(spark, path, Seq((2L, "b")).toDF("k", "v"),
+        Seq("k"), Seq(col("k")))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(e.getMessage.contains("pid=0")) // names the holder
+    // the refused write changed NOTHING
+    assert(spark.read.parquet(path).count() === 1)
+    // deliberate manual recovery, then the re-run applies cleanly
+    Upsert.releaseLock(spark, path)
+    Upsert.upsertTable(spark, path, Seq((2L, "b")).toDF("k", "v"),
+      Seq("k"), Seq(col("k")))
+    assert(spark.read.parquet(path).count() === 2)
+  }
+
+  test("writer lock: 8 concurrent partitioned upserts hammer one table — " +
+    "every attempt either applies fully or refuses; no interleaved state") {
+    val path = tempDir("upsert-hammer") + "/t"
+    // seed the layout so every contender takes the incremental branch
+    Upsert.upsertPartitionedTable(spark, path,
+      Seq((-1L, "seed")).toDF("k", "v"), Seq("k"), Seq(col("k")), numBuckets = 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val outcomes = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[String, Int]] {
+        def call(): Either[String, Int] = {
+          val batch = (0 until 10).map(j => (i * 100L + j, s"w$i")).toDF("k", "v")
+          barrier.await()
+          try { Upsert.upsertPartitionedTable(spark, path, batch, Seq("k"),
+              Seq(col("k")), numBuckets = 8); Right(i) }
+          catch { case e: IllegalStateException
+              if e.getMessage.contains("concurrent writer") => Left(s"refused $i") }
+        }
+      })
+    }
+    pool.shutdown()
+    val results = outcomes.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    val winners = results.collect { case Right(i) => i }
+    assert(winners.nonEmpty, "at least one writer must win the lock")
+    assert(results.size === 8) // every attempt resolved to a DEFINED outcome
+    // the table holds the seed plus EXACTLY the winners' batches — a torn
+    // or interleaved batch would break either the count or the group check
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length === 1 + winners.size * 10)
+    winners.foreach { i =>
+      assert(rows.count(_._2 == s"w$i") === 10, s"writer $i applied partially")
+    }
+    // the lock is released after the hammer — a fresh writer proceeds
+    Upsert.upsertPartitionedTable(spark, path,
+      Seq((-2L, "post")).toDF("k", "v"), Seq("k"), Seq(col("k")), numBuckets = 8)
+    assert(spark.read.parquet(path).count() === rows.length + 1)
+  }
+
   test("dedup exact == firstWins whenever the ascending order is total (q06's swap)") {
     // seeded random frame, heavy duplication per key; (ord1, ord2) is made
     // unique per key so the window has no ties and both operators have a
