@@ -56,8 +56,14 @@ object BpeTrain {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // corpus pass: vocabulary-sized word-frequency dict, then chars
-    val words = docs
+    // corpus pass: vocabulary-sized word-frequency dict, then chars.
+    // Conditional rebalance first (the round-15 single-partition lesson):
+    // the tokenize+explode map side otherwise runs at the scan's
+    // parallelism — one core on a single-file corpus.
+    val par = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val words = balanced
       .select(explode(filter(tokens(col(textCol)), t => t =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(transform(sequence(lit(1), length(col("w"))),
@@ -123,7 +129,11 @@ object BpeTrain {
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(merges.nonEmpty, "encode needs at least one merge rule")
     graft.plans.BpeEncodeLen.register(docs.sparkSession)
-    val tf = docs.select(col(idCol).as("doc_id"),
+    // conditional rebalance (the round-15 single-partition lesson)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val tf = balanced.select(col(idCol).as("doc_id"),
         explode(filter(tokens(col(textCol)), t => t =!= "")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dict = tf.select("w").distinct()

@@ -57,8 +57,14 @@ object Curation {
     val langs = TextAnalysis.langMarkers.map(_._1)
     val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
 
+    // conditional rebalance (the round-15 single-partition lesson): the
+    // whole stage-flag computation is per-row and pre-exchange
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+
     // projection 1: raw text derivations, each evaluated exactly once
-    val base = docs.select(
+    val base = balanced.select(
       Seq(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
         col(declaredLangCol).as("declared_lang"),
         lower(trim(col(textCol))).as("__txt"),

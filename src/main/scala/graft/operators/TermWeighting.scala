@@ -74,8 +74,12 @@ object TermWeighting {
                     idCol: String = "doc_id", textCol: String = "text",
                     broadcastVocab: Boolean = true): DataFrame = {
     val tok = docs
-      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__terms"))
+      // tokenize ABOVE the exchange: below it the whole corpus tokenizes
+      // at the scan's parallelism (one core on a single-file input — the
+      // round-15 single-partition lesson); the exchange ships raw text
+      .select(col(idCol).as("doc_id"), col(textCol))
       .repartition(col("doc_id")) // the one exchange: pre-explode rows
+      .select(col("doc_id"), termsOf(textCol).as("__terms"))
       .select(col("doc_id"), explodeTerms(col("__terms")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val withDf =
@@ -101,7 +105,7 @@ object TermWeighting {
   /** Exact global top-`k` terms by occurrence count, ties broken by term.
     * Output: `(term, cnt)`. */
   def heavyHitters(docs: DataFrame, k: Int = 25, textCol: String = "text"): DataFrame =
-    docs
+    balancedDocs(docs)
       .select(explode(termsOf(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
@@ -138,7 +142,7 @@ object TermWeighting {
     * surface is one engine-identical divide+round per output row. */
   def vocabCoverage(docs: DataFrame, ranks: Seq[Int] = Seq(10, 100, 1000, 5000),
                     textCol: String = "text"): DataFrame = {
-    val counts = docs
+    val counts = balancedDocs(docs)
       .select(explodeTerms(termsOf(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -179,7 +183,7 @@ object TermWeighting {
     * IEEE ops, so results stay engine-exact. */
   def keyness(docs: DataFrame, partCol: String, target: String,
               topK: Int = 50, textCol: String = "text"): DataFrame = {
-    val tok = docs
+    val tok = balancedDocs(docs)
       .select((col(partCol) === target).as("is_t"), termsOf(textCol).as("__terms"))
       .select(col("is_t"), explodeTerms(col("__terms")).as("term"))
     val counts = tok.groupBy("term").agg(
@@ -217,8 +221,11 @@ object TermWeighting {
   def unigramLogLoss(docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tok = docs
-      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__terms"))
+      // tokenize ABOVE the exchange (the round-15 single-partition lesson
+      // — see tfidfTopTerms)
+      .select(col(idCol).as("doc_id"), col(textCol))
       .repartition(col("doc_id"))
+      .select(col("doc_id"), termsOf(textCol).as("__terms"))
       .select(col("doc_id"), explodeTerms(col("__terms")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
@@ -268,11 +275,16 @@ object TermWeighting {
     * testdata is single-row-group parquet, so without it the whole
     * tokenize+explode map side runs on one core; when the scan already
     * has enough splits the shuffle is skipped. */
-  private def tokenized(docs: DataFrame, idCol: String, textCol: String) = {
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String) =
+    balancedDocs(docs).select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"))
+
+  /** The same conditional rebalance for entry points that tokenize the
+    * raw frame directly (round-15: heavyHitters/vocabCoverage/keyness/
+    * bm25/pmi/oov all tokenized at the scan's parallelism — one core on
+    * a single-file corpus). */
+  private def balancedDocs(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val balanced =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    balanced.select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"))
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
   }
 
   /** One row per bigram POSITION `(doc_id, w1, w2)` — no per-doc
@@ -397,14 +409,15 @@ object TermWeighting {
                   k1: Double = 1.2, b: Double = 0.75, topK: Int = 20,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
-    val withLen = docs.select(col(idCol).as("doc_id"),
+    val bal = balancedDocs(docs)
+    val withLen = bal.select(col(idCol).as("doc_id"),
       termsOf(textCol).as("__terms"))
       .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),
         explodeTerms(col("__terms")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = withLen.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = docs.select(termsOf(textCol).as("__terms"))
+    val stats = bal.select(termsOf(textCol).as("__terms"))
       .agg(count(lit(1)).as("n"),
         (sum(size(col("__terms")).cast("long")).cast("double") /
           count(lit(1))).as("avgdl"))
@@ -465,7 +478,7 @@ object TermWeighting {
     * full pair set). */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
                       textCol: String = "text"): DataFrame = {
-    val toks = docs.select(termsOf(textCol).as("__t"))
+    val toks = balancedDocs(docs).select(termsOf(textCol).as("__t"))
     val bigStructs = transform(sequence(lit(1), size(col("__t")) - 1),
       i => struct(element_at(col("__t"), i).as("w1"),
         element_at(col("__t"), i + 1).as("w2")))
@@ -514,8 +527,9 @@ object TermWeighting {
   def oovRate(docs: DataFrame, trainFrac: Double = 0.8, seed: String = "graft",
               idCol: String = "doc_id", textCol: String = "text",
               broadcastVocab: Boolean = true): DataFrame = {
-    val withU = docs.select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"),
-      Sampling.hashUnit(seed, col(idCol)).as("__u"))
+    val withU = balancedDocs(docs)
+      .select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"),
+        Sampling.hashUnit(seed, col(idCol)).as("__u"))
     val vocab = withU.filter(col("__u") < trainFrac)
       .select(explodeTerms(col("__t")).as("term")).distinct()
       .withColumn("__in_vocab", lit(1))

@@ -22,6 +22,15 @@ object TextAnalysis {
   private def padded(textCol: Column): Column =
     concat(lit(" "), lower(textCol), lit(" "))
 
+  /** Conditional scan rebalance (the round-15 single-partition lesson):
+    * every operator here is per-row work with no downstream exchange to
+    * spread it, so a small single-file corpus would run entirely on one
+    * core. A many-split 100 TB input takes the free path. */
+  private def balancedDocs(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+  }
+
   /** (doc_id, cnt_en, cnt_de, cnt_es, cnt_fr, predicted_lang). Marker-count
     * argmax with a fixed priority chain; 'unknown' when no marker hits. */
   def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -29,7 +38,7 @@ object TextAnalysis {
     val counts = langMarkers.map { case (lang, markers) =>
       lang -> markers.map(m => occurrences(p, m)).reduce(_ + _)
     }
-    val withCounts = counts.foldLeft(docs.select(col(idCol), col(textCol))) {
+    val withCounts = counts.foldLeft(balancedDocs(docs).select(col(idCol), col(textCol))) {
       case (d, (lang, c)) => d.withColumn(s"cnt_$lang", c)
     }
     // argmax with priority order: first language whose count is >= all others
@@ -58,7 +67,7 @@ object TextAnalysis {
     // QualityKernelSpec.
     graft.plans.CharClassCounts.register(docs.sparkSession)
     val text = col(textCol)
-    val pre = docs.select(
+    val pre = balancedDocs(docs).select(
       col(idCol),
       length(text).cast("long").as("n_chars"),
       size(split(trim(text), "\\s+")).cast("long").as("n_tokens"),
@@ -88,7 +97,7 @@ object TextAnalysis {
     val ws = split(trim(col(textCol)), "\\s+")
     val bpe = expr(
       s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")
-    docs.select(
+    balancedDocs(docs).select(
       col(idCol),
       size(ws).cast("long").as("n_ws_tokens"),
       size(array_distinct(ws)).cast("long").as("n_unique_ws_tokens"),
@@ -170,7 +179,8 @@ object TextAnalysis {
     require(window > 0 && stride > 0, "window and stride must be positive")
     // tokens into a column first: a lambda consuming an unprojected split()
     // re-evaluates it per element (no CSE inside HOF lambdas)
-    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    val toked = balancedDocs(docs)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
     val lastStart = greatest(
       ceil((size(col("__toks")) - lit(window)).cast("double") / stride).cast("int"),
       lit(0))
@@ -210,7 +220,7 @@ object TextAnalysis {
     // empty-token filter: split of an all-whitespace doc yields [""], which
     // would chunk as one empty-token chunk while the oracle's list_filter
     // sees zero tokens
-    val toked = docs.select(col(idCol).as("doc_id"),
+    val toked = balancedDocs(docs).select(col(idCol).as("doc_id"),
       filter(tokens(col(textCol)), tk => tk =!= "").as("__toks"))
     val t = col("__toks")
     val n = size(t)
@@ -273,7 +283,7 @@ object TextAnalysis {
                   minStopwords: Int = 2): DataFrame = {
     // tokens materialized before the HOF lambdas consume them (the
     // re-evaluation trap documented on shinglesFromTokens)
-    val toked = docs.select(col(idCol).as("doc_id"),
+    val toked = balancedDocs(docs).select(col(idCol).as("doc_id"),
       lower(trim(col(textCol))).as("__txt"),
       filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
     val t = col("__toks")
@@ -361,7 +371,7 @@ object TextAnalysis {
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.plans.DeflateSize.register(docs.sparkSession)
     val nBytes = octet_length(col(textCol)).cast("long")
-    docs
+    balancedDocs(docs)
       .select(col(idCol).as("doc_id"), nBytes.as("n_bytes"),
         expr(s"graft_deflate_len($textCol)").cast("long").as("deflate_bytes"))
       .withColumn("compress_ratio",
