@@ -354,7 +354,7 @@ object ScaleStress {
     // unless an explicit SPARK_GRAFT_SCALE_OUT says otherwise.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       if (sys.env.contains("SPARK_GRAFT_SCALE_SHAPES")) "SCALE_partial.json"
-      else "SCALE_r14.json")
+      else "SCALE_r15.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
