@@ -302,6 +302,9 @@ object Similarity {
     * wall. The compact frame is 24 bytes/row: |X|·|Y| rows of ids+score
     * is ~60 MB at bench scale and spills cleanly at any scale, which is
     * a different object than materializing vector-wide cross rows).
+    * Cache lifetime: the returned frame reads the compact scored cache
+    * lazily — the caller owns it (drop via `spark.catalog.clearCache()`
+    * or unpersist after the final action; the bench clears per pass).
     *
     * Engine parity: every cosine is quantized to 6 places BEFORE any
     * averaging (order-insensitive-sum rule), both averages divide by the
