@@ -202,25 +202,24 @@ object Ext2Queries {
     // between the (deterministic) even/odd split — the pre-training check
     // that eval data didn't leak into the corpus.
     //
-    // Shape (round-15): ONE winnow pass and ONE fingerprint exchange —
-    // per fingerprint, a single aggregation marks whether the even
-    // (train) side saw it AND collects the odd (test) docs carrying it
-    // (collect_list skips the nulls the CASE leaves on even rows); the
-    // contaminated-fingerprint groups explode back to (doc, fp) pairs and
-    // one doc-keyed count finishes. The previous persist+count + distinct
-    // + join shape paid a cache materialization pass plus three
-    // exchanges for the same answer. Per-group memory is bounded by the
-    // fingerprint's document frequency — the same bound the join's
-    // fan-out had. `count(*)` IS the distinct count: winnow emits each
-    // fingerprint at most once per doc.
+    // Shape (round-15/16): ONE winnow pass and ONE fingerprint exchange —
+    // a window max over the fingerprint partition marks whether the even
+    // (train) side saw each fingerprint, the odd (test) rows of marked
+    // fingerprints survive, and one doc-keyed count finishes. The r15
+    // form collected the odd docs into a per-fingerprint array inside
+    // the aggregation buffer — memory proportional to the fingerprint's
+    // document frequency, an executor OOM for a boilerplate fingerprint
+    // in millions of docs. WindowExec instead SORTS the partition and
+    // spills to disk past the in-memory threshold, so a hot fingerprint
+    // costs disk, not heap, and no doc list ever materializes.
+    // `count(*)` IS the distinct count: winnow emits each fingerprint at
+    // most once per doc.
     "q66_contamination" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
       graft.operators.TextDedup.winnowFingerprints(t(s, dir, "documents"))
-        .groupBy(col("fingerprint"))
-        .agg(
-          max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("he"),
-          collect_list(when(col("doc_id") % 2 === 1, col("doc_id"))).as("odds"))
-        .filter(col("he") === 1 && size(col("odds")) > 0)
-        .select(explode(col("odds")).as("doc_id"))
+        .withColumn("he",
+          max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).over(w))
+        .filter(col("he") === 1 && col("doc_id") % 2 === 1)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared"))
     }),

@@ -267,24 +267,13 @@ object Ext3Queries {
       // Fresh JVMs rebuild — the in-memory catalog forgets managed tables
       // across JVMs while their warehouse directories survive, hence the
       // drop+delete before write.
-      val mtimes = Seq("lineitem", "orders")
-        .map(tn => new java.io.File(s"$dir/$tn.parquet").lastModified).max
-      val sfx = s"${dir}_$mtimes".replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      val liTbl = s"graft_q87_li_$sfx"; val ordTbl = s"graft_q87_ord_$sfx"
-      if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(ordTbl)) {
-        Seq(liTbl, ordTbl).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          graft.util.Fs.deleteRecursively(
-            s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + tbl,
-            s.sparkContext.hadoopConfiguration)
-        }
-        Layout.writeBucketed(
-          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-          liTbl, "l_orderkey", numBuckets = 8)
-        Layout.writeBucketed(
-          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-          ordTbl, "o_orderkey", numBuckets = 8)
-      }
+      val Seq(liTbl, ordTbl) = Layout.payOnceBucketed(s, dir, "q87",
+        Seq("lineitem", "orders"),
+        Seq(
+          ("li", t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+            "l_orderkey", 8),
+          ("ord", t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+            "o_orderkey", 8)))
       val key = "spark.sql.autoBroadcastJoinThreshold"
       val saved = s.conf.get(key)
       s.conf.set(key, "-1")

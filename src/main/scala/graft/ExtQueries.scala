@@ -279,18 +279,26 @@ object ExtQueries {
     //
     // Shape (round-15, the q22 bucket idiom): candidate pairs come from
     // per-fingerprint doc buckets, NOT a df-join + self-join — ONE
-    // groupBy(fingerprint).collect_list buckets every fingerprint's doc
-    // ids (the 2..50 size filter IS the df filter, and the cap bounds
-    // each collected list, so memory per group is fixed), ordered pairs
-    // are emitted in place from the sorted bucket, and one pair
+    // groupBy(fingerprint) collects every fingerprint's doc ids, ordered
+    // pairs are emitted in place from the sorted bucket, and one pair
     // aggregation counts shared fingerprints. The previous formulation
     // (persist + count + df agg + join back + two-arm self-join) paid
     // three extra stages and a cache round-trip for the identical
     // n_shared. Fingerprints are hash60 longs end to end.
+    //
+    // Memory bound (round-16): the collection itself is CAPPED —
+    // graft_collect_capped_long stops at 51 elements per group, so a
+    // boilerplate fingerprint shared by millions of documents costs 51
+    // longs in the aggregation buffer, not an OOM-sized array; the
+    // 51-element overflow groups then deterministically fail the 2..50
+    // df filter, which is exactly the semantics the exact-df oracle
+    // computes. (A plain collect_list put the size filter AFTER an
+    // unbounded collection — fine on bench data, wrong at 100 TB.)
     "q44_containment_pairs" -> ((s, dir) => {
+      graft.plans.CollectCappedLong.register(s)
       val fp = TextDedup.winnowFingerprints(t(s, dir, "documents"))
       fp.groupBy(col("fingerprint"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .agg(sort_array(graft.plans.CollectCappedLong.of(col("doc_id"), 51)).as("ids"))
         .filter(size(col("ids")).between(2, 50))
         .select(explode(flatten(transform(col("ids"), (x, i) =>
           transform(slice(col("ids"), i + lit(2), size(col("ids"))),

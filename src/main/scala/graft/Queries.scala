@@ -109,25 +109,14 @@ object Queries {
       // deployment where customer is fact-sized buckets it on custkey
       // with the same machinery instead).
       import graft.operators.Layout
-      val mtimes = Seq("lineitem", "orders")
-        .map(tn => new java.io.File(s"$dir/$tn.parquet").lastModified).max
-      val sfx = s"${dir}_$mtimes".replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      val liTbl = s"graft_q02_li_$sfx"; val ordTbl = s"graft_q02_ord_$sfx"
-      if (!s.catalog.tableExists(liTbl) || !s.catalog.tableExists(ordTbl)) {
-        Seq(liTbl, ordTbl).foreach { tbl =>
-          s.sql(s"DROP TABLE IF EXISTS $tbl")
-          graft.util.Fs.deleteRecursively(
-            s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") + "/" + tbl,
-            s.sparkContext.hadoopConfiguration)
-        }
-        Layout.writeBucketed(
-          t(s, dir, "lineitem")
+      val Seq(liTbl, ordTbl) = Layout.payOnceBucketed(s, dir, "q02",
+        Seq("lineitem", "orders"),
+        Seq(
+          ("li", t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-          liTbl, "l_orderkey", numBuckets = 32)
-        Layout.writeBucketed(
-          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          ordTbl, "o_orderkey", numBuckets = 32)
-      }
+            "l_orderkey", 32),
+          ("ord", t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+            "o_orderkey", 32)))
       val rev6 = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * lit(1000000.0) + lit(0.5)).cast("long")
       val perOrder = s.table(liTbl)

@@ -32,6 +32,55 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Pay-once bucketed layout, cached per (source path, source mtime) per
+    * JVM — the q02/q87 cache-key discipline in one place. `tag` namespaces
+    * the layout; each spec is (shortName, frame, bucketCol, numBuckets);
+    * `sources` lists the table file names under `dir` whose modification
+    * times key the cache. Returns the resolved table names in spec order.
+    *
+    * The mtime resolves through the Hadoop FileSystem for the path's
+    * scheme — `java.io.File.lastModified` returns 0 for hdfs://-like
+    * URIs, which would silently serve stale buckets after a remote data
+    * refresh. Before writing a new generation, every PRIOR mtime-suffixed
+    * generation of the same (tag, dir) is dropped from the catalog and its
+    * warehouse directory deleted, so repeated regenerations don't leak
+    * warehouse disk (the in-memory catalog forgets managed tables across
+    * JVMs while their directories survive). */
+  def payOnceBucketed(s: SparkSession, dir: String, tag: String,
+                      sources: Seq[String],
+                      specs: Seq[(String, DataFrame, String, Int)]): Seq[String] = {
+    import graft.util.Fs
+    val conf = s.sparkContext.hadoopConfiguration
+    val mtime = sources.map { tn =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$tn.parquet")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+    }.max
+    // SANITIZED FULL PATH, not a 32-bit hash — two dirs colliding would
+    // silently serve the wrong tables
+    val dirSfx = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val names = specs.map { case (short, _, _, _) =>
+      s"graft_${tag}_${short}_${dirSfx}_$mtime"
+    }
+    if (!names.forall(s.catalog.tableExists)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+      specs.foreach { case (short, _, _, _) =>
+        val prefix = s"graft_${tag}_${short}_${dirSfx}_"
+        s.catalog.listTables().collect()
+          .filter(_.name.startsWith(prefix))
+          .foreach(ti => s.sql(s"DROP TABLE IF EXISTS ${ti.name}"))
+        // prior-mtime dirs orphaned by earlier JVMs, plus any half-written
+        // current dir — the prefix covers both
+        Fs.childDirsWithPrefix(wh, prefix, conf)
+          .foreach(d => Fs.deleteRecursively(s"$wh/$d", conf))
+      }
+      specs.zip(names).foreach { case ((_, df, bucketCol, nb), tbl) =>
+        writeBucketed(df, tbl, bucketCol, nb)
+      }
+    }
+    names
+  }
+
   /** True when the physical plan of `df` contains no shuffle exchange —
     * the co-location check for bucketed joins. */
   def isShuffleFree(df: DataFrame): Boolean =

@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_nearest_centroid", classOf[NearestCentroid])(NearestCentroid.builder)
     fn("graft_edit_distance", classOf[EditDistanceCapped])(EditDistanceCapped.builder)
     fn("graft_approx_topk", classOf[ApproxTopK])(ApproxTopK.builder)
+    fn("graft_collect_capped_long", classOf[CollectCappedLong])(CollectCappedLong.builder)
+    fn("graft_hash60", classOf[Hash60])(Hash60.builder)
+    fn("graft_ngram_hash60", classOf[NgramHash60])(NgramHash60.builder)
+    fn("graft_winnow_hash60", classOf[WinnowHash60])(WinnowHash60.builder)
     fn("graft_quality_counts", classOf[CharClassCounts]) {
       case Seq(c) => CharClassCounts(c)
       case exprs => throw new IllegalArgumentException(

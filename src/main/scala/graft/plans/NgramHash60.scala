@@ -27,8 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * and therefore to the DuckDB oracle twin
   * `[('0x'||substr(md5(gram),1,15))::BIGINT ...]`. Shorter-than-n token
   * arrays yield an empty array (the callers' in-expression guard). Null
-  * token elements cannot occur under the `tokens()` contract (split never
-  * produces nulls); a null ARRAY yields null. */
+  * token elements (impossible under the `tokens()` contract, but reachable
+  * from SQL) raise a descriptive IllegalArgumentException; a null ARRAY
+  * yields null. */
 case class NgramHash60(tokens: Expression, n: Expression)
     extends BinaryExpression {
 
@@ -74,7 +75,17 @@ object NgramHash60 {
     // decode every token's UTF-8 bytes exactly once per row
     val toks = new Array[Array[Byte]](len)
     var i = 0
-    while (i < len) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < len) {
+      val s = arr.getUTF8String(i)
+      // The tokens() contract never yields null elements, but the function
+      // is session-registered and SQL-callable with containsNull arrays —
+      // fail with a descriptive error instead of an opaque task NPE.
+      if (s == null) throw new IllegalArgumentException(
+        s"graft_ngram_hash60: token array contains a null element at index $i; " +
+          "tokens must be non-null strings")
+      toks(i) = s.getBytes
+      i += 1
+    }
     val md = local.get()
     val out = new Array[Long](len - n + 1)
     i = 0

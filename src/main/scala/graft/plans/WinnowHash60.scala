@@ -36,9 +36,16 @@ case class WinnowHash60(tokens: Expression, n: Expression, w: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (tokens.dataType, n.dataType, w.dataType) match {
       case (ArrayType(StringType, _), IntegerType, IntegerType) =>
-        if (n.foldable && w.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
+        if (!n.foldable || !w.foldable) TypeCheckResult.TypeCheckFailure(
           s"$prettyName: n and w must be literals")
+        else w.eval() match {
+          // w < 1 would walk past the hash array (i <= m - 0 reaches hs(m));
+          // reject at analysis time — the function is session-registered and
+          // reachable from SQL with any literal.
+          case wv: Int if wv < 1 => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName: w must be >= 1, got $wv")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (array<string>, int, int), got " +
           s"(${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")
@@ -64,6 +71,10 @@ case class WinnowHash60(tokens: Expression, n: Expression, w: Expression)
 object WinnowHash60 {
 
   def winnowHash60(arr: ArrayData, n: Int, w: Int): ArrayData = {
+    // Defense in depth behind checkInputDataTypes' analysis-time reject:
+    // a direct caller with w=0 would index hs(m) in the window loop.
+    if (w < 1) throw new IllegalArgumentException(
+      s"graft_winnow_hash60: w must be >= 1, got $w")
     val hashes = NgramHash60.ngramHash60(arr, n)
     val m = hashes.numElements()
     if (m == 0) return hashes

@@ -176,7 +176,15 @@ object Fs {
     * exists-check-then-create — NOT atomic (the 8-writer lock hammer in
     * UpsertSpec caught two same-instant winners) — so local paths go
     * through the kernel's O_CREAT|O_EXCL via java.nio instead. Parent
-    * dirs are created as needed. */
+    * dirs are created as needed.
+    *
+    * Only "already exists" maps to false; any OTHER IOException (transient
+    * network/permission failure) is rethrown — a lock caller must not
+    * mistake an IO outage for "another writer holds the lock". NOTE on
+    * object stores (s3a): `create(overwrite=false)` is a HEAD-then-PUT
+    * check-then-create, not atomic — there this lock is ADVISORY (it
+    * catches overlapping writers seconds apart, not same-instant races).
+    * HDFS/ABFS create is an atomic namenode/metadata operation. */
   def createExclusive(path: String, content: String, conf: Configuration): Boolean = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -198,7 +206,18 @@ object Fs {
         try out.write(content.getBytes(StandardCharsets.UTF_8))
         finally out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // Hadoop filesystems historically signal exists-collisions as bare
+        // IOException with an "already exists" message; match that shape
+        // but rethrow everything else (transient IO must not read as
+        // "lock held by another writer").
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.toLowerCase(java.util.Locale.ROOT)
+                .contains("already exists") => false
+      }
     }
   }
 

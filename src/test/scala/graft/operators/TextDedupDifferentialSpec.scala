@@ -159,4 +159,29 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
       assert(expected.nonEmpty, s"seed=$seed planted no pairs — weak test")
     }
   }
+
+  test("graft_winnow_hash60 rejects w < 1 at analysis time (SQL-reachable boundary)") {
+    graft.plans.WinnowHash60.register(spark)
+    spark.range(1).createOrReplaceTempView("one_row")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_winnow_hash60(array('a','b','c','d'), 3, 0) FROM one_row")
+        .collect()
+    }
+    assert(e.getMessage.contains("w must be >= 1"))
+  }
+
+  test("graft_ngram_hash60 raises a descriptive error on null token elements") {
+    graft.plans.NgramHash60.register(spark)
+    spark.range(1).createOrReplaceTempView("one_row")
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_ngram_hash60(array('a', cast(null as string), 'b'), 2) FROM one_row")
+        .collect()
+    }
+    // root cause may be wrapped in a SparkException layer by the executor
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause).map(identity))
+    assert(messages(e).exists(m => m != null && m.contains("null element")))
+  }
 }
