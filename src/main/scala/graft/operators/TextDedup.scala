@@ -123,41 +123,61 @@ object TextDedup {
     * Jaccard (fraction of agreeing minhashes). Output: (doc_a, doc_b,
     * est_jaccard), doc_a < doc_b.
     *
-    * Shuffle discipline, learned the hard way at a 100k-doc / dense-cluster
-    * stress: the band self-join's fan-out is quadratic in cluster size, so
-    * the signature frame is computed once, persisted, and joined back only
-    * for the surviving pairs. Each pair is emitted EXACTLY ONCE, at its
-    * first colliding band (the join filters out pairs that already collided
-    * in an earlier band, using the band-key array each row carries) — in a
-    * dense cluster every pair collides in all `bands` bands, so this cuts
-    * the pair stream `bands`-fold and removes the distinct shuffle
-    * entirely. Carrying the small `bks` array (bands × 32-char md5) through
-    * the join is far cheaper than the duplicate pairs it eliminates. */
+    * Shape (round-16, the q22 bucket-pair idiom): candidate pairs are
+    * emitted IN PLACE from per-band-bucket member lists — ONE
+    * groupBy(band_id, band_key) collects each bucket's (doc_id, signature,
+    * band-key array) structs, ordered pairs come straight out of the
+    * sorted bucket, and the carried signatures give est_jaccard in the
+    * same projection. The previous formulation (persist the signature
+    * frame, band self-join, then TWO signature join-backs for the
+    * agreement count) paid three extra exchanges of the banded/pair
+    * stream for the identical result; this one's only post-signature
+    * exchange is the bucket groupBy. Each pair is still emitted EXACTLY
+    * ONCE, at its first colliding band — the carried `bks` array filters
+    * pairs that already collided in an earlier band, so a dense cluster
+    * emits each pair once, not `bands` times, with no distinct shuffle.
+    *
+    * Scale note: a bucket's member list lives in one aggregation buffer
+    * (~250 B per member), so a degenerate near-clique bucket costs memory
+    * linear in cluster size — but the PAIR OUTPUT of such a bucket is
+    * quadratic regardless of formulation, which is why the dense-cluster
+    * scale path is [[minhashLshGroups]] (bucket-propagation components,
+    * never pair volume). This operator is the pair-inspection regime. */
   def minhashLshPairs(docs: DataFrame, k: Int = 12, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
+    val rows = k / bands
     val sig = minhashSignatures(docs, k, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandedRows(sig, k, bands)
-
+    val withArrays = sig.select(
+      col("doc_id"),
+      array((0 until k).map(j => col(s"mh$j")): _*).as("mhs"),
+      array((0 until bands).map { b =>
+        val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+        md5(concat_ws("|", parts: _*))
+      }: _*).as("bks"))
+    val buckets = withArrays
+      .select(col("doc_id"), col("mhs"), col("bks"),
+        posexplode(noInfer(col("bks"))).as(Seq("band_id", "band_key")))
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("mhs"), col("bks")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = buckets.select(col("band_id"),
+      explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(
+            x.getField("doc_id").as("a"), x.getField("mhs").as("am"),
+            x.getField("bks").as("ab"),
+            y.getField("doc_id").as("b"), y.getField("mhs").as("bm"),
+            y.getField("bks").as("bb")))))).as("p"))
     // no earlier band j < band_id in which the pair also collides
     val firstCollision = not((0 until bands - 1).map { j =>
-      col("a.band_id") > j && col("a.bks")(j) === col("b.bks")(j)
+      col("band_id") > j && col("p.ab")(j) === col("p.bb")(j)
     }.reduce(_ || _))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .filter(firstCollision)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-
-    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
-    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
     val agree = (0 until k).map(j =>
-      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0)).reduce(_ + _)
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+      when(col("p.am")(j) === col("p.bm")(j), 1).otherwise(0)).reduce(_ + _)
+    pairs.filter(firstCollision)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
         round(agree.cast("double") / k, 4).as("est_jaccard"))
   }
 
