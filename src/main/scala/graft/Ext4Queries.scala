@@ -71,8 +71,12 @@ object Ext4Queries {
       val phantoms = newSnap.filter(col("o_orderkey") % 13 === 0)
         .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
       val oldSnap = mutated.unionByName(phantoms)
+      // checkUniqueKeys=false: old = (filtered orders) ∪ (phantoms shifted
+      // +1e8, disjoint from the key range), new = orders — both key-unique
+      // by construction from the primary key (q81's rationale).
       Cdc.applyDiff(oldSnap,
-          Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey")),
+          Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+            checkUniqueKeys = false),
           Seq("o_orderkey"))
         .select(cols.map(col): _*)
     }),

@@ -84,7 +84,12 @@ object Merge {
     val s = batch.select(struct(batch.columns.map(col).toSeq: _*).as(SrcStruct) +: sKeys: _*)
     val joinCond = keys.indices
       .map(i => col(s"__graft_bk$i") <=> col(s"__graft_sk$i")).reduce(_ && _)
-    val joined = b.join(s, joinCond, "full_outer")
+    // shuffle-hash on the batch side: the deduped batch is key-unique, its
+    // per-partition hash map is rows/partitions-bounded, and skipping the
+    // sort-merge's two per-partition sorts of full-row structs is the
+    // larger win (the Cdc.snapshotDiff measurement) — at any scale the
+    // batch is the small side of a merge by definition.
+    val joined = b.join(s.hint("shuffle_hash"), joinCond, "full_outer")
 
     val isMatched = col(BaseStruct).isNotNull && col(SrcStruct).isNotNull
     val srcOnly = col(BaseStruct).isNull
