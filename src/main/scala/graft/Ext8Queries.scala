@@ -56,15 +56,23 @@ object Ext8Queries {
     "q129_bpe_encode_vocab" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val table = graft.operators.BpeCodec.frequencyMergeTable(
-        docs, perLevel = BpeVocabPerLevel, levels = 2)
+      // ONE tokenize pass feeds both the table build and the encode (the
+      // unfused composition scanned + exploded the corpus twice): the
+      // compact per-doc RLE frame is what's cached, flat views explode it
+      // per consumer. The dict is persisted because levels=2 re-encodes
+      // it under level 1's table.
+      val ent = graft.operators.BpeCodec.termFrequencyEntries(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.operators.BpeCodec.flatTf(ent)
+      val dict = tf.groupBy("w").agg(sum("tf").as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
+        dict, perLevel = BpeVocabPerLevel, levels = 2)
       codecGate("q129_bpe_encode_vocab", dir) {
         graft.plans.BpeEncodeLen.register(s)
         val bc = s.sparkContext.broadcast(
           graft.operators.BpeCodec.rankTable(table))
-        val sample = docs
-          .select(explode(filter(tokens(col("text")), x => x =!= "")).as("w"))
-          .distinct().orderBy("w").limit(200).as[String]
+        val sample = dict.select("w").orderBy("w").limit(200).as[String]
         sample.mapPartitions { it =>
             val tb = bc.value
             it.map(w =>
@@ -75,14 +83,20 @@ object Ext8Queries {
           .filter(col("greedy_len") =!= col("seq_len"))
           .count()
       }
-      graft.operators.BpeCodec.encode(docs, table)
+      try graft.operators.BpeCodec.encodeFromTf(tf, table)
+      finally { dict.unpersist(): Unit } // tf stays cached: the result plan reads it
     }),
 
     "q130_bpe_encode_prefix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      graft.operators.BpeCodec.encode(docs,
-        graft.operators.BpeCodec.frequencyMergeTable(
-          docs, perLevel = 2, levels = 1))
+      // same fusion as q129: the 2-rule table derives from the SAME
+      // persisted per-doc RLE frame the encode consumes — one corpus pass
+      val ent = graft.operators.BpeCodec.termFrequencyEntries(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tf = graft.operators.BpeCodec.flatTf(ent)
+      val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
+        tf.groupBy("w").agg(sum("tf").as("cnt")), perLevel = 2, levels = 1)
+      graft.operators.BpeCodec.encodeFromTf(tf, table)
     })
   )
 

@@ -18,6 +18,17 @@ object TextFunctions {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
+  /** Kernel form of [[tokens]] ([[graft.plans.Tokenize]]): element-for-
+    * element equal (differential-tested, including the leading/trailing ""
+    * elements a tab-edged string produces and the `[""]` of an empty one),
+    * with no regex engine and no decode round-trip — the expression form's
+    * Java `Pattern` machine was the dominant slice of the documents-scan
+    * floor. Callers register the kernel on the session first
+    * (`graft.plans.Tokenize.register`); every operator entry point using
+    * this does so. The SQL-oracle twin is unchanged:
+    * `string_split_regex(lower(trim(text)), '\s+')`. */
+  def tokensFast(text: Column): Column = call_function("graft_tokens", text)
+
   /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED tokens
     * column (an attribute, not the split expression). Passing the raw
     * `tokens(text)` expression here would re-evaluate the split once per

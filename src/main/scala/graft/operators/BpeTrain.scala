@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, tokensFast}
 
 /** BPE merge-rule TRAINING — learning a tokenizer from the corpus, the
   * step beyond applying a fixed one (q28's regex tokenizer, q58's
@@ -54,6 +54,7 @@ object BpeTrain {
                   textCol: String = "text"): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = docs.sparkSession
+    graft.plans.Tokenize.register(spark)
     import spark.implicits._
 
     // corpus pass: vocabulary-sized word-frequency dict, then chars.
@@ -64,7 +65,7 @@ object BpeTrain {
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val words = balanced
-      .select(explode(filter(tokens(col(textCol)), t => t =!= "")).as("w"))
+      .select(explode(filter(tokensFast(col(textCol)), t => t =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(transform(sequence(lit(1), length(col("w"))),
         i => substring(col("w"), i, lit(1))).as("syms"), col("cnt"))
@@ -129,12 +130,13 @@ object BpeTrain {
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(merges.nonEmpty, "encode needs at least one merge rule")
     graft.plans.BpeEncodeLen.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     // conditional rebalance (the round-15 single-partition lesson)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val tf = balanced.select(col(idCol).as("doc_id"),
-        explode(filter(tokens(col(textCol)), t => t =!= "")).as("w"))
+        explode(filter(tokensFast(col(textCol)), t => t =!= "")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dict = tf.select("w").distinct()
       .select(col("w"), graft.plans.BpeEncodeLen.encodeLen(col("w"), merges)

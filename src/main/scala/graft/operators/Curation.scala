@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{fingerprint, occurrences, tokens}
+import graft.functions.TextFunctions.{fingerprint, occurrences, tokens, tokensFast}
 
 /** End-to-end corpus-curation funnel — the composition a user of the
   * reference pipeline actually runs over raw crawl data before training:
@@ -59,6 +59,7 @@ object Curation {
 
     // conditional rebalance (the round-15 single-partition lesson): the
     // whole stage-flag computation is per-row and pre-exchange
+    graft.plans.Tokenize.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
@@ -68,7 +69,7 @@ object Curation {
       Seq(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
         col(declaredLangCol).as("declared_lang"),
         lower(trim(col(textCol))).as("__txt"),
-        filter(tokens(col(textCol)), t => t =!= "").as("__toks"),
+        filter(tokensFast(col(textCol)), t => t =!= "").as("__toks"),
         fingerprint(col(textCol)).as("fingerprint")) ++
       TextAnalysis.langMarkers.map { case (l, ms) =>
         ms.map(m => occurrences(padded, m)).reduce(_ + _).as(s"cnt_$l")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{hash60Fast, tokens}
+import graft.functions.TextFunctions.{hash60Fast, tokens, tokensFast}
 
 /** Targeted data selection for LLM pretraining mixes: DSIR-style
   * importance weights (Xie et al. 2023, "Data Selection for Language
@@ -60,6 +60,7 @@ object DataSelection {
     // projection stage (the shinglesFromTokens lesson: a raw expression
     // referenced inside a later lambda re-evaluates per element).
     graft.plans.Hash60.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     // tokenize+hash+RLE run per row before any exchange — rebalance a
     // single-file corpus off one core (the shingleRows conditional idiom)
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -67,7 +68,7 @@ object DataSelection {
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val sorted = balanced
       .select(col(idCol).as("doc_id"), isTarget.as("__t"),
-        array_sort(transform(filter(tokens(col(textCol)), t => t =!= ""),
+        array_sort(transform(filter(tokensFast(col(textCol)), t => t =!= ""),
           t => pmod(hash60Fast(t), lit(buckets.toLong)))).as("__sb"))
     // Per-row run-length encode of the sorted bucket array: positions
     // where the value changes are the run starts; tf = next start − start.

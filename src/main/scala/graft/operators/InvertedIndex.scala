@@ -44,6 +44,7 @@ object InvertedIndex {
                   nBuckets: Int = 64, idCol: String = "doc_id",
                   textCol: String = "text"): Unit = {
     if (!Similarity.IndexStore.isBuilt(spark, s"$path/stats")) {
+      graft.plans.Tokenize.register(spark)
       val withLen = docs.select(col(idCol).as("doc_id"),
         TermWeighting.termsOf(textCol).as("__terms"))
         .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),

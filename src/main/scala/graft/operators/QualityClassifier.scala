@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, tokensFast}
 
 /** Hashed-feature logistic regression trained inside the engine —
   * fasttext-style quality/domain classification, the standard curation
@@ -53,7 +53,7 @@ object QualityClassifier {
 
   private def sparseFeats(textCol: Column, dim: Int): Column =
     transform(
-      filter(tokens(textCol), t => t =!= ""),
+      filter(tokensFast(textCol), t => t =!= ""),
       t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
 
   private def denseFeats(featCol: Column, extra: Seq[Column]): Column =
@@ -67,6 +67,7 @@ object QualityClassifier {
                    denseExprs: Seq[Column] = Nil,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(dim > 0, "dim must be positive")
+    graft.plans.Tokenize.register(docs.sparkSession)
     // extra dense expressions are evaluated against the caller's frame
     // (they may reference any of its columns), features against the text
     val extras = denseExprs.zipWithIndex

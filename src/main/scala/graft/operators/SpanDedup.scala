@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, tokensFast}
 
 /** Exact-substring (span-level) deduplication — the missing granularity
   * between document-level dedup ([[TextDedup]]: exact / MinHash / SimHash /
@@ -72,10 +72,11 @@ object SpanDedup {
     // q100's wall). Rebalance only when the scan undersupplies the
     // cluster — a many-split 100 TB input takes the free path, no extra
     // corpus shuffle (same starvation guard as Multimodal.pngPayloadFromId).
+    graft.plans.Tokenize.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     balanced
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(
         when(size(col("__toks")) >= k, gramStructs(col("__toks"), k))
           .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("pg"))
@@ -151,8 +152,9 @@ object SpanDedup {
     val removal = spans(dupHits(gramRows(docs, k, idCol, textCol), maxGramDf, dropCanonical = true), k)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("lo"), col("hi"))).as("__spans"))
+    graft.plans.Tokenize.register(docs.sparkSession)
     docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .join(removal, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

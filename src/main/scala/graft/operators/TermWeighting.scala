@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{tokens, tokensFast}
 
 /** Corpus-level term weighting: TF-IDF ranking and heavy-hitter counts.
   *
@@ -37,7 +37,7 @@ object TermWeighting {
     * docs contribute no terms (exact SQL twin:
     * `list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')`). */
   private[operators] def termsOf(textCol: String) =
-    filter(tokens(col(textCol)), t => t =!= "")
+    filter(tokensFast(col(textCol)), t => t =!= "")
 
   /** explode of an (already projected) term-array column behind a
     * non-attribute child. `explode` over a bare ATTRIBUTE triggers
@@ -73,6 +73,7 @@ object TermWeighting {
   def tfidfTopTerms(docs: DataFrame, topK: Int = 5,
                     idCol: String = "doc_id", textCol: String = "text",
                     broadcastVocab: Boolean = true): DataFrame = {
+    graft.plans.Tokenize.register(docs.sparkSession)
     val tok = docs
       // tokenize ABOVE the exchange: below it the whole corpus tokenizes
       // at the scan's parallelism (one core on a single-file input — the
@@ -220,6 +221,7 @@ object TermWeighting {
     * broadcast-vocab stance as [[tfidfTopTerms]]. */
   def unigramLogLoss(docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.Tokenize.register(docs.sparkSession)
     val tok = docs
       // tokenize ABOVE the exchange (the round-15 single-partition lesson
       // — see tfidfTopTerms)
@@ -283,6 +285,8 @@ object TermWeighting {
     * bm25/pmi/oov all tokenized at the scan's parallelism — one core on
     * a single-file corpus). */
   private def balancedDocs(docs: DataFrame): DataFrame = {
+    // every caller feeds termsOf right after — register the kernel once
+    graft.plans.Tokenize.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
   }

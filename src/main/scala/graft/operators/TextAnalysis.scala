@@ -27,6 +27,8 @@ object TextAnalysis {
     * spread it, so a small single-file corpus would run entirely on one
     * core. A many-split 100 TB input takes the free path. */
   private def balancedDocs(docs: DataFrame): DataFrame = {
+    // every caller tokenizes right after — register the kernel here once
+    graft.plans.Tokenize.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
   }
@@ -135,11 +137,12 @@ object TextAnalysis {
     // no downstream exchange to spread it, so a small single-file corpus
     // would hash+sort every bigram on one core (the shingleRows lesson).
     graft.plans.NgramHash60.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val hashed = balanced
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         array_sort(ngramHash60(col("__toks"), 2)).as("__bh"))
     // max run length over the sorted hashes = top bigram multiplicity;
@@ -180,7 +183,7 @@ object TextAnalysis {
     // tokens into a column first: a lambda consuming an unprojected split()
     // re-evaluates it per element (no CSE inside HOF lambdas)
     val toked = balancedDocs(docs)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
     val lastStart = greatest(
       ceil((size(col("__toks")) - lit(window)).cast("double") / stride).cast("int"),
       lit(0))
@@ -221,7 +224,7 @@ object TextAnalysis {
     // would chunk as one empty-token chunk while the oracle's list_filter
     // sees zero tokens
     val toked = balancedDocs(docs).select(col(idCol).as("doc_id"),
-      filter(tokens(col(textCol)), tk => tk =!= "").as("__toks"))
+      filter(tokensFast(col(textCol)), tk => tk =!= "").as("__toks"))
     val t = col("__toks")
     val n = size(t)
     // portable boundary hash: md5 first 8 hex chars as integer (the
@@ -285,7 +288,7 @@ object TextAnalysis {
     // re-evaluation trap documented on shinglesFromTokens)
     val toked = balancedDocs(docs).select(col(idCol).as("doc_id"),
       lower(trim(col(textCol))).as("__txt"),
-      filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+      filter(tokensFast(col(textCol)), t => t =!= "").as("__toks"))
     val t = col("__toks")
     val n = size(t).cast("long")
     val sumLen = aggregate(transform(t, w => length(w).cast("long")),
@@ -413,6 +416,7 @@ object TextAnalysis {
                          textCol: String = "text"): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
     graft.plans.NgramHash60.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     val toks = col("__toks")
     // the kernel yields an empty array for docs shorter than n — the
     // short-doc guard lives inside it
@@ -427,7 +431,7 @@ object TextAnalysis {
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     balanced
       .select(col(groupCol).as("__grp"),
-        filter(tokens(col(textCol)), t => t =!= "").as("__toks"))
+        filter(tokensFast(col(textCol)), t => t =!= "").as("__toks"))
       .select(col("__grp"), explode(array(levels: _*)).as("__lvl"))
       .select(col("__grp"), col("__lvl.n").as("n"),
         explode(col("__lvl.grams")).as("__gram"))

@@ -56,10 +56,11 @@ object TextDedup {
     // the SCAN's: a small single-file corpus means one partition hashing on
     // one core. Rebalance only when the scan undersupplies the cluster — a
     // many-split 100 TB input takes the free path (no extra corpus shuffle).
+    graft.plans.Tokenize.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     balanced
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("__toks"))).as("sh"))
   }
 
@@ -285,13 +286,14 @@ object TextDedup {
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     graft.plans.Hash60.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     // tokenize+hash run before the bit-vote exchange — rebalance a
     // single-file corpus off one core (the shingleRows conditional idiom)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     val tok = balanced
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .select(col("doc_id"), explode(noInfer(col("__toks"))).as("tok"))
       .withColumn("h", hash60Fast(col("tok")))
     val bitVotes = (0 until 60).map { b =>
@@ -346,13 +348,14 @@ object TextDedup {
   def winnowFingerprints(docs: DataFrame, w: Int = 4,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.plans.WinnowHash60.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     // shingle+hash+winnow all run before any exchange — rebalance a
     // single-file corpus off one core (the shingleRows conditional idiom)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     balanced
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         explode(call_function("graft_winnow_hash60",
           col("__toks"), lit(3), lit(w))).as("fingerprint"))
@@ -415,13 +418,14 @@ object TextDedup {
     // smaller than the exploded (doc_id, n, sh) stream the previous
     // formulation persisted.
     graft.plans.Hash60.register(docs.sparkSession)
+    graft.plans.Tokenize.register(docs.sparkSession)
     // shingling+hashing parallelism is the scan's (the shingleRows lesson
     // — the cached frame's partitioning throttles every consumer too)
     val parJ = docs.sparkSession.sparkContext.defaultParallelism
     val balancedJ =
       if (docs.rdd.getNumPartitions < parJ) docs.repartition(parJ) else docs
     val docSh = balancedJ
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
       .select(col("doc_id"),
         transform(shinglesFromTokens(col("__toks")), s => hash60Fast(s)).as("__sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
