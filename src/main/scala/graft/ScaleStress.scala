@@ -178,10 +178,31 @@ object ScaleStress {
       shape("q50_lsh_groups_dense_cluster", Seq(1, 10, 100),
         k => stressDocs(k, hot = 300),
         df => TextDedup.minhashLshGroups(df).count()),
-      shape("q78_semantic_dedup_hot_bucket", Seq(1, 10),
-        k => stressVecs(k, hot = 200),
-        df => graft.operators.Similarity
-          .semanticDedupGroups(df, threshold = 0.3).count()),
+      // q78 runs under BOTH dense-bucket policies (the q22 two-policy
+      // pattern): x1/x10 use the declared query's escalation default —
+      // a hot bucket past the cap emits the verified star+chain spanning
+      // set, never its quadratic pair set — while x10_exact documents
+      // what the same corpus costs with the cap off (every hot-bucket
+      // pair materialized). The hot cluster GROWS with the corpus
+      // (hot = 300·k): a viral near-dup cluster scales with the crawl,
+      // and a constant-size cluster would quietly fall under the cap at
+      // every scale and prove nothing.
+      "q78_semantic_dedup_hot_bucket" -> { () =>
+        def run(cap: Int)(df: org.apache.spark.sql.DataFrame): Long =
+          graft.operators.Similarity
+            .semanticDedupGroups(df, threshold = 0.3, denseBucketCap = cap)
+            .count()
+        val cap = graft.operators.Similarity.DefaultDenseBucketCap
+        Map(
+          measure("q78_semantic_dedup_hot_bucket", "x1_exact",
+            () => stressVecs(1, hot = 300), run(0)),
+          measure("q78_semantic_dedup_hot_bucket", "x1",
+            () => stressVecs(1, hot = 300), run(cap)),
+          measure("q78_semantic_dedup_hot_bucket", "x10",
+            () => stressVecs(10, hot = 3000), run(cap)),
+          measure("q78_semantic_dedup_hot_bucket", "x10_exact",
+            () => stressVecs(10, hot = 3000), run(0), warm = false))
+      },
       shape("q92_pagerank_fact_scale", Seq(1, 10, 100),
         stressLineitem, q92Run),
       // q22 runs under BOTH cap policies. The synthetic corpus draws
@@ -354,7 +375,7 @@ object ScaleStress {
     // unless an explicit SPARK_GRAFT_SCALE_OUT says otherwise.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       if (sys.env.contains("SPARK_GRAFT_SCALE_SHAPES")) "SCALE_partial.json"
-      else "SCALE_r15.json")
+      else "SCALE_r16.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>

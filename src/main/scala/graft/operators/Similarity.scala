@@ -25,6 +25,36 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Ceiling on the query-frame row count the broadcast-scoring miners
+    * ([[hardNegatives]], [[marginMining]]) accept: their compute is
+    * O(|corpus| × |queries|) with the query frame broadcast whole, which
+    * is only the right plan while the query side stays model-batch-sized.
+    * The guard turns a silently quadratic call into a loud error pointing
+    * at the ANN-probe path. 10k queries × a wide corpus row is also near
+    * the comfortable broadcast envelope (~tens of MB at 128-dim). */
+  val MaxBroadcastQueries = 10000
+
+  /** Default [[cosineNearDupPairs]] dense-bucket escalation cap for
+    * CONNECTIVITY callers ([[semanticDedupGroups]]): comfortably above
+    * every organic band-bucket size measured on the bench corpora (sf1's
+    * largest sign-LSH bucket is well under this, so the exact path runs
+    * there unchanged — the q78 oracle pins it), small enough that a viral
+    * near-dup cluster's bucket switches to the linear star+chain spanning
+    * set long before its pair fan-out dominates a stage. */
+  val DefaultDenseBucketCap = 1024
+
+  private def requireQueryFrameBounded(queries: DataFrame, op: String): Unit = {
+    // limit(cap+1) keeps the check O(cap), never a full count of a
+    // mistakenly corpus-sized frame
+    val n = queries.limit(MaxBroadcastQueries + 1).count()
+    require(n <= MaxBroadcastQueries,
+      s"$op broadcast-scores the corpus against every query row " +
+      s"(O(|corpus| x |queries|)); got > $MaxBroadcastQueries query rows. " +
+      "Corpus-sized query frames belong on the ANN path: probe the " +
+      "IVF/sign-LSH index per query (Similarity.Ivf.topK / SignLsh.topK) " +
+      "and feed the survivors into the same scoring arithmetic.")
+  }
+
   /** Build-once persistence for ANN indexes ("build once, query many").
     *
     * An index is a plain parquet directory partitioned by its cell column
@@ -227,6 +257,13 @@ object Similarity {
     * trains against. Queries arrive as a small frame (qid, qv, qlabel)
     * and are broadcast; candidates never shuffle for scoring.
     *
+    * SCALE CEILING: compute is O(|corpus| × |queries|) and the query
+    * frame is broadcast whole — this is the small-query-frame regime
+    * (training-batch negatives, not all-pairs mining), guarded at
+    * [[MaxBroadcastQueries]] query rows. Past it, probe the IVF/sign-LSH
+    * index per query (q36/q25's `topK`) and anti-filter on the label
+    * instead of broadcast cross-scoring.
+    *
     * The per-query top-k is two-phase so it scales past a handful of
     * queries: a first `row_number` over (qid, salt) keeps `k` survivors
     * per salt bucket (the shuffle spreads each query over `salts`
@@ -238,6 +275,7 @@ object Similarity {
                     salts: Int = 32, idCol: String = "vec_id",
                     vecCol: String = "embedding", labelCol: String = "label",
                     scorer: (Column, Column) => Column = null): DataFrame = {
+    requireQueryFrameBounded(queries, "hardNegatives")
     val score: (Column, Column) => Column =
       if (scorer != null) scorer
       else {
@@ -293,6 +331,13 @@ object Similarity {
     * id (corpus-cardinality keys, no skew) and the two windows over that
     * partitioning share one exchange.
     *
+    * SCALE CEILING: compute is O(|corpus| × |queries|) and the query
+    * frame is broadcast whole — this is the small-query-frame regime,
+    * guarded at [[MaxBroadcastQueries]] query rows. A corpus-sized query
+    * frame belongs on the ANN path instead: probe the IVF/sign-LSH index
+    * per query (q36/q25's `topK`) and feed the survivors' cosines into
+    * the same margin arithmetic.
+    *
     * The cross scores are computed ONCE and persisted as a COMPACT
     * (qid, id, c6) frame — ids plus one quantized double, the vectors
     * dropped before anything shuffles (round-15; the previous
@@ -318,6 +363,7 @@ object Similarity {
   def marginMining(corpus: DataFrame, queries: DataFrame, k: Int = 4,
                    topN: Int = 25, salts: Int = 32, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    requireQueryFrameBounded(queries, "marginMining")
     graft.plans.CosineSimilarity.register(corpus.sparkSession)
     // scoring parallelism is the corpus SCAN's: a small single-file corpus
     // is one partition, putting every cosine — and the cached frame all
@@ -419,10 +465,25 @@ object Similarity {
     * sign-LSH band collision exactly like MinHash banding, so this never
     * goes all-pairs at scale. 16 sign bits in 2 bands of 8 keep bucket
     * sizes ~n/256 per band; the dot is computed once per *distinct*
-    * candidate pair, after dedup. */
+    * candidate pair, after dedup.
+    *
+    * `denseBucketCap` (0 = off, the exact default): a near-clique
+    * duplicate cluster makes its band bucket's pair fan-out quadratic in
+    * cluster size NO MATTER the plan — correct when the caller wants the
+    * pairs (this operator's regime), pure waste when the caller only
+    * needs CONNECTIVITY ([[semanticDedupGroups]]). With a cap, a bucket
+    * of m > cap members emits the cosine-VERIFIED star+chain spanning
+    * set — (bucket-min, x) for every member plus (prevById, x) —
+    * 2(m-1) candidates whose surviving edges connect exactly the same
+    * near-clique component; buckets at or under the cap keep the exact
+    * per-pair semantics. Escalated buckets can in principle drop a pair
+    * two mid-bucket members would have formed (a mixed bucket whose
+    * members aren't near-dups of the bucket min), so the cap belongs on
+    * component callers, not pair-inspection callers. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          nBits: Int = 16,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         denseBucketCap: Int = 0): DataFrame = {
     val dim = firstVectorLength(embeddings, vecCol)
     val normed = normalize(embeddings, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -438,12 +499,43 @@ object Similarity {
         struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1 << half) - 1)).as("key")),
         struct(lit(1).as("band"), shiftright(col("sig"), half).as("key")))).as("b"))
       .select(col("vec_id"), col("b.band"), col("b.key"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val cand =
+      if (denseBucketCap <= 0) banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      else {
+        // Dense-bucket escalation (connectivity callers — see scaladoc):
+        // bucket size, bucket min and the previous member come out of ONE
+        // window exchange over (band, key); buckets at or under the cap
+        // keep the exact self-join, oversized buckets emit the verified
+        // star+chain spanning set — 2(m-1) candidates instead of m(m-1)/2.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("band"), col("key")).orderBy(col("vec_id"))
+        val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val sized = banded
+          .withColumn("__n", count(lit(1)).over(wAll))
+          .withColumn("__min", min(col("vec_id")).over(wAll))
+          .withColumn("__prev", lag(col("vec_id"), 1).over(w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val small = sized.filter(col("__n") <= denseBucketCap)
+          .select(col("vec_id"), col("band"), col("key"))
+        val smallPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        val largePairs = sized.filter(col("__n") > denseBucketCap)
+          .select(explode(filter(array(
+            struct(col("__min").as("vec_a"), col("vec_id").as("vec_b")),
+            struct(coalesce(col("__prev"), col("vec_id")).as("vec_a"),
+              col("vec_id").as("vec_b"))),
+            p => p.getField("vec_a") < p.getField("vec_b"))).as("p"))
+          .select(col("p.vec_a"), col("p.vec_b"))
+        smallPairs.unionByName(largePairs).distinct()
+      }
     cand
       .join(normed.toDF("vec_a", "va"), "vec_a")
       .join(normed.toDF("vec_b", "vb"), "vec_b")
@@ -464,12 +556,24 @@ object Similarity {
     * rows and drops the rest — the standard embedding-level dedup pass run
     * over web-scale corpora after exact/fuzzy text dedup.
     *
+    * Dense-cluster escalation is ON here (`denseBucketCap`, default
+    * [[DefaultDenseBucketCap]]): components need connectivity, not pair
+    * volume, so a viral cluster's bucket emits the verified star+chain
+    * spanning set instead of its quadratic pair set — the same
+    * cap-and-escalate move [[graft.operators.TextDedup.minhashLshGroups]]
+    * makes by never materializing pairs at all. On the bench corpora no
+    * bucket reaches the cap, so the exact path runs and the all-pairs
+    * oracle pins it; the SCALE battery proves the escalated wall on
+    * planted hot buckets.
+    *
     * Output: `(vec_id, cluster_id, keep)` for EVERY input vector —
     * singletons are their own cluster with `keep = true`. */
   def semanticDedupGroups(embeddings: DataFrame, threshold: Double,
                           nBits: Int = 16,
-                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val edges = cosineNearDupPairs(embeddings, threshold, nBits, idCol, vecCol)
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          denseBucketCap: Int = DefaultDenseBucketCap): DataFrame = {
+    val edges = cosineNearDupPairs(embeddings, threshold, nBits, idCol, vecCol,
+        denseBucketCap)
       .select(col("vec_a").as("src"), col("vec_b").as("dst"))
     val comp = Graph.connectedComponents(
       embeddings.select(col(idCol).as("id")), edges)
@@ -550,6 +654,22 @@ object Similarity {
 
   private def firstVectorLength(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
+
+  /** The (vec_id, band, key) banded frame [[cosineNearDupPairs]] blocks
+    * on, exposed for the scale probe / battery (bucket-size histograms
+    * are how the dense-bucket cap's headroom claim is measured). */
+  private[operators] def signBitsForProbe(embeddings: DataFrame, nBits: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = firstVectorLength(embeddings, vecCol)
+    val normed = normalize(embeddings, idCol, vecCol)
+    val sig = withSignBits(normed, "v", dim, nBits)
+    val half = nBits / 2
+    sig.select(col("vec_id"),
+      explode(array(
+        struct(lit(0).as("band"), col("sig").bitwiseAND(lit((1 << half) - 1)).as("key")),
+        struct(lit(1).as("band"), shiftright(col("sig"), half).as("key")))).as("b"))
+      .select(col("vec_id"), col("b.band"), col("b.key"))
+  }
 
   /** IVF (inverted-file) ANN index: k-means centroids partition the vector
     * space; a query probes only the `nProbe` nearest cells and re-scores

@@ -147,6 +147,36 @@ class TimeSeriesGraphSpec extends AnyFunSuite with SparkSpec {
     assert(crossCluster.count() === 0)
   }
 
+  test("semanticDedupGroups: dense-bucket escalation matches the exact path") {
+    // A planted viral cluster well past the cap (600 near-identical copies
+    // of one base vector vs a cap of 64 in this test) plus untouched organic
+    // vectors: the escalated star+chain spanning set must produce the SAME
+    // components as exhaustive in-bucket pair enumeration — the q78 SCALE
+    // battery measures the wall win, this pins the output contract. The cap
+    // sits ABOVE every organic bucket (the operator's deployment contract:
+    // the cap separates viral clusters from organic buckets — a cap below
+    // organic bucket sizes escalates MIXED buckets, where the spanning set
+    // legitimately prunes pairs and components may differ).
+    val base = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dense = base.filter(col("vec_id") === 0)
+      .crossJoin(spark.range(600).select(col("id").as("rep")))
+      .select((lit(90000000L) + col("rep")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+          "x + float(0.0001) * float(rep % 7))").as("embedding"))
+    val emb = base.unionByName(dense)
+    val exact = Similarity.semanticDedupGroups(emb, threshold = 0.3,
+      denseBucketCap = 0)
+    val escalated = Similarity.semanticDedupGroups(emb, threshold = 0.3,
+      denseBucketCap = 64)
+    assert(escalated.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(escalated).count() === 0)
+    // the planted copies all landed in one cluster (the escalated path
+    // did not split the viral component)
+    assert(escalated.filter(col("vec_id") >= 90000000L)
+      .select("cluster_id").distinct().count() === 1)
+  }
+
   test("madOutlierSummary resists contamination that masks the z-score gate") {
     // 100 values near 10, plus two 1e6 spikes: the spikes inflate stddev so
     // a 3-sigma gate sees at most the spikes themselves; median/MAD flags
