@@ -17,10 +17,20 @@ import org.apache.spark.sql.functions._
   * EXACTLY once — the two left copies carry distinct bucket keys, and a
   * right row has one — so no post-join dedup is needed.
   *
-  * Scale shape: one shuffle on (key, bucket); the left side doubles in rows
-  * (explode of 2), which is the price of boundary correctness and far
-  * cheaper than a union-then-distinct over the pair set.
-  */
+  * Scale shape: one shuffle per side on (key, bucket), shuffle-hash join
+  * (see the hint note below); the left side doubles in rows (explode of
+  * 2), which is the price of boundary correctness and far cheaper than a
+  * union-then-distinct over the pair set.
+  *
+  * NOT the bucket-pair idiom, deliberately (round-16 A/B at sf1): q22's
+  * groupBy-collect + in-place pair emission was measured 5.7 s here vs
+  * this join's 1.2 s. The idiom wins when buckets are FEW AND BIG (gram
+  * buckets: thousands of buckets, hundreds of members — the collect
+  * amortizes, the killed exchanges dominate); the events table is the
+  * opposite regime, ~1M buckets of 1-4 members, where per-bucket
+  * higher-order-function emission (CodegenFallback, interpreted per
+  * element) costs more than the one exchange it saves and the join stays
+  * whole-stage-codegen end to end. */
 object RangeJoin {
 
   /** Pairs (a, b) with equal `keyCols`, `b.ts ∈ (a.ts, a.ts + window]`.
@@ -38,7 +48,12 @@ object RangeJoin {
       col("a.__block") === col("b.__block") &&
       col(s"b.$tsCol") > col(s"a.$tsCol") &&
       col(s"b.$tsCol") <= col(s"a.$tsCol") + window
-    a.join(b, joinCond)
+    // SHUFFLE_HASH: the equi keys (keyCols, __block) hash-partition both
+    // sides into bucket-sized groups (bounded per-partition build maps);
+    // sort-merge would sort BOTH streams — 3x the input row count in sort
+    // work — to produce a pair set orders of magnitude smaller than either
+    // input (measured 4.0 s -> 1.2 s at sf1).
+    a.join(b.hint("shuffle_hash"), joinCond)
       .select(outA.map { case (c, n) => col(s"a.$c").as(n) } ++
         outB.map { case (c, n) => col(s"b.$c").as(n) }: _*)
   }

@@ -285,25 +285,19 @@ object TextDedup {
     * one aggregation pass. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    graft.plans.Hash60.register(docs.sparkSession)
+    graft.plans.SimHash60.register(docs.sparkSession)
     graft.plans.Tokenize.register(docs.sparkSession)
-    // tokenize+hash run before the bit-vote exchange — rebalance a
-    // single-file corpus off one core (the shingleRows conditional idiom)
+    // The signature is per-document, so it is ONE fused projection
+    // ([[graft.plans.SimHash60]]): the previous explode + 60-conditional-sum
+    // groupBy shuffled the whole token stream to compute a row-local value
+    // (the repetitionStats round-15 argument; measured 2.8 s of q21's sf1
+    // wall in the exchange+aggregate alone). Rebalance a single-file corpus
+    // off one core first — the projection runs at the scan's parallelism.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val tok = balanced
-      .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(noInfer(col("__toks"))).as("tok"))
-      .withColumn("h", hash60Fast(col("tok")))
-    val bitVotes = (0 until 60).map { b =>
-      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")
-    }
-    val summed = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
-    val assembled = (0 until 60).map { b =>
-      when(col(s"s$b") > 0, expr(s"shiftleft(1L, $b)")).otherwise(lit(0L))
-    }.reduce(_ + _)
-    summed.select(col("doc_id"), assembled.as("simhash"))
+    balanced.select(col(idCol).as("doc_id"),
+      call_function("graft_simhash60", tokensFast(col(textCol))).as("simhash"))
   }
 
   /** SimHash near-dup pairs at Hamming distance ≤ `maxHamming` (default 3),

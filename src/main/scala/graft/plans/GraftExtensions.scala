@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_hash60", classOf[Hash60])(Hash60.builder)
     fn("graft_ngram_hash60", classOf[NgramHash60])(NgramHash60.builder)
     fn("graft_winnow_hash60", classOf[WinnowHash60])(WinnowHash60.builder)
+    fn("graft_simhash60", classOf[SimHash60])(SimHash60.builder)
     fn("graft_tokens", classOf[Tokenize])(Tokenize.builder)
     fn("graft_quality_counts", classOf[CharClassCounts]) {
       case Seq(c) => CharClassCounts(c)

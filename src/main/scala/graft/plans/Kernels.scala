@@ -14,5 +14,6 @@ object Kernels {
     Hash60.register(spark)
     NgramHash60.register(spark)
     WinnowHash60.register(spark)
+    SimHash60.register(spark)
   }
 }

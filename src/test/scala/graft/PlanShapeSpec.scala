@@ -30,6 +30,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       s"inlined tokenize chain found in a Filter condition:\n$plan")
   }
 
+  test("q48 plan: blocked range join is one shuffled hash join, no sorts") {
+    val plan = SparkEntry.queries("q48_range_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the (key, bucket) equi keys make it a hash join; sort-merge would
+    // sort 3x the input rows for a pair set orders of magnitude smaller
+    // (measured 4.0s -> 1.2s at sf1)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"range join must be a shuffled hash join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge crept back:\n$plan")
+    // one exchange per side, nothing else
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles === 2, s"expected 2 exchanges (one per side), got $shuffles in:\n$plan")
+  }
+
   test("q98 plan: ADC shortlist broadcasts into the re-rank join — no shuffle join") {
     val plan = SparkEntry.queries("q98_pq_topk")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -113,6 +113,39 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("graft_simhash60 kernel == explode + per-bit SUM(±1) aggregate twin " +
+    "(the value contract the q21 oracle rests on)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    graft.plans.SimHash60.register(spark)
+    graft.plans.Hash60.register(spark)
+    val texts = Seq("one two three four five", "solo", "a b a b a", "",
+      "   ", "é ü 中文 🙂 mixed bytes", "x " * 50,
+      "\tleading tab keeps an empty token")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = docs.select(col("doc_id"),
+      call_function("graft_simhash60",
+        TextFunctions.tokens(col("text"))).as("k"))
+    // the aggregate twin — the pre-round-16 formulation, which is also the
+    // shape the DuckDB oracle replays in SQL
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .withColumn("h", TextFunctions.hash60Fast(col("tok")))
+    val bitVotes = (0 until 60).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"s$b")
+    }
+    val assembled = (0 until 60).map { b =>
+      when(col(s"s$b") > 0, expr(s"shiftleft(1L, $b)")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val twin = tok.groupBy(col("doc_id")).agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), assembled.as("e"))
+    val joined = kernel.join(twin, "doc_id").collect()
+    assert(joined.length === texts.length) // tokens() is never empty → twin covers all
+    joined.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)}"))
+  }
+
   test("winnowFingerprints == naive MOSS winnowing (positional shingles, window mins)") {
     def md5hex(s: String): String =
       org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
