@@ -56,15 +56,12 @@ object Ext8Queries {
     "q129_bpe_encode_vocab" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      // ONE tokenize pass feeds both the table build and the encode (the
-      // unfused composition scanned + exploded the corpus twice): the
-      // compact per-doc RLE frame is what's cached, flat views explode it
-      // per consumer. The dict is persisted because levels=2 re-encodes
+      // ONE codegen'd dict pass (explode + hash agg — the per-doc RLE is
+      // pure waste for a GLOBAL count: partial agg collapses duplicates
+      // map-side already) feeds the table build, the gate sample and the
+      // stats-pass vocabulary. The dict IS persisted: levels=2 re-encodes
       // it under level 1's table.
-      val ent = graft.operators.BpeCodec.termFrequencyEntries(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tf = graft.operators.BpeCodec.flatTf(ent)
-      val dict = tf.groupBy("w").agg(sum("tf").as("cnt"))
+      val dict = graft.operators.BpeCodec.wordCounts(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
         dict, perLevel = BpeVocabPerLevel, levels = 2)
@@ -83,20 +80,24 @@ object Ext8Queries {
           .filter(col("greedy_len") =!= col("seq_len"))
           .count()
       }
-      try graft.operators.BpeCodec.encodeFromTf(tf, table)
-      finally { dict.unpersist(): Unit } // tf stays cached: the result plan reads it
+      // exchange-free stats: one mapPartitions pass re-tokenizes each doc
+      // in-JVM and folds against the broadcast vocab map — no per-doc
+      // shuffle, no explode-back join
+      graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
     }),
 
     "q130_bpe_encode_prefix" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // same fusion as q129: the 2-rule table derives from the SAME
-      // persisted per-doc RLE frame the encode consumes — one corpus pass
-      val ent = graft.operators.BpeCodec.termFrequencyEntries(docs)
+      // ONE exchange total (the vocab agg): the codegen'd dict pass feeds
+      // the 2-rule table and the vocabulary; the per-doc stats are pure
+      // instance sums, folded in one mapPartitions pass with the broadcast
+      // vocab map. Re-tokenizing in the stats pass (fused kernel, in-JVM)
+      // is cheaper than materializing any corpus-sized cache.
+      val dict = graft.operators.BpeCodec.wordCounts(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tf = graft.operators.BpeCodec.flatTf(ent)
       val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
-        tf.groupBy("w").agg(sum("tf").as("cnt")), perLevel = 2, levels = 1)
-      graft.operators.BpeCodec.encodeFromTf(tf, table)
+        dict, perLevel = 2, levels = 1)
+      graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
     })
   )
 

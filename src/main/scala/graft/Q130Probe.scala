@@ -23,40 +23,36 @@ object Q130Probe {
     }
     val docs = Tables.load(spark, dir, "documents")
     graft.plans.Tokenize.register(spark)
-    // warm the scan
+    println(s"[probe] docs_partitions: ${docs.rdd.getNumPartitions}")
     time("scan_count")(docs.count())
-    for (i <- 1 to 3) {
-      time(s"tokenize_split_$i") {
-        docs.select(size(filter(graft.functions.TextFunctions.tokens(col("text")),
-          t => t =!= "")).as("n")).agg(sum("n")).head()
-      }
-      time(s"tokenize_kernel_$i") {
-        docs.select(size(filter(graft.functions.TextFunctions.tokensFast(col("text")),
-          t => t =!= "")).as("n")).agg(sum("n")).head()
-      }
-    }
-    val ent = graft.operators.BpeCodec.termFrequencyEntries(docs)
-    time("rle_entries_sum") {
-      ent.select(size(col("tfs")).as("n")).agg(sum("n")).head()
-    }
-    val ent2 = graft.operators.BpeCodec.termFrequencyEntries(docs)
+
+    val dict = graft.operators.BpeCodec.wordCounts(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("persist_entries") { ent2.count() }
-    val tf = graft.operators.BpeCodec.flatTf(ent2)
-    val dict = tf.groupBy("w").agg(sum("tf").as("cnt"))
-    time("dict_from_cache") { dict.count() }
-    val table = time("table_build") {
+    val n = time("dict_build_persist") { dict.count() }
+    println(s"[probe] vocab_size: $n")
+    val table = time("table_build_from_cache") {
       graft.operators.BpeCodec.frequencyMergeTableFromDict(dict, 2, 1)
     }
-    time("encode_from_cache") {
-      graft.operators.BpeCodec.encodeFromTf(tf, table).write
-        .mode("overwrite").parquet("/tmp/q130probe")
+    val stats = time("stats_construct_incl_vocab_collect") {
+      graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
     }
-    // full query end to end, fresh (matches bench shape)
+    time("stats_write") {
+      stats.write.mode("overwrite").parquet("/tmp/q130probe")
+    }
     spark.catalog.clearCache()
     time("full_query") {
       Queries.all("q130_bpe_encode_prefix")(spark, dir).write
         .mode("overwrite").parquet("/tmp/q130probe2")
+    }
+    time("full_query_2") {
+      spark.catalog.clearCache()
+      Queries.all("q130_bpe_encode_prefix")(spark, dir).write
+        .mode("overwrite").parquet("/tmp/q130probe2")
+    }
+    time("full_q129") {
+      spark.catalog.clearCache()
+      Queries.all("q129_bpe_encode_vocab")(spark, dir).write
+        .mode("overwrite").parquet("/tmp/q130probe3")
     }
     spark.stop()
   }

@@ -36,7 +36,7 @@ import graft.functions.TextFunctions.{tokens, tokensFast}
   * instances — [[BpeTrain.encode]]'s proven shape. */
 object BpeCodec {
 
-  /** Rank lookup keyed `left` + ' ' + `right` — a space can never occur
+  /** Rank lookup keyed `left` + '\u0000' + `right` — NUL can never occur
     * inside a symbol (words are whitespace-tokenized and merged symbols
     * concatenate their code points), so the key is unambiguous. A plain
     * string key keeps the per-pair probe cheap on the hot path (no tuple
@@ -142,9 +142,22 @@ object BpeCodec {
                       textCol: String = "text"): DataFrame =
     flatTf(termFrequencyEntries(docs, idCol, textCol))
 
-  /** Explode a [[termFrequencyEntries]] frame to flat `(doc_id, w, tf)`. */
+  /** Explode a [[termFrequencyEntries]] frame to flat `(doc_id, w, tf)`.
+    *
+    * `explode_outer` + a post-filter on the GENERATED attribute, not plain
+    * `explode`, and the difference is load-bearing: a non-outer explode
+    * makes `InferFiltersFromGenerate` synthesize `size(tfs) > 0 AND
+    * isnotnull(tfs)` on the generator input, and predicate pushdown then
+    * carries that predicate below the rebalance exchange BY SUBSTITUTION —
+    * the entire RLE expression (tokenize, array_sort, the run-start filter)
+    * inlined ~20× into one per-row Filter that runs at the SCAN's
+    * parallelism. On a 2-file sf1 corpus that turned a ~2.5 s dict build
+    * into minutes on 2 cores (the persist() boundary had been masking it).
+    * The outer explode infers no filter, and `__e IS NOT NULL` references a
+    * column that only exists above the Generate, so nothing can sink. */
   def flatTf(entries: DataFrame): DataFrame =
-    entries.select(col("doc_id"), explode(col("tfs")).as("__e"))
+    entries.select(col("doc_id"), explode_outer(col("tfs")).as("__e"))
+      .filter(col("__e").isNotNull)
       .select(col("doc_id"), col("__e.w").as("w"), col("__e.tf").as("tf"))
 
   /** Per-document fertility stats under a rank-ordered merge table —
@@ -157,13 +170,23 @@ object BpeCodec {
              idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     encodeFromTf(termFrequencies(docs, idCol, textCol), merges)
 
-  /** [[encode]] over a pre-computed [[termFrequencies]] frame. */
-  def encodeFromTf(tf: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  /** [[encode]] over a pre-computed [[termFrequencies]] frame.
+    *
+    * `vocab`: an optional pre-computed distinct-word frame (any frame with
+    * a `w` column, e.g. the `(w, cnt)` dict the caller already aggregated
+    * for [[frequencyMergeTableFromDict]]). Without it the encoder derives
+    * the vocabulary with `tf.select("w").distinct()` — a full
+    * corpus-instance exchange that is pure waste when the caller holds a
+    * persisted dict from the same tokenize pass (q129/q130 both did the
+    * vocab exchange twice before this seam existed). */
+  def encodeFromTf(tf: DataFrame, merges: Seq[(String, String)],
+                   vocab: Option[DataFrame] = None): DataFrame = {
     require(merges.nonEmpty, "encode needs at least one merge rule")
     val spark = tf.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(rankTable(merges))
-    val dict = tf.select("w").distinct().as[String]
+    val words = vocab.map(_.select("w")).getOrElse(tf.select("w").distinct())
+    val dict = words.as[String]
       .mapPartitions { it =>
         val table = bc.value
         it.map(w => (w, greedyEncode(w, table).length.toLong))
@@ -177,6 +200,102 @@ object BpeCodec {
         col("n_bpe_tokens"),
         round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)
           .as("chars_per_token"))
+  }
+
+  /** Global `(w, cnt)` word counts — the BPE dict — as ONE codegen'd
+    * pass: explode the fused-tokenizer array, hash-aggregate. No per-doc
+    * RLE: the dict is a GLOBAL aggregate, so partial aggregation already
+    * collapses per-partition duplicates map-side and the exchange moves
+    * only vocab-sized partials — the RLE's per-row array_sort + run-start
+    * filters (interpreted HOFs) bought nothing here and dominated the
+    * dict build (measured ~2.6 s vs ~0.9 s at sf1). */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    graft.plans.Tokenize.register(docs.sparkSession)
+    balanced
+      .select(explode(tokensFast(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[encode]]'s per-document stats with NO exchange and NO per-word
+    * grouping: every output is an INSTANCE sum (`n_words` = token count,
+    * `n_chars` = Σ code points, `n_bpe_tokens` = Σ n_syms(token)), so one
+    * `mapPartitions` pass tokenizes each doc in-JVM (the same
+    * [[graft.plans.Tokenize]] kernel the SQL form calls) and folds against
+    * a broadcast vocab→n_syms map. The vocab-sized collect behind that map
+    * is exactly the rows a `broadcast(dict)` join would pull to the driver
+    * to build its hash relation. Semantics mirror [[encodeFromTf]]:
+    * docs with no tokens emit no row; `n_chars` counts code points (Spark
+    * `length()`); `chars_per_token` is Spark's `round(x, 4)` (HALF_UP on
+    * the double quotient). Differential spec: `BpeCodecSpec`. */
+  def encodeStatsFromDocs(docs: DataFrame, vocab: DataFrame,
+                          merges: Seq[(String, String)],
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val bcN = spark.sparkContext.broadcast(encodedLengths(vocab, merges))
+    val idType = docs.schema(idCol).dataType
+    balanced.select(col(idCol).cast("string").as("doc_id"), col(textCol))
+      .mapPartitions { it =>
+        val nSyms = bcN.value
+        it.flatMap { r =>
+          val text = r.getString(1)
+          if (text == null) Iterator.empty
+          else {
+            val toks = graft.plans.Tokenize.tokenize(
+              org.apache.spark.unsafe.types.UTF8String.fromString(text))
+            var words = 0L; var chars = 0L; var toksOut = 0L
+            var i = 0
+            val n = toks.numElements()
+            while (i < n) {
+              val u = toks.getUTF8String(i)
+              if (u.numBytes() > 0) {
+                val w = u.toString
+                words += 1
+                chars += w.codePointCount(0, w.length)
+                // a vocab word always resolves; 0 keeps a stale vocab loud
+                // at the ratio rather than an executor NPE
+                toksOut += nSyms.getOrDefault(w, 0L)
+              }
+              i += 1
+            }
+            if (words == 0) Iterator.empty
+            else {
+              // exactly Spark's round(double, 4): double division first,
+              // then BigDecimal.valueOf(double).setScale(HALF_UP)
+              val cpt = java.math.BigDecimal.valueOf(chars.toDouble / toksOut)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              Iterator((r.getString(0), words, chars, toksOut, cpt))
+            }
+          }
+        }
+      }.toDF("doc_id", "n_words", "n_chars", "n_bpe_tokens", "chars_per_token")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+  }
+
+  /** Encode every vocab word on the executors, return the vocab-bounded
+    * `word → token count` map (the hash relation a broadcast dict join
+    * would build). */
+  private def encodedLengths(vocab: DataFrame, merges: Seq[(String, String)])
+      : java.util.HashMap[String, Long] = {
+    require(merges.nonEmpty, "encode needs at least one merge rule")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val bcT = spark.sparkContext.broadcast(rankTable(merges))
+    val enc = vocab.select("w").as[String].mapPartitions { it =>
+      val t = bcT.value
+      it.map(w => (w, greedyEncode(w, t).length.toLong))
+    }.collect()
+    val m = new java.util.HashMap[String, Long](enc.length * 2)
+    enc.foreach { case (w, n) => m.put(w, n) }
+    m
   }
 
   /** A rank-ordered merge table of production SHAPE (hundreds of rules)

@@ -121,9 +121,42 @@ class BpeCodecSpec extends AnyFunSuite with SparkSpec {
     words.foreach { w =>
       val syms = BpeCodec.greedyEncode(w, rk)
       syms.sliding(2).filter(_.length == 2).foreach { p =>
-        assert(!rk.containsKey(p(0) + " " + p(1)),
+        // NUL-separator key, kept as an escape rather than a raw byte
+        // (a literal NUL makes the file binary to git)
+        assert(!rk.containsKey(p(0) + "\u0000" + p(1)),
           s"'$w': pair (${p(0)},${p(1)}) in table but left unmerged")
       }
     }
+  }
+
+  test("encodeStatsFromDocs == encodeFromTf cell-for-cell (incl. empty doc)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .union(Seq((100000L, "", "en", "synthetic", 0L),
+        (100001L, "   ", "en", "synthetic", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val table = BpeCodec.frequencyMergeTable(docs, perLevel = 5, levels = 2)
+    val dict = BpeCodec.wordCounts(docs)
+    val tf = BpeCodec.termFrequencies(docs)
+    val flat = BpeCodec.encodeFromTf(tf, table)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val fused = BpeCodec.encodeStatsFromDocs(docs, dict, table)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(fused.length > 0)
+    assert(fused.toSeq === flat.toSeq)
+    // schema parity too — the oracle compare sorts columns by name
+    assert(BpeCodec.encodeStatsFromDocs(docs, dict, table)
+      .schema.map(f => (f.name, f.dataType)) ===
+      BpeCodec.encodeFromTf(tf, table).schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("wordCounts == RLE-derived dict cell-for-cell") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val a = BpeCodec.wordCounts(docs)
+      .orderBy("w").collect().map(_.toSeq)
+    val b = BpeCodec.termFrequencies(docs)
+      .groupBy("w").agg(org.apache.spark.sql.functions.sum("tf").as("cnt"))
+      .orderBy("w").collect().map(_.toSeq)
+    assert(a.length > 0)
+    assert(a.toSeq === b.toSeq)
   }
 }
