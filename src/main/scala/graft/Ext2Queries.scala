@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Merge
@@ -239,18 +239,48 @@ object Ext2Queries {
           col("n_events"), col("total_value"))),
 
     // CUBE over (status, year) with grouping_id — all four aggregation
-    // granularities in one pass (Expand), the OLAP completeness piece
-    // alongside q30's ROLLUP and q49's PIVOT.
-    "q68_cube" -> ((s, dir) =>
-      t(s, dir, "orders")
-        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
-        .cube(col("o_orderstatus"), col("o_year"))
-        // decimal money sum — see q02's note (the all-rows cube cell sums
-        // 1.5M prices to ~4e11, far past double's 4-decimal precision)
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice").cast("decimal(23,6)")), 4)
-            .cast("double").as("total_price"),
-          grouping_id().as("gid"))),
+    // granularities, computed as ONE finest-level corpus aggregate plus
+    // three re-aggregations of its ~30-row result instead of the built-in
+    // cube's Expand (which quadruples every input row through the hash
+    // agg: 4×N expanded rows for N + ~90 output cells). The rollup is
+    // exact because both measures re-aggregate associatively: counts are
+    // integers and the money sum follows q02's quantize-to-millionths
+    // rule (per-row long, exact decimal(25,0) sums — identical to the
+    // oracle's per-row DECIMAL(23,6) cast, divide/round once at the end).
+    // This is also the plan that survives 100×: the coarse cells derive
+    // from the finest partial aggregate, never from a second corpus pass.
+    "q68_cube" -> ((s, dir) => {
+      val p6 = floor(col("o_totalprice") * lit(1000000.0) + lit(0.5))
+        .cast("long").cast("decimal(25,0)")
+      val base = t(s, dir, "orders")
+        .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long")
+          .as("o_year"), p6.as("__p6"))
+        .groupBy("o_orderstatus", "o_year")
+        .agg(count(lit(1)).as("n_orders"), sum(col("__p6")).as("__s6"))
+        // tiny (|status|×|years| rows) but its lineage is the corpus agg —
+        // cache it so the three coarse levels re-read 30 rows, not 4 passes
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nullS = lit(null).cast("string")
+      val nullY = lit(null).cast("long")
+      def money(c: Column) = round(c / lit(1000000).cast("decimal(7,0)"), 4)
+        .cast("double")
+      val g0 = base.select(col("o_orderstatus"), col("o_year"),
+        col("n_orders"), money(col("__s6")).as("total_price"),
+        lit(0L).as("gid"))
+      val g1 = base.groupBy("o_orderstatus")
+        .agg(sum("n_orders").as("n_orders"), money(sum("__s6")).as("total_price"))
+        .select(col("o_orderstatus"), nullY.as("o_year"), col("n_orders"),
+          col("total_price"), lit(1L).as("gid"))
+      val g2 = base.groupBy("o_year")
+        .agg(sum("n_orders").as("n_orders"), money(sum("__s6")).as("total_price"))
+        .select(nullS.as("o_orderstatus"), col("o_year"), col("n_orders"),
+          col("total_price"), lit(2L).as("gid"))
+      val g3 = base
+        .agg(sum("n_orders").as("n_orders"), money(sum("__s6")).as("total_price"))
+        .select(nullS.as("o_orderstatus"), nullY.as("o_year"), col("n_orders"),
+          col("total_price"), lit(3L).as("gid"))
+      g0.unionAll(g1).unionAll(g2).unionAll(g3)
+    }),
 
     // End-to-end corpus curation: language gate (en) ∧ quality gate
     // (score ≥ 0.5) ∧ exact-dedup canonical-only — the composition a real

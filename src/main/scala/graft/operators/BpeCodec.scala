@@ -235,12 +235,23 @@ object BpeCodec {
                           merges: Seq[(String, String)],
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
+    require(merges.nonEmpty, "encode needs at least one merge rule")
+    statsFromEncodedVocab(docs, encodedLengths(vocab, merges), idCol, textCol)
+  }
+
+  /** The fold half of [[encodeStatsFromDocs]], reusable by any encoder
+    * that can produce the vocab-bounded `word → token count` map (q121/
+    * q122 feed it from the sequential [[graft.plans.BpeEncodeLen]] kernel
+    * so the per-rule fold semantics stay in their evidence path). */
+  private[operators] def statsFromEncodedVocab(
+      docs: DataFrame, nSyms: java.util.HashMap[String, Long],
+      idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val par = spark.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val bcN = spark.sparkContext.broadcast(encodedLengths(vocab, merges))
+    val bcN = spark.sparkContext.broadcast(nSyms)
     val idType = docs.schema(idCol).dataType
     balanced.select(col(idCol).cast("string").as("doc_id"), col(textCol))
       .mapPartitions { it =>

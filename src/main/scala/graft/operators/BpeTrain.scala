@@ -114,41 +114,49 @@ object BpeTrain {
     * the fertility stats a tokenizer change is judged by. Documents
     * with no tokens emit no row.
     *
-    * Scale shape: the corpus pass is one (doc, word) count; the merge
+    * Scale shape: ONE vocabulary exchange (explode + distinct); the merge
     * chain runs over the DISTINCT-word dict only (vocabulary-sized,
     * never corpus-sized — how production tokenizers encode), as ONE
     * fused kernel call per dict word ([[graft.plans.BpeEncodeLen]] —
     * the declarative 12-nested-`aggregate`-folds form evaluated the
     * whole chain with an array allocation per symbol per rule and
-    * measured 14.5 s at sf0.1; the kernel is scan-cost), and symbol
-    * counts join back to the word instances by broadcast
-    * ([[TermWeighting.tfidfTopTerms]]'s broadcast-vocab stance).
+    * measured 14.5 s at sf0.1; the kernel is scan-cost), and the per-doc
+    * stats fold each doc against the broadcast vocab→n_syms map in one
+    * exchange-free pass ([[BpeCodec.statsFromEncodedVocab]] — the stats
+    * are instance sums, so the former (doc,word) aggregate + join-back +
+    * re-aggregate bought nothing; [[TermWeighting.tfidfTopTerms]]'s
+    * broadcast-vocab stance and caveat apply).
     * Kernel semantics are pinned two ways: the differential encoder
     * spec (`BpeTrainSpec`), and q122's full DuckDB oracle on the
     * 2-rule prefix. */
   def encode(docs: DataFrame, merges: Seq[(String, String)],
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(merges.nonEmpty, "encode needs at least one merge rule")
-    graft.plans.BpeEncodeLen.register(docs.sparkSession)
-    graft.plans.Tokenize.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.BpeEncodeLen.register(spark)
+    graft.plans.Tokenize.register(spark)
     // conditional rebalance (the round-15 single-partition lesson)
-    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val par = spark.sparkContext.defaultParallelism
     val balanced =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    val tf = balanced.select(col(idCol).as("doc_id"),
-        explode(filter(tokensFast(col(textCol)), t => t =!= "")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val dict = tf.select("w").distinct()
+    // ONE vocab exchange (the old shape shuffled a (doc,word) aggregate —
+    // the corpus's dominant cardinality — then joined the dict back and
+    // re-aggregated per doc: three exchanges for what is an instance sum);
+    // the `when` wrapper on the generator input blocks
+    // InferFiltersFromGenerate from sinking a tokenizer-inlined filter
+    // below the rebalance (see BpeCodec.flatTf). n_syms still comes from
+    // the sequential per-rule kernel, keeping BpeEncodeLen in q121/q122's
+    // oracle-checked path; the collect is vocab-bounded — the same rows
+    // the broadcast dict join pulled to the driver before.
+    val toks = filter(tokensFast(col(textCol)), t => t =!= "")
+    val dict = balanced
+      .select(explode(when(size(toks) >= 0, toks)).as("w")).distinct()
       .select(col("w"), graft.plans.BpeEncodeLen.encodeLen(col("w"), merges)
         .cast("long").as("n_syms"))
-    tf.join(broadcast(dict), "w")
-      .groupBy("doc_id")
-      .agg(sum("tf").as("n_words"),
-        sum(col("tf") * length(col("w")).cast("long")).as("n_chars"),
-        sum(col("tf") * col("n_syms")).as("n_bpe_tokens"))
-      .select(col("doc_id"), col("n_words"), col("n_chars"),
-        col("n_bpe_tokens"),
-        round(col("n_chars").cast("double") / col("n_bpe_tokens"), 4)
-          .as("chars_per_token"))
+      .as[(String, Long)].collect()
+    val m = new java.util.HashMap[String, Long](dict.length * 2)
+    dict.foreach { case (w, n) => m.put(w, n) }
+    graft.operators.BpeCodec.statsFromEncodedVocab(docs, m, idCol, textCol)
   }
 }

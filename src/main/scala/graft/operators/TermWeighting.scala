@@ -215,28 +215,77 @@ object TermWeighting {
     * Output: `(doc_id, n_tokens, avg_nll)` with
     * `avg_nll = Σ tf·(−ln(cnt/N)) / Σ tf`, rounded to 4.
     *
-    * Shuffle shape: ONE doc_id exchange of the pre-explode rows (reused by
-    * the (doc,term) aggregate and the final per-doc aggregate) + one
-    * vocabulary-sized count aggregate joined back by broadcast — same
-    * broadcast-vocab stance as [[tfidfTopTerms]]. */
+    * Shuffle shape: ONE vocabulary-sized count aggregate (codegen explode
+    * + hash agg) builds the model, shipped to executors as a broadcast
+    * term → −ln p map — the same vocab-bounded rows the previous
+    * broadcast-join form pulled to the driver (same stance and
+    * unbounded-vocab caveat as [[tfidfTopTerms]]). The scoring pass is a
+    * pure per-doc fold (mapPartitions, in-JVM tokenize): the per-doc NLL
+    * is an instance sum, so the old doc_id repartition of the corpus and
+    * the (doc,term) aggregate bought nothing. */
   def unigramLogLoss(docs: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.plans.Tokenize.register(docs.sparkSession)
-    val tok = docs
-      // tokenize ABOVE the exchange (the round-15 single-partition lesson
-      // — see tfidfTopTerms)
-      .select(col(idCol).as("doc_id"), col(textCol))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), termsOf(textCol).as("__terms"))
-      .select(col("doc_id"), explodeTerms(col("__terms")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
-    val n = cnt.agg(sum("cnt").as("__n"))
-    tf.join(broadcast(cnt), "term").crossJoin(broadcast(n))
-      .groupBy("doc_id")
-      .agg(sum("tf").as("n_tokens"),
-        round(sum(col("tf") * -log(col("cnt").cast("double") / col("__n"))) /
-          sum("tf"), 4).as("avg_nll"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.plans.Tokenize.register(spark)
+    val bal = balancedDocs(docs)
+    // The model is ONE vocabulary aggregate (codegen explode + hash agg;
+    // partial aggregation collapses duplicates map-side). Collecting it is
+    // vocab-bounded — the exact rows the previous broadcast(cnt) join
+    // pulled to the driver to build its hash relation — and shipping the
+    // per-term −ln(cnt/N) explicitly lets the scoring pass run as a pure
+    // per-doc fold: the old shape paid a doc_id repartition of the corpus
+    // plus a (doc,term) aggregate to compute what is just an instance sum.
+    val model = bal.select(explodeTerms(termsOf(textCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    val n = model.map(_._2).sum.toDouble
+    val lnP = new java.util.HashMap[String, Double](model.length * 2)
+    // same IEEE ops as the expression form: -log(cnt.cast(double) / N)
+    model.foreach { case (t, c) => lnP.put(t, -math.log(c.toDouble / n)) }
+    val bcLnP = spark.sparkContext.broadcast(lnP)
+    val idType = docs.schema(idCol).dataType
+    bal.select(col(idCol).cast("string").as("doc_id"), col(textCol))
+      .mapPartitions { it =>
+        val m = bcLnP.value
+        it.flatMap { r =>
+          val text = r.getString(1)
+          if (text == null) Iterator.empty
+          else {
+            // group the doc's tokens first, then Σ tf·(−ln p): keeps the
+            // per-(doc,term) product structure of the old aggregate (and
+            // the oracle), so FP behavior is unchanged at round(4)
+            val toks = graft.plans.Tokenize.tokenize(
+              org.apache.spark.unsafe.types.UTF8String.fromString(text))
+            val tf = new java.util.HashMap[String, Long]()
+            var i = 0
+            val nEl = toks.numElements()
+            while (i < nEl) {
+              val u = toks.getUTF8String(i)
+              if (u.numBytes() > 0) {
+                val w = u.toString
+                tf.put(w, tf.getOrDefault(w, 0L) + 1L)
+              }
+              i += 1
+            }
+            if (tf.isEmpty) Iterator.empty
+            else {
+              var nTok = 0L
+              var s = 0.0
+              val eit = tf.entrySet().iterator()
+              while (eit.hasNext) {
+                val e = eit.next()
+                nTok += e.getValue
+                s += e.getValue * m.getOrDefault(e.getKey, 0.0)
+              }
+              val avg = java.math.BigDecimal.valueOf(s / nTok)
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              Iterator((r.getString(0), nTok, avg))
+            }
+          }
+        }
+      }.toDF("doc_id", "n_tokens", "avg_nll")
+      .withColumn("doc_id", col("doc_id").cast(idType))
   }
 
   /** Per-document interpolated BIGRAM negative log-likelihood under the
@@ -395,13 +444,16 @@ object TermWeighting {
     * Output: top-`topK` docs as `(doc_id, n_hit_terms, bm25, rk)`, `rk`
     * 1-based by `(bm25 desc, doc_id asc)`.
     *
-    * Scale shape: the query-term filter lands BEFORE the (doc,term)
-    * exchange, so the shuffle carries only rows for the |queryTerms|
-    * terms of interest — everything else dies at the scan. Corpus stats
-    * (N, avgdl — one row) and per-term df (|queryTerms| rows) come back
-    * as broadcasts; no data-sized join side. Per-doc length `dl` rides in
-    * the aggregation key (functionally dependent on doc_id), so no
-    * join-back for it either: one real exchange end to end.
+    * Scale shape: the query-term filter runs on the token ARRAY, before
+    * the generator, so the explode only ever emits hit instances (the
+    * post-explode filter form generated the whole token stream first) and
+    * the one (doc,term) exchange carries only rows for the |queryTerms|
+    * terms of interest. The compact per-doc `(doc_id, dl, hits)` frame is
+    * persisted so the corpus stats (N, avgdl) and the tf aggregate share
+    * ONE tokenize pass. Stats and per-term df (|queryTerms| rows) come
+    * back as broadcasts; no data-sized join side. Per-doc length `dl`
+    * rides in the aggregation key (functionally dependent on doc_id), so
+    * no join-back for it either: one real exchange end to end.
     *
     * Determinism: tf, df, dl, N are exact integers; avgdl is one double
     * division; each w(d,t) is the same IEEE expression both engines. The
@@ -414,17 +466,23 @@ object TermWeighting {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
     val bal = balancedDocs(docs)
-    val withLen = bal.select(col(idCol).as("doc_id"),
+    // ONE tokenize pass: project each doc to its length + the (tiny)
+    // query-term hits — the query filter runs on the ARRAY, so the
+    // generator only ever sees hit instances instead of the whole token
+    // stream — and persist that compact frame (3 narrow columns per doc,
+    // orders of magnitude under the text) so the corpus stats and the tf
+    // aggregate read the same materialization instead of re-tokenizing.
+    val compact = bal.select(col(idCol).as("doc_id"),
       termsOf(textCol).as("__terms"))
       .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),
-        explodeTerms(col("__terms")).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-    val tf = withLen.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        filter(col("__terms"), t => t.isin(queryTerms: _*)).as("__qt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = compact
+      .select(col("doc_id"), col("dl"), explodeTerms(col("__qt")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = bal.select(termsOf(textCol).as("__terms"))
-      .agg(count(lit(1)).as("n"),
-        (sum(size(col("__terms")).cast("long")).cast("double") /
-          count(lit(1))).as("avgdl"))
+    val stats = compact.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     bm25Rank(tf, dfc, stats, k1, b, topK)
   }
 

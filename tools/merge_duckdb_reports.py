@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Merge two tools/bench_duckdb.py reports (disjoint query sets) into one.
+
+Round-15 verdict ask #7: q78's exact O(n^2) oracle (~21 min at sf1) must not
+share a timing window with the millisecond queries whose medians it poisons.
+The sf1 DuckDB side therefore runs as TWO windows — the 121-query main set
+and a q78-only window — and this merges them into the single committed
+artifact, recomputing the intersection totals.
+
+    python3 tools/merge_duckdb_reports.py <main.json> <extra.json> <out.json>
+"""
+import json
+import sys
+
+
+def main(main_path, extra_path, out_path):
+    a = json.load(open(main_path))
+    b = json.load(open(extra_path))
+    overlap = set(a["queries"]) & set(b["queries"])
+    if overlap:
+        raise SystemExit(f"query sets overlap: {sorted(overlap)}")
+    merged = dict(a)
+    merged["queries"] = {**a["queries"], **b["queries"]}
+    merged["windows"] = {
+        "main": {"source": main_path, "runs": a.get("runs"),
+                 "queries": len(a["queries"])},
+        "extra": {"source": extra_path, "runs": b.get("runs"),
+                  "queries": sorted(b["queries"])},
+    }
+    both = {n: q for n, q in merged["queries"].items()
+            if q.get("median") is not None and q.get("spark") is not None}
+    merged["compared_queries"] = len(both)
+    merged["duckdb_total"] = round(sum(q["median"] for q in both.values()), 2)
+    merged["spark_total"] = round(sum(q["spark"] for q in both.values()), 2)
+    merged["duckdb_total_all"] = round(
+        sum(q["median"] for q in merged["queries"].values()
+            if q.get("median") is not None), 2)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(f"merged {len(a['queries'])} + {len(b['queries'])} queries -> "
+          f"{out_path}; compared={merged['compared_queries']} "
+          f"duck={merged['duckdb_total']} spark={merged['spark_total']}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
