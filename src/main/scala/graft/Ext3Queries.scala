@@ -112,7 +112,6 @@ object Ext3Queries {
     "q82_stream_interval_join" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ckpt = graft.util.Fs.scratchDir("graft-stream-j").toString
-      val name = "graft_q82_" + java.util.UUID.randomUUID().toString.replace("-", "")
       // ONE stream source, self-joined (both sides share the file listing
       // and scan; Spark plans stream self-joins since 3.x) — two separate
       // readStream instances measurably doubled the per-batch source cost
@@ -137,6 +136,12 @@ object Ext3Queries {
       // flush costing ~0.6s for zero rows), per-batch re-planning, and
       // the self-join's double source scan — constant per RUN, not per
       // row; a long-lived stream pays it per increment.
+      // memory sink IS right here, unlike q94/q95: the pair output is
+      // horizon-bounded (~40 rows at sf0.1 — the state-store math above),
+      // so the driver collect is trivial while a file sink would add a
+      // per-batch commit round (measured +1s at sf1). The q94/q95 rule is
+      // about OUTPUT volume, not streaming per se.
+      val name = "graft_q82_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = ExtQueries.withStatePartitions(s,
         ExtQueries.statePartitionsFor(s, expectedStateRows = 40)) {
         graft.streaming.EventStreams

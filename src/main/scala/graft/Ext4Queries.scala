@@ -93,7 +93,13 @@ object Ext4Queries {
     "q94_streaming_dedup" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ckpt = graft.util.Fs.scratchDir("graft-stream-d").toString
-      val name = "graft_q94_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // parquet sink, not format("memory"): the memory sink COLLECTS every
+      // emitted row to the driver single-threaded (~10M-row output — it
+      // was the unexplained slice of the sf1 floor decomposition); the
+      // file sink writes from the executors and the read-back is a
+      // parallel scan. Also the 100 TB-honest shape — a driver-resident
+      // result table isn't.
+      val out = graft.util.Fs.scratchDir("graft-q94-out").toString + "/t"
       val keyed = Tables.loadStream(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           date_trunc("minute", col("ts")).as("bucket"))
@@ -102,14 +108,14 @@ object Ext4Queries {
           .dedupStream(keyed, Seq("user_id", "event_type", "bucket"),
             tsCol = "bucket", watermarkDelay = "35 days")
           .writeStream.outputMode("append")
-          .format("memory").queryName(name)
+          .format("parquet").option("path", out)
           .option("checkpointLocation", s"$ckpt/ckpt")
           .trigger(Trigger.AvailableNow())
           .start()
       }
       require(q.awaitTermination(300000),
         "q94 stream did not terminate within 300s")
-      s.table(name)
+      s.read.parquet(out)
     }),
 
     // Stream-static broadcast enrichment, AvailableNow == batch left
@@ -121,7 +127,10 @@ object Ext4Queries {
     "q95_stream_enrich" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val ckpt = graft.util.Fs.scratchDir("graft-stream-e").toString
-      val name = "graft_q95_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // parquet sink for the same reason as q94: format("memory") collected
+      // the full ~event-count enriched output to the driver — measured as
+      // ~9s of q95's 10.4s sf1 wall (batch twin of the same join: 0.75s)
+      val out = graft.util.Fs.scratchDir("graft-q95-out").toString + "/t"
       val stream = Tables.loadStream(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           round(col("value"), 4).as("value"))
@@ -131,13 +140,13 @@ object Ext4Queries {
       val q = graft.streaming.EventStreams
         .enrichStream(stream, dim, Seq("user_id"))
         .writeStream.outputMode("append")
-        .format("memory").queryName(name)
+        .format("parquet").option("path", out)
         .option("checkpointLocation", s"$ckpt/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
       require(q.awaitTermination(300000),
         "q95 stream did not terminate within 300s")
-      s.table(name)
+      s.read.parquet(out)
     }),
 
     // Streaming upsert SINK end-to-end (round-8: the last spec-only
