@@ -199,4 +199,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(!scoring.contains("Join"), s"join crept into the scoring pass:\n$plan")
     assert(!scoring.contains("Exchange"), s"shuffle in the scoring pass:\n$plan")
   }
+
+  test("BPE dict plan: tokenizer never sinks into a Filter below the rebalance") {
+    // The round-16 landmine: a non-outer explode over the RLE attribute
+    // let InferFiltersFromGenerate synthesize size(tfs)>0, and pushdown
+    // carried it below the repartition BY SUBSTITUTION — the whole
+    // tokenize+sort chain inlined ~20x into a per-row Filter running at
+    // scan parallelism (minutes instead of 2.5s on a 2-split corpus).
+    // flatTf's explode_outer + post-filter keeps every graft_tokens call
+    // out of Filter conditions; coalesce(2) reproduces the narrow-scan
+    // trigger.
+    val docs = Tables.load(spark, sfDir, "documents").coalesce(2)
+    val ent = operators.BpeCodec.termFrequencyEntries(docs)
+    val plan = operators.BpeCodec.flatTf(ent)
+      .groupBy("w").agg(org.apache.spark.sql.functions.sum("tf").as("cnt"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*Filter [^\\n]*graft_tokens.*"),
+      s"tokenizer inlined into a Filter condition:\n$plan")
+    // wordCounts (the codegen dict pass) must hold the same property
+    val plan2 = operators.BpeCodec.wordCounts(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.matches("(?s).*Filter [^\\n]*graft_tokens.*"),
+      s"tokenizer inlined into a Filter condition:\n$plan2")
+  }
+
+  test("q68 plan: no Expand — coarse cube levels derive from the finest aggregate") {
+    val plan = SparkEntry.queries("q68_cube")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the built-in cube quadruples every input row through Expand; the
+    // decomposed form aggregates the corpus once and re-aggregates the
+    // ~30-row result (exact: integer counts + quantized decimal sums)
+    assert(!plan.contains("Expand"), s"Expand crept back into the cube:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"finest-level aggregate must be cached for the three re-aggregations:\n$plan")
+  }
 }
