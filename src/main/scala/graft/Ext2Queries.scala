@@ -250,6 +250,12 @@ object Ext2Queries {
     // This is also the plan that survives 100×: the coarse cells derive
     // from the finest partial aggregate, never from a second corpus pass.
     "q68_cube" -> ((s, dir) => {
+      // PRECONDITION (advisor r16): the +0.5-floor quantization rounds
+      // halves toward +∞, which matches the oracle's DECIMAL(23,6)
+      // HALF_UP (away from zero) only for NON-NEGATIVE inputs —
+      // o_totalprice is a positive price by schema. A signed measure must
+      // quantize via cast("decimal(23,6)") instead (same cost, identical
+      // semantics for either sign).
       val p6 = floor(col("o_totalprice") * lit(1000000.0) + lit(0.5))
         .cast("long").cast("decimal(25,0)")
       val base = t(s, dir, "orders")

@@ -160,18 +160,21 @@ object Ext3Queries {
       s.table(name)
     }),
 
-    // Salted skew join, oracle-checked against the plain join it must
-    // equal: lineitem ⋈ orders revenue by priority with the left side
-    // spread over 4 deterministic salt buckets. The ~4× right-side
-    // replication vs the plain join is the operator's deliberate cost —
-    // skew insurance is bought per replica; at 100 TB you'd salt only the
-    // hot keys (SkewJoin scaladoc).
+    // Hot-key split-union skew join, oracle-checked against the plain
+    // join it must equal: lineitem ⋈ orders revenue by priority. Keys
+    // with more than `hotThreshold` lineitems (the top ~4% tail at every
+    // SF) are detected by an exact column-pruned count, salted over 4
+    // deterministic buckets with only THEIR right-side rows replicated;
+    // the cold ~96% flows through the ordinary shuffle join — the 100 TB
+    // huge-⋈-huge shape (blanket-replication saltedJoin stays the
+    // small-dimension variant).
     "q83_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), saltBuckets = 4)
+      SkewJoin.hotKeySaltedJoin(li, ord, Seq("l_orderkey"),
+          hotThreshold = 7, saltBuckets = 4)
         .groupBy("o_orderpriority")
         // decimal money sum — see q02's note (order-independent at sf1+)
         .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))

@@ -115,7 +115,10 @@ object Ext4Queries {
       }
       require(q.awaitTermination(300000),
         "q94 stream did not terminate within 300s")
-      s.read.parquet(out)
+      // explicit schema: a zero-row stream leaves no parquet files and a
+      // schema-inferring read would fail "unable to infer" (advisor r16 —
+      // unreachable at bench volumes, real for small/filtered inputs)
+      s.read.schema(keyed.schema).parquet(out)
     }),
 
     // Stream-static broadcast enrichment, AvailableNow == batch left
@@ -137,8 +140,9 @@ object Ext4Queries {
       val dim = t(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"),
           col("c_nationkey"))
-      val q = graft.streaming.EventStreams
+      val enriched = graft.streaming.EventStreams
         .enrichStream(stream, dim, Seq("user_id"))
+      val q = enriched
         .writeStream.outputMode("append")
         .format("parquet").option("path", out)
         .option("checkpointLocation", s"$ckpt/ckpt")
@@ -146,7 +150,8 @@ object Ext4Queries {
         .start()
       require(q.awaitTermination(300000),
         "q95 stream did not terminate within 300s")
-      s.read.parquet(out)
+      // explicit schema — the q94 zero-row-sink argument
+      s.read.schema(enriched.schema).parquet(out)
     }),
 
     // Streaming upsert SINK end-to-end (round-8: the last spec-only
@@ -195,11 +200,18 @@ object Ext4Queries {
     // deterministic under any micro-batch split.
     "q99_stream_upsert_jdbc" -> ((s, dir) => {
       import graft.operators.JdbcUpsert
+      graft.util.EmbeddedDerby.tune()
       val work = graft.util.Fs.scratchDir("graft-q99").toString
       val url = s"jdbc:derby:$work/db;create=true"
       val keys = Seq("user_id", "event_type", "bucket")
+      // single staging writer + large insert batches: the sink is an
+      // EMBEDDED in-process database — parallel JDBC writers only contend
+      // on its page latches (32-partition staging write measured 2.4×
+      // slower than one). A server-side warehouse (Postgres) would keep
+      // the default parallel staging write instead.
       val colTypes = Map("createTableColumnTypes" ->
-        "event_type VARCHAR(32), src VARCHAR(16)")
+        "event_type VARCHAR(32), src VARCHAR(16)",
+        "numPartitions" -> "1", "batchsize" -> "10000")
       // deterministic 1/8 key sample: the sink path (staged write, batch
       // dedup, both MERGE branches, one-txn commit) is identical at any
       // volume, and embedded Derby's single-node transactional write is

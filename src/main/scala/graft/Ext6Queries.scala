@@ -48,6 +48,67 @@ object Ext6Queries {
       .map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  /** Unrolled exact-Lloyd oracle (q118) — the pagerank unrolled-CTE
+    * pattern applied to k-means. Per round r: assignment of every vector
+    * to its nearest round-(r−1) center (distance = index-order double
+    * fold against `cq/1e6`, ties to the smaller cid — exactly the
+    * NearestCentroid kernel's contract, q117-proven), then per-(cluster,
+    * dim) exact BIGINT sums of the micro-unit vectors and a floor-div
+    * mean — `(sx - ((sx % n + n) % n)) / n` is floor division for either
+    * sign, matching `Math.floorDiv`, and the double division is exact
+    * (the numerator is an exact multiple ≤ 2^53). Empty clusters keep
+    * their center via the COALESCE left join. */
+  private def lloydExactOracle(k: Int, iters: Int): String = {
+    def dist(cqRef: String) =
+      s"""list_sum([(p[1] - CAST(p[2] AS DOUBLE)/1000000.0) *
+         |              (p[1] - CAST(p[2] AS DOUBLE)/1000000.0)
+         |              for p in list_zip(e.v, $cqRef)])""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (
+      |  SELECT vec_id,
+      |         [CAST(x AS DOUBLE) for x in embedding] AS v,
+      |         [CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+      |          for x in embedding] AS q
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT rn - 1 AS cid, q AS cq FROM (
+      |    SELECT q, row_number() OVER (ORDER BY vec_id) AS rn FROM e)
+      |  WHERE rn <= $k),
+      |""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s"""a$r AS (
+        |  SELECT vec_id, q, cid AS c FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${dist("c.cq")}, c.cid) AS rn
+        |    FROM e, c${r - 1} c)
+        |  WHERE rn = 1),
+        |s$r AS (
+        |  SELECT c AS cid, pos, sum(x) AS sx, count(*) AS n FROM (
+        |    SELECT c, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos
+        |    FROM a$r)
+        |  GROUP BY c, pos),
+        |n$r AS (
+        |  SELECT cid,
+        |         list(CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
+        |              ORDER BY pos) AS cq
+        |  FROM s$r GROUP BY cid),
+        |c$r AS (
+        |  SELECT p.cid, COALESCE(nn.cq, p.cq) AS cq
+        |  FROM c${r - 1} p LEFT JOIN n$r nn ON p.cid = nn.cid),
+        |""".stripMargin
+    }
+    sb ++= s"""fin AS (
+      |  SELECT e.vec_id, c.cid, ${dist("c.cq")} AS d2
+      |  FROM e, c$iters c)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cluster, round(d2, 4) AS dist2
+      |FROM (SELECT vec_id, cid, d2,
+      |             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |      FROM fin)
+      |WHERE rn = 1""".stripMargin
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus-level phrase mining: top-50 bigram collocations by PMI with
@@ -67,12 +128,17 @@ object Ext6Queries {
       graft.operators.Clustering.assignToCentroids(
         t(s, dir, "embeddings"), KmCentroidIds)),
 
-    // Distributed Lloyd over the whole corpus: 5 refinement rounds,
-    // k = 8. Rows-only BY NATURE (float sums are partition-order
-    // dependent) with the inertia-monotonicity self-gate inside the
-    // operator — a broken kernel or mean update fails the query loudly.
+    // Distributed Lloyd over the whole corpus, EXACT form: 5 refinement
+    // rounds, k = 8, integer micro-unit centroid state (round-17 — the
+    // move that gave this query a full DuckDB oracle: exact BIGINT sums
+    // and floorDiv means are order-independent, and the assignment
+    // arithmetic is the deterministic-IEEE q117 pattern, so DuckDB
+    // replays all five rounds plus the final assignment cell-exact).
+    // The float-mean lloydRefine stays the spec-verified operator for
+    // callers that want true means; its inertia-monotonicity self-gate
+    // is covered by ClusteringSpec.
     "q118_kmeans_lloyd" -> ((s, dir) =>
-      graft.operators.Clustering.lloydRefine(
+      graft.operators.Clustering.lloydAssignExact(
         t(s, dir, "embeddings"), k = 8, iters = 5)),
 
     // Persisted inverted-index BM25: build postings once (partitioned by
@@ -180,9 +246,12 @@ object Ext6Queries {
     // list_zip parity pattern); ties (impossible on this data, total
     // order regardless) break to the smaller centroid index like the
     // kernel's strict `<` first-wins.
-    // q118_kmeans_lloyd: intentionally no oracle — float sums across
-    // partitions have no cross-engine twin; the inertia-monotonicity
-    // self-gate and ClusteringSpec's planted-cluster recovery carry it.
+
+    // q118: all five Lloyd rounds REPLAYED — exact integer micro-unit
+    // sums and floor-div means are engine-independent, and each round's
+    // assignment is the q117 deterministic-IEEE pattern against cq/1e6
+    // centers (the pagerank unrolled-CTE approach applied to k-means).
+    "q118_kmeans_lloyd" -> lloydExactOracle(8, 5),
 
     // q120: the indexed probe must reproduce the full-scan q103 answer
     // cell for cell — SAME oracle SQL, by reference.

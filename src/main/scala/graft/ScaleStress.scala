@@ -218,8 +218,11 @@ object ScaleStress {
       "q22_ngram_jaccard_df_spike" -> { () =>
         def derivedCapRun(df: org.apache.spark.sql.DataFrame): Long = {
           val cached = df.cache()
+          // deliberate opt-in past the round-17 pair-volume guard: these
+          // rows MEASURE the dense regime the guard exists to flag
           try TextDedup.ngramJaccardPairs(cached,
-            maxShingleDf = TextDedup.dfCapFor(cached.count())).count()
+            maxShingleDf = TextDedup.dfCapFor(cached.count()),
+            maxPairsPerBucket = Long.MaxValue).count()
           finally cached.unpersist()
         }
         Map(
@@ -234,7 +237,26 @@ object ScaleStress {
           // should match x10's pair count and wall should stay ~linear in
           // corpus size — the claim that matters at 100 TB
           measure("q22_ngram_jaccard_df_spike", "x100",
-            () => constDensityDocs(100), derivedCapRun, warm = false))
+            () => constDensityDocs(100), derivedCapRun, warm = false),
+          // round-17 guard row: at DEFAULT settings the derived cap on the
+          // x100 corpus exceeds maxPairsPerBucket and the operator must
+          // refuse loudly (rows_out 1 = guard engaged) instead of paying
+          // the 52× detonation the x100 row measures by opt-in above
+          measure("q22_ngram_jaccard_df_spike", "x100_guard_engaged",
+            () => constDensityDocs(100), df => {
+              val cached = df.cache()
+              try {
+                val trip =
+                  try {
+                    TextDedup.ngramJaccardPairs(cached,
+                      maxShingleDf = TextDedup.dfCapFor(cached.count())).count()
+                    0L
+                  } catch { case _: IllegalArgumentException => 1L }
+                require(trip == 1L,
+                  "pair-volume guard did NOT engage on the df-spike corpus")
+                trip
+              } finally cached.unpersist()
+            }, warm = false))
       },
       // q100: span-level dedup under the dense-cluster stress. Output is
       // per-document (occurrence rows, never pairs), so replication should

@@ -83,6 +83,7 @@ object StreamFloors {
 
     // ----------------------------------------------------------- q99
     if (only("q99")) {
+    graft.util.EmbeddedDerby.tune()
     import graft.operators.JdbcUpsert
     val keys = Seq("user_id", "event_type", "bucket")
     val colTypes = Map("createTableColumnTypes" ->

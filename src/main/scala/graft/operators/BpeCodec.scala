@@ -239,10 +239,21 @@ object BpeCodec {
     statsFromEncodedVocab(docs, encodedLengths(vocab, merges), idCol, textCol)
   }
 
+  /** Driver-side vocabulary ceiling for the broadcast-dict encode paths
+    * (advisor r16): the collected `(word → count)` map is vocab-bounded
+    * by design, but an unbounded raw-text vocabulary (no normalization,
+    * adversarial tokens) would exhaust the driver entry by entry —
+    * fail loudly at the cap instead. ~20M words ≈ low-GB of driver heap. */
+  val MaxVocabWords: Int = 20000000
+
   /** The fold half of [[encodeStatsFromDocs]], reusable by any encoder
     * that can produce the vocab-bounded `word → token count` map (q121/
     * q122 feed it from the sequential [[graft.plans.BpeEncodeLen]] kernel
-    * so the per-rule fold semantics stay in their evidence path). */
+    * so the per-rule fold semantics stay in their evidence path).
+    *
+    * PRECONDITION (advisor r16): `idCol` must be unique per row — the
+    * fold emits one stats row per INPUT row; duplicate ids are NOT merged
+    * the way a groupBy(doc_id) formulation would merge them. */
   private[operators] def statsFromEncodedVocab(
       docs: DataFrame, nSyms: java.util.HashMap[String, Long],
       idCol: String, textCol: String): DataFrame = {
@@ -271,9 +282,15 @@ object BpeCodec {
                 val w = u.toString
                 words += 1
                 chars += w.codePointCount(0, w.length)
-                // a vocab word always resolves; 0 keeps a stale vocab loud
-                // at the ratio rather than an executor NPE
-                toksOut += nSyms.getOrDefault(w, 0L)
+                // a vocab built from THESE docs always resolves, so a miss
+                // means the caller fed a stale/foreign vocab — fail with
+                // the word and the contract, not a silent undercount (or,
+                // when every word misses, an Infinity ratio downstream)
+                if (!nSyms.containsKey(w)) throw new IllegalStateException(
+                  s"BpeCodec: word '$w' is missing from the encoded vocab " +
+                    "— the vocab map must come from wordCounts over the " +
+                    "same corpus (stale or foreign vocab)")
+                toksOut += nSyms.get(w)
               }
               i += 1
             }
@@ -304,6 +321,10 @@ object BpeCodec {
       val t = bcT.value
       it.map(w => (w, greedyEncode(w, t).length.toLong))
     }.collect()
+    require(enc.length <= MaxVocabWords,
+      s"BpeCodec: vocabulary has ${enc.length} words (> $MaxVocabWords) — " +
+        "unbounded raw-text vocab would exhaust the driver; normalize/hash " +
+        "words first")
     val m = new java.util.HashMap[String, Long](enc.length * 2)
     enc.foreach { case (w, n) => m.put(w, n) }
     m

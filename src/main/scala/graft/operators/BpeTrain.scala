@@ -155,6 +155,10 @@ object BpeTrain {
       .select(col("w"), graft.plans.BpeEncodeLen.encodeLen(col("w"), merges)
         .cast("long").as("n_syms"))
       .as[(String, Long)].collect()
+    require(dict.length <= BpeCodec.MaxVocabWords,
+      s"BpeTrain.encode: vocabulary has ${dict.length} words " +
+        s"(> ${BpeCodec.MaxVocabWords}) — unbounded raw-text vocab would " +
+        "exhaust the driver; normalize/hash words first")
     val m = new java.util.HashMap[String, Long](dict.length * 2)
     dict.foreach { case (w, n) => m.put(w, n) }
     graft.operators.BpeCodec.statsFromEncodedVocab(docs, m, idCol, textCol)

@@ -148,4 +148,80 @@ object Clustering {
       }.toDF("round", "inertia", "max_shift")
     } finally { withV.unpersist(); () }
   }
+
+  /** Micro-unit scale for [[lloydAssignExact]]'s integer centroid state. */
+  private val QuantScale = 1000000L
+
+  /** EXACT distributed Lloyd — the oracle-checkable form of [[lloydRefine]]
+    * (round-17: q118's move from rows-only to hash-green).
+    *
+    * [[lloydRefine]] keeps true floating-point means, whose cross-partition
+    * sums are order-dependent — no SQL engine can replay them. Here the
+    * CENTROID STATE is integer micro-units instead: each vector element is
+    * quantized once (`floor(x·1e6)` as BIGINT — exact, deterministic), a
+    * cluster's new center is the `floorDiv` of the exact integer sum by its
+    * count, and the assignment distance is computed against `cq/1e6`
+    * doubles — every arithmetic step is either exact integer math
+    * (order-independent: sums of micro-units stay < 2^53 ≪ 2^63 at 1e6
+    * units × billions of rows per cluster... at 8e3·1e6 here) or a
+    * deterministic IEEE expression both engines evaluate identically (the
+    * q117 pattern). The quantization changes the converged centers by
+    * ≤ 1e-6 per element per round relative to true Lloyd — irrelevant for
+    * domain bucketing, decisive for verifiability.
+    *
+    * Same per-round scale shape as [[lloydRefine]]: broadcast codegen
+    * assignment (no shuffle) + one `groupBy(cluster, dim)` over the
+    * posexploded quantized vector whose shuffle carries only map-side
+    * partial sums (k·dim rows per input partition); driver state is k·dim
+    * integers. Deterministic init: the `k` vectors with smallest ids.
+    *
+    * Output: the FINAL assignment, `(vec_id, cluster, dist2)` — dist2 the
+    * squared distance to the converged center, rounded to 4, computed by
+    * the same index-order fold as [[assignToCentroids]]. */
+  def lloydAssignExact(vecs: DataFrame, k: Int, iters: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "lloydAssignExact needs k >= 1 and iters >= 1")
+    val spark = vecs.sparkSession
+    graft.plans.NearestCentroid.register(spark)
+    val withQ = vecs.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__q", transform(col("__v"),
+        x => floor(x * lit(QuantScale.toDouble)).cast("long")))
+      .persist()
+    try {
+      var cq: Array[Array[Long]] = withQ.orderBy(col("vec_id"))
+        .limit(k).select(col("__q")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      require(cq.length == k, s"corpus has fewer than $k vectors")
+      val dim = cq.head.length
+      def centersOf(q: Array[Array[Long]]): Array[Array[Double]] =
+        q.map(_.map(_.toDouble / QuantScale))
+      for (_ <- 1 to iters) {
+        val assigned = withQ.withColumn("c",
+          graft.plans.NearestCentroid.assign(col("__v"), centersOf(cq)))
+        val sums = assigned
+          .select(col("c"), posexplode(col("__q")).as(Seq("pos", "x")))
+          .groupBy("c", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        cq = Array.tabulate(k) { c =>
+          if (sums.contains((c, 0)))
+            Array.tabulate(dim) { p =>
+              val (sx, n) = sums((c, p)); Math.floorDiv(sx, n)
+            }
+          else cq(c) // empty cluster keeps its center
+        }
+      }
+      val centersLit = typedLit(centersOf(cq).map(_.toSeq).toSeq)
+      withQ
+        .withColumn("cluster",
+          graft.plans.NearestCentroid.assign(col("__v"), centersOf(cq)).cast("long"))
+        .withColumn("__c", element_at(centersLit, col("cluster").cast("int") + 1))
+        .select(col("vec_id"), col("cluster"),
+          round(aggregate(zip_with(col("__v"), col("__c"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 4).as("dist2"))
+    } finally { withQ.unpersist(); () }
+  }
 }

@@ -38,4 +38,59 @@ object SkewJoin {
     saltedLeft.join(saltedRight, keys :+ "__graft_salt", joinType)
       .drop("__graft_salt")
   }
+
+  /** Hot-key SPLIT-UNION salted join — the huge-⋈-huge shape.
+    *
+    * [[saltedJoin]] replicates the ENTIRE right side `saltBuckets`×, which
+    * is only affordable against a small dimension. Here the replication is
+    * bought per hot key instead: left keys whose row count exceeds
+    * `hotThreshold` are salted (and only their right-side rows replicated);
+    * every other key takes the plain join. At 100 TB that means the
+    * replicated volume is `saltBuckets × (right rows of hot keys)` — a
+    * handful of keys — while the bulk of both sides flows through an
+    * ordinary shuffle join untouched.
+    *
+    * Hot-key detection is an EXACT column-pruned count aggregate over the
+    * left keys (map-side partial combine: the shuffle carries one row per
+    * key per input partition, never the fact table), so the split is
+    * deterministic — no sampling noise changing the plan between runs. The
+    * hot set is required to be broadcastable by construction: it has at
+    * most `|left| / hotThreshold` keys (hard-capped at `maxHotKeys`,
+    * failing loudly rather than silently broadcasting an unbounded set).
+    *
+    * Output equals the plain join row-for-row for every salt-safe join
+    * type: the two branches partition the left rows by key, and each
+    * branch joins its keys completely. */
+  def hotKeySaltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       hotThreshold: Long, saltBuckets: Int,
+                       joinType: String = "inner",
+                       maxHotKeys: Int = 100000): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be positive")
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"joinType '$joinType' is not salt-safe: replicated right rows would " +
+        "duplicate unmatched right-side output (use inner/left/semi/anti)")
+    val hot = left.select(keys.map(col): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__graft_keycnt"))
+      .filter(col("__graft_keycnt") > hotThreshold)
+      .select(keys.map(col): _*)
+      .limit(maxHotKeys + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(hot.count() <= maxHotKeys,
+        s"more than $maxHotKeys keys exceed hotThreshold=$hotThreshold — " +
+          "the hot set would not broadcast; raise the threshold (or salt " +
+          "everything with saltedJoin against a small right side)")
+      val hotB = broadcast(hot)
+      val hotLeft = left.join(hotB, keys, "left_semi")
+      val coldLeft = left.join(hotB, keys, "left_anti")
+      val hotRight = right.join(hotB, keys, "left_semi")
+      // right rows of cold keys still join hot-side rows never — but they
+      // must reach the cold branch untouched; the split is on the LEFT key
+      // set, and the plain branch keeps the full right side so right rows
+      // of hot keys joining cold left rows cannot exist by construction.
+      saltedJoin(hotLeft, hotRight, keys, saltBuckets, joinType)
+        .unionByName(coldLeft.join(right, keys, joinType))
+    } finally hot.unpersist()
+  }
 }

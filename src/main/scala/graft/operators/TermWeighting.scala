@@ -222,9 +222,18 @@ object TermWeighting {
     * unbounded-vocab caveat as [[tfidfTopTerms]]). The scoring pass is a
     * pure per-doc fold (mapPartitions, in-JVM tokenize): the per-doc NLL
     * is an instance sum, so the old doc_id repartition of the corpus and
-    * the (doc,term) aggregate bought nothing. */
+    * the (doc,term) aggregate bought nothing.
+    *
+    * PRECONDITIONS (advisor r16): (1) `idCol` must be unique per row —
+    * the fold emits one row per INPUT row, where the old groupBy(doc_id)
+    * form would have merged duplicate ids; (2) the vocabulary must fit
+    * the driver — `maxVocabTerms` fails loudly past the cap instead of
+    * letting an unbounded raw-text vocabulary exhaust driver memory
+    * term-by-term (an open-vocab corpus should pre-normalize or hash
+    * its terms). */
   def unigramLogLoss(docs: DataFrame,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     maxVocabTerms: Int = 20000000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.plans.Tokenize.register(spark)
@@ -239,6 +248,10 @@ object TermWeighting {
     val model = bal.select(explodeTerms(termsOf(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)].collect()
+    require(model.length <= maxVocabTerms,
+      s"unigramLogLoss: vocabulary has ${model.length} terms " +
+        s"(> maxVocabTerms=$maxVocabTerms) — unbounded raw-text vocab; " +
+        "normalize/hash terms first or raise the cap deliberately")
     val n = model.map(_._2).sum.toDouble
     val lnP = new java.util.HashMap[String, Double](model.length * 2)
     // same IEEE ops as the expression form: -log(cnt.cast(double) / N)

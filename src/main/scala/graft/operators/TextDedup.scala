@@ -304,13 +304,21 @@ object TextDedup {
     * candidates from 15-bit chunk collisions — exact recall for ≤3 by
     * pigeonhole over 4 chunks. Output: (doc_a, doc_b, hamming). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxPairsPerBucket: Long = DefaultMaxPairsPerBucket): DataFrame = {
     val sig = simhashSignatures(docs, idCol, textCol)
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val chunks0 = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk_id"),
           expr(s"shiftright(simhash, ${c * 15}) & 32767").as("chunk_val"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk_val"))
+    // pair-volume guard (round-17): a hot chunk value — a dense cluster of
+    // near-identical signatures — makes the self-join quadratic in the
+    // bucket. Fail loudly instead of slowly; the window's exchange is the
+    // join's own partitioning, so the guard adds no extra shuffle.
+    val chunks = guardPairBuckets(chunks0, Seq("chunk_id", "chunk_val"),
+      maxPairsPerBucket, "simhashPairs",
+      "route the dense regime through minhashLshGroups / semantic grouping")
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk_id") === col("b.chunk_id") &&
@@ -367,6 +375,39 @@ object TextDedup {
   def dfCapFor(corpusDocs: Long, perMille: Double = 4.0): Int =
     math.max(20L, math.round(corpusDocs * perMille / 1000.0)).toInt
 
+  /** Default ceiling for the pair-regime operators' per-bucket candidate
+    * volume: past ~200k pairs from ONE bucket the corpus is in the dense-
+    * duplicate regime, where pair enumeration is the wrong tool (q78's
+    * denseBucketCap argument) — the groups path (`minhashLshGroups`)
+    * computes the same clusters without materializing pair volume. */
+  val DefaultMaxPairsPerBucket = 200000L
+
+  /** LAZY per-bucket pair-volume guard (round-17, the q78 `denseBucketCap`
+    * discipline applied to the pair-regime operators): asserts, inside the
+    * plan, that no candidate bucket would emit more than
+    * `maxPairsPerBucket` ordered pairs — a corpus in the dense-duplicate
+    * regime fails LOUDLY with the escalation route in the message instead
+    * of detonating into hours of output-bound pair emission (SCALE_r16's
+    * df-spike row: 52× wall at 100×). The window partitions by the
+    * bucket key the downstream self-join shuffles on anyway, so the guard
+    * introduces no additional exchange. */
+  private def guardPairBuckets(df: DataFrame, bucketCols: Seq[String],
+                               maxPairsPerBucket: Long, op: String,
+                               escalation: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*)
+    df.withColumn("__bn", count(lit(1)).over(w))
+      .filter(coalesce(assert_true(
+        col("__bn") * (col("__bn") - 1) / 2 <= maxPairsPerBucket,
+        concat(lit(s"$op: a candidate bucket ("),
+          concat_ws(",", bucketCols.map(col): _*),
+          lit(s") of "), col("__bn"),
+          lit(s" docs exceeds maxPairsPerBucket=$maxPairsPerBucket — " +
+            s"dense-duplicate regime; $escalation, or raise the cap " +
+            "deliberately"))), lit(true)))
+      .drop("__bn")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs found via a shared-shingle
     * join. `maxShingleDf` prunes join shingles whose document frequency
     * exceeds the cap (fan-out control at scale — an ubiquitous shingle is
@@ -376,7 +417,18 @@ object TextDedup {
     * with jaccard ≥ `minJaccard`. */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double = 0.5,
                         maxShingleDf: Int = 20,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxPairsPerBucket: Long = DefaultMaxPairsPerBucket): DataFrame = {
+    // pair-volume guard (round-17): bucket size is ALREADY bounded by the
+    // df filter, so the guard is a free driver-side check on the derived
+    // cap — a dfCapFor-scaled cap on a df-spike corpus (SCALE_r16: 52×
+    // wall at 100×) fails loudly here instead of detonating downstream.
+    require(maxShingleDf.toLong * (maxShingleDf - 1) / 2 <= maxPairsPerBucket,
+      s"ngramJaccardPairs: maxShingleDf=$maxShingleDf allows " +
+        s"${maxShingleDf.toLong * (maxShingleDf - 1) / 2} candidate pairs " +
+        s"from a single shingle bucket (> maxPairsPerBucket=" +
+        s"$maxPairsPerBucket) — dense-duplicate regime; route it through " +
+        "minhashLshGroups, or raise maxPairsPerBucket deliberately")
     // Single pass over documents, exactly TWO shuffles:
     //  - the per-doc distinct-shingle count n_sh is size() of the shingle
     //    array BEFORE the explode (no groupBy(doc_id) shuffle at all), and
@@ -465,7 +517,8 @@ object TextDedup {
     * Output: (doc_a, doc_b, edit_distance ≤ maxDistance). */
   def editDistancePairs(docs: DataFrame, maxDistance: Int = 40, prefixLen: Int = 80,
                         idCol: String = "doc_id", textCol: String = "text",
-                        blockCol: String = "source", lenCol: String = "n_chars"): DataFrame = {
+                        blockCol: String = "source", lenCol: String = "n_chars",
+                        maxPairsPerBucket: Long = DefaultMaxPairsPerBucket): DataFrame = {
     graft.plans.EditDistanceCapped.register(docs.sparkSession)
     // spread the DP: a small input (one parquet file = one partition)
     // would otherwise run every distance computation on a single core.
@@ -473,9 +526,14 @@ object TextDedup {
     // (id, block, bucket, prefix) rows only; when the build side is big
     // enough to force a sort-merge join its own key exchange subsumes this
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val d0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
-      floor(col(lenCol) / 10).cast("int").as("len_bucket"),
-      substring(col(textCol), 1, prefixLen).as("prefix"))
+    // pair-volume guard (round-17): a hot (block, length-bucket) makes the
+    // blocked self-join quadratic — fail loudly with the escalation route
+    val d0 = guardPairBuckets(
+      docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
+        floor(col(lenCol) / 10).cast("int").as("len_bucket"),
+        substring(col(textCol), 1, prefixLen).as("prefix")),
+      Seq("__blk", "len_bucket"), maxPairsPerBucket, "editDistancePairs",
+      "block on a finer key (add a shingle/prefix band to blockCol)")
     // probe side only — a broadcast build side would pay the exchange for
     // nothing (plan-audited: the extra Exchange sat under BroadcastExchange)
     val d = d0.repartition(par)

@@ -28,11 +28,43 @@ object Upsert {
     * this order wins), keeping the result deterministic. */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String],
              updatePriority: Seq[Column], hintBroadcast: Boolean = true): DataFrame = {
-    val batch = Dedup.firstWins(updates, keys, updatePriority)
+    val batch = dedupBatch(updates, keys, updatePriority)
     val keySet = batch.select(keys.map(col): _*)
     val keep = base.join(if (hintBroadcast) broadcast(keySet) else keySet, keys, "left_anti")
     batch.unionByName(keep)
   }
+
+  /** True when `min(struct(...))` can order a value of this type — MapType
+    * (and Variant) cannot participate in an ordering, which rules out the
+    * aggregate dedup form below. */
+  private def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case _: org.apache.spark.sql.types.VariantType => false
+    case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+    case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+    case _ => true
+  }
+
+  /** Batch-level last-writer-wins dedup for the upsert sinks.
+    *
+    * When the priority is plain ascending columns and every payload column
+    * is orderable, use the AGGREGATE form ([[Dedup.exact]]): hash
+    * aggregation with map-side partial combine, so the shuffle carries
+    * ~one candidate per key per input partition instead of dragging the
+    * whole batch through a window sort — the difference between shuffling
+    * 10M rows and shuffling the key cardinality on a wide micro-batch.
+    * Every row the aggregate form keeps is minimal in the same priority
+    * order, i.e. a legal outcome of the window form (which breaks priority
+    * ties arbitrarily), so upsert semantics are unchanged — in fact the
+    * aggregate form is MORE deterministic (ties fall through to the
+    * payload ordering). Falls back to the window form for `.asc`/`.desc`
+    * mixes or non-orderable payloads (maps, variants). */
+  private[operators] def dedupBatch(updates: DataFrame, keys: Seq[String],
+                                    priority: Seq[Column]): DataFrame =
+    if (priority.forall(c => !org.apache.spark.sql.graft.ColumnInternals.isSortOrder(c)) &&
+        updates.schema.fields.forall(f => orderable(f.dataType)))
+      Dedup.exact(updates, keys, priority)
+    else Dedup.firstWins(updates, keys, priority)
 
   /** Hash-bucket column used by the partitioned upsert layout. */
   val BucketCol = "__graft_bucket"
@@ -133,8 +165,14 @@ object Upsert {
       spark: SparkSession, path: String, updates: DataFrame,
       keys: Seq[String], updatePriority: Seq[Column], numBuckets: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val withBucket = Dedup.firstWins(updates, keys, updatePriority)
+    // dedup ONCE and persist: the deduped batch feeds up to three plans
+    // (touched-bucket collect, the anti-join's broadcast key set, the merged
+    // union) — without the persist each would replay the full batch dedup,
+    // tripling the dominant cost of a wide micro-batch (the q96 floor).
+    val withBucket = dedupBatch(updates, keys, updatePriority)
       .withColumn(BucketCol, pmod(hash(keys.map(col): _*), lit(numBuckets)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // layout detection is filesystem-level: partition dirs named
     // "__graft_bucket=N". A flat dir (even an empty pre-created table) must
     // be fully migrated — mixing root files with partition dirs is a
@@ -190,11 +228,22 @@ object Upsert {
     } else {
       writePartitioned(withBucket, path)
     }
+    } finally withBucket.unpersist()
   }
 
-  /** Read back a partitioned keyed table without the layout column. */
-  def readPartitionedTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop(BucketCol)
+  /** Read back a partitioned keyed table without the layout column.
+    *
+    * `schema` (data columns only — the layout column is appended and
+    * re-dropped here) makes the read total on an EMPTY table: a zero-row
+    * partitioned write leaves only markers, and a schema-inferring read
+    * of that directory dies with UNABLE_TO_INFER_SCHEMA instead of
+    * returning the empty frame a downstream gate wants to count. */
+  def readPartitionedTable(spark: SparkSession, path: String,
+                           schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(
+        s.add(BucketCol, org.apache.spark.sql.types.IntegerType)))
+      .parquet(path).drop(BucketCol)
 
   /** Upsert into a parquet-backed keyed table at `path`, creating it when
     * absent. Single-writer, ENFORCED by [[withWriterLock]]: writes to a

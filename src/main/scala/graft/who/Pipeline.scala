@@ -56,6 +56,9 @@ final case class JdbcWarehouse(
 /** A1/A2 gates (reference dags/who_gho_etl_dag.py:189-206). */
 final case class DqReport(factRowCount: Long, nullKeyCount: Long) {
   def passed: Boolean = factRowCount > 0 && nullKeyCount == 0
+  def describe: String =
+    s"DQ gates FAILED: factRowCount=$factRowCount (gate: > 0), " +
+      s"nullKeyCount=$nullKeyCount (gate: == 0)"
 }
 
 final case class PipelineReport(
@@ -97,7 +100,20 @@ object Pipeline {
   private[who] def dsv2ResumeDir(cfg: PipelineConfig): String =
     s"${cfg.stateDir}/dsv2_resume"
 
-  def run(spark: SparkSession, fetcher: PageFetcher, cfg: PipelineConfig): PipelineReport = {
+  /** Default DQ-failure action: fail the run loudly — the engine analog of
+    * the reference DAG's task failure (the Airflow task raises and the DAG
+    * run is marked failed, reference dags/who_gho_etl_dag.py:189-206). */
+  val FailOnDq: DqReport => Unit = dq => throw new IllegalStateException(dq.describe)
+
+  /** `onDqFailure` is the notification seam the reference wires as
+    * `email_on_failure` (dags/who_gho_etl_dag.py:36-39): it fires with the
+    * failed report BEFORE the success watermark is advanced, so a pager /
+    * email / metrics hook sees exactly what the gate saw. The default
+    * ([[FailOnDq]]) throws, matching the reference's failed-task behavior;
+    * a non-throwing hook lets the run complete and return the report with
+    * `dq.passed == false` for callers that gate downstream themselves. */
+  def run(spark: SparkSession, fetcher: PageFetcher, cfg: PipelineConfig,
+          onDqFailure: DqReport => Unit = FailOnDq): PipelineReport = {
     val stateRepo = new StateRepo(spark, cfg.stateDir)
     val client = new ODataClient(cfg.baseUrl, fetcher, Some(stateRepo), cfg.skipRequestErrors)
 
@@ -212,8 +228,13 @@ object Pipeline {
         case Some(wh) => spark.read.jdbc(wh.url, jdbcName, wh.props)
         case None => parquetRead
       }
+    // explicit schema: a zero-observation batch leaves an empty bucketed
+    // table, which must reach the COUNT gate as an empty frame — not die
+    // in schema inference before the gate can fail (round-17, surfaced by
+    // the DQ-hook spec)
     val fact = loadedTable("fact_observation",
-      Upsert.readPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation"))
+      Upsert.readPartitionedTable(spark, s"${cfg.warehouseDir}/fact_observation",
+        schema = Some(observations.toDF().schema)))
     val dqRow = fact.agg(
       org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
       org.apache.spark.sql.functions.coalesce(
@@ -222,6 +243,10 @@ object Pipeline {
             col("spatial_dim").isNull || col("time_dim").isNull, 1L).otherwise(0L)),
         org.apache.spark.sql.functions.lit(0L))).head()
     val dq = DqReport(factRowCount = dqRow.getLong(0), nullKeyCount = dqRow.getLong(1))
+
+    // --- DQ-failure notification seam (dag:36-39 email_on_failure analog);
+    // fires before the watermark so a failed run never advances it ---------
+    if (!dq.passed) onDqFailure(dq)
 
     // --- watermark (etl/state.py:39-55; wired here, unlike the reference) --
     stateRepo.setLastSuccessfulRunAt("who_gho_etl",

@@ -22,6 +22,52 @@ class SkewAndIvfSpec extends AnyFunSuite with SparkSpec {
     assert(plain.except(salted).count() === 0)
   }
 
+  test("hotKeySaltedJoin: parity with plain join across hot and cold keys") {
+    // one genuinely hot key (5k rows), a mid key above threshold, a cold
+    // tail, plus an unmatched-left and unmatched-right key — both branches
+    // (salted hot, plain cold) and both miss directions exercised
+    val left = spark.range(5000).select(lit(1L).as("k"), col("id").as("lv"))
+      .union(spark.range(200).select(lit(2L).as("k"), col("id").as("lv")))
+      .union(spark.range(50).select((col("id") + 10).as("k"), col("id").as("lv")))
+    val right = Seq((1L, "hot"), (2L, "warm"), (15L, "cold"), (999L, "right-only"))
+      .toDF("k", "rv")
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt).select("k", "lv", "rv")
+      val split = SkewJoin.hotKeySaltedJoin(left, right, Seq("k"),
+        hotThreshold = 100, saltBuckets = 8, joinType = jt).select("k", "lv", "rv")
+      assert(split.count() === plain.count(), s"joinType=$jt")
+      assert(split.except(plain).count() === 0, s"joinType=$jt")
+      assert(plain.except(split).count() === 0, s"joinType=$jt")
+    }
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt).select("k", "lv")
+      val split = SkewJoin.hotKeySaltedJoin(left, right, Seq("k"),
+        hotThreshold = 100, saltBuckets = 8, joinType = jt).select("k", "lv")
+      assert(split.count() === plain.count(), s"joinType=$jt")
+      assert(split.except(plain).count() === 0, s"joinType=$jt")
+      assert(plain.except(split).count() === 0, s"joinType=$jt")
+    }
+  }
+
+  test("hotKeySaltedJoin fails loudly past maxHotKeys instead of broadcasting unbounded") {
+    val left = spark.range(100)
+      .select((col("id") % 10).as("k"), col("id").as("lv"))
+    val right = Seq((1L, "x")).toDF("k", "rv")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.hotKeySaltedJoin(left, right, Seq("k"),
+        hotThreshold = 1, saltBuckets = 4, maxHotKeys = 3).collect()
+    }
+    assert(e.getMessage.contains("hot"))
+  }
+
+  test("hotKeySaltedJoin rejects right-outer shapes") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewJoin.hotKeySaltedJoin(df, df, Seq("k"), 1, 2, joinType = "full_outer")
+    }
+  }
+
   test("saltedJoin spreads the hot key across buckets") {
     val left = spark.range(1000).select(lit(1L).as("k"), col("id").as("lv"))
     val salted = left.withColumn("__graft_salt",

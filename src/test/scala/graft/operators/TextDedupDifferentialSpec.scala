@@ -204,6 +204,45 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("w must be >= 1"))
   }
 
+  test("pair-volume guard: ngramJaccardPairs refuses a cap past maxPairsPerBucket") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.ngramJaccardPairs(docs, maxShingleDf = 5000,
+        maxPairsPerBucket = 1000L)
+    }
+    assert(e.getMessage.contains("minhashLshGroups"))
+    // a cap inside the budget still works
+    assert(TextDedup.ngramJaccardPairs(docs, maxShingleDf = 20).count() === 0)
+  }
+
+  test("pair-volume guard: simhashPairs fails loudly on a dense-duplicate bucket") {
+    // 60 identical docs: every chunk bucket has 60 members -> 1770 pairs
+    val dense = spark.range(60)
+      .select(col("id").as("doc_id"),
+        lit("same same same words words everywhere").as("text"))
+    val e = intercept[Exception] {
+      TextDedup.simhashPairs(dense, maxPairsPerBucket = 100L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("maxPairsPerBucket")))
+    // and passes untripped at the default cap
+    assert(TextDedup.simhashPairs(dense).count() === 60L * 59 / 2)
+  }
+
+  test("pair-volume guard: editDistancePairs fails loudly on a hot block") {
+    val hot = spark.range(40).select(col("id").as("doc_id"),
+      concat(lit("prefix text shared "), col("id").cast("string")).as("text"),
+      lit("src").as("source"), lit(25).as("n_chars"))
+    val e = intercept[Exception] {
+      TextDedup.editDistancePairs(hot, maxPairsPerBucket = 50L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("maxPairsPerBucket")))
+    assert(TextDedup.editDistancePairs(hot).count() >= 0)
+  }
+
   test("graft_ngram_hash60 raises a descriptive error on null token elements") {
     graft.plans.NgramHash60.register(spark)
     spark.range(1).createOrReplaceTempView("one_row")

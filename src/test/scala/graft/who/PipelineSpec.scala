@@ -241,4 +241,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(rej.length === 1)
     assert(rej.head.getAs[String]("error_details").contains("observation_id is required"))
   }
+
+  test("DQ-failure hook fires with the failed report; the default throws") {
+    // every observation page empty → factRowCount = 0 → the A1 gate fails
+    val emptyObs = new WhoStub {
+      override def fetch(u: String): (Int, String) =
+        if (u.contains("/Indicator?") || u.contains("DIMENSION/COUNTRY"))
+          super.fetch(u)
+        else (200, """{"value": []}""")
+    }
+    // pluggable hook (the reference's email_on_failure seam, dag:36-39):
+    // notified with the gate's exact view, run completes, report returned
+    val wh = tempDir("graft-wh-dqhook")
+    val cfg = PipelineConfig("http://who/api", s"$wh/warehouse", s"$wh/state")
+    var notified: Option[DqReport] = None
+    val report = Pipeline.run(spark, emptyObs, cfg,
+      onDqFailure = dq => notified = Some(dq))
+    assert(!report.dq.passed)
+    assert(notified.exists(_.factRowCount === 0))
+
+    // default hook: the run fails loudly, like the reference's failed task
+    val wh2 = tempDir("graft-wh-dqhook2")
+    val cfg2 = PipelineConfig("http://who/api", s"$wh2/warehouse", s"$wh2/state")
+    val e = intercept[IllegalStateException] {
+      Pipeline.run(spark, emptyObs, cfg2)
+    }
+    assert(e.getMessage.contains("DQ gates FAILED"))
+  }
 }

@@ -19,14 +19,29 @@ def main(main_path, extra_path, out_path):
     overlap = set(a["queries"]) & set(b["queries"])
     if overlap:
         raise SystemExit(f"query sets overlap: {sorted(overlap)}")
+    # compatibility gate (advisor r16): two reports from different scale
+    # factors / configs must not merge silently into one artifact
+    for key in ("sf", "sf_dir", "config"):
+        if key in a and key in b and a[key] != b[key]:
+            raise SystemExit(
+                f"incompatible reports: {key!r} differs "
+                f"({a[key]!r} vs {b[key]!r})")
     merged = dict(a)
     merged["queries"] = {**a["queries"], **b["queries"]}
+    # windows carry the SAME shape for both entries (count + list) —
+    # advisor r16 flagged the count-vs-list asymmetry
     merged["windows"] = {
         "main": {"source": main_path, "runs": a.get("runs"),
-                 "queries": len(a["queries"])},
+                 "n_queries": len(a["queries"]),
+                 "queries": sorted(a["queries"])},
         "extra": {"source": extra_path, "runs": b.get("runs"),
+                  "n_queries": len(b["queries"]),
                   "queries": sorted(b["queries"])},
     }
+    # non-query metadata unique to the extra report is preserved under its
+    # window instead of being dropped
+    merged["windows"]["extra"]["meta"] = {
+        k: v for k, v in b.items() if k not in ("queries", "windows")}
     both = {n: q for n, q in merged["queries"].items()
             if q.get("median") is not None and q.get("spark") is not None}
     merged["compared_queries"] = len(both)
