@@ -77,6 +77,21 @@ object Q96Floor {
       val dir = buildSeeded() // untimed fresh sink per pass
       time { runStream(dir) }
     }
+    // batch twin (r17): the SAME per-batch work — projected batch →
+    // upsertPartitionedTable against a fresh seeded table — without the
+    // streaming machinery; stream_run − batch_twin = source tracking +
+    // checkpoint + AvailableNow start/stop
+    val batchTwin = timedMedian(3) {
+      val dir = buildSeeded()
+      time {
+        val batch = Tables.load(spark, sfDir, "events")
+          .select(col("user_id"), col("event_type"),
+            date_trunc("minute", col("ts")).as("bucket"))
+          .withColumn("src", lit("stream"))
+        graft.operators.Upsert.upsertPartitionedTable(
+          spark, dir, batch, keys, keys.map(col), numBuckets = 16)
+      }
+    }
     val finalRead = timedMedian(3) {
       val dir = buildSeeded(); runStream(dir) // untimed
       time { graft.operators.Upsert.readPartitionedTable(spark, dir)
@@ -89,8 +104,9 @@ object Q96Floor {
 
     def n(v: Double) = String.format(java.util.Locale.ROOT, "%.4f", v)
     val json = s"""{"seed_build":${n(seedBuild)},"stream_run":${n(streamRun)},""" +
+      s""""batch_twin":${n(batchTwin)},""" +
       s""""final_read":${n(finalRead)},"full":${n(full)},""" +
-      s""""note":"seed_build + stream_run + final_read are per-RUN constants of a streaming sink (table seeding, AvailableNow micro-batch machinery, bucketed layout read); none scales with data volume at fixed key cardinality","sf":"$sfDir"}"""
+      s""""note":"seed_build + stream_run + final_read are per-RUN constants of a streaming sink (table seeding, AvailableNow micro-batch machinery, bucketed layout read); none scales with data volume at fixed key cardinality. batch_twin = identical upsert run as a batch: stream_run - batch_twin is the streaming machinery (file-source tracking, checkpoint, AvailableNow start/stop)","sf":"$sfDir"}"""
     println(json)
     // sf-suffixed artifact for non-default scale factors (round-15: the
     // sf1 decomposition is a separate committed file, q96_floor_sf1.json;

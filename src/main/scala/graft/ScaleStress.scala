@@ -201,7 +201,20 @@ object ScaleStress {
           measure("q78_semantic_dedup_hot_bucket", "x10",
             () => stressVecs(10, hot = 3000), run(cap)),
           measure("q78_semantic_dedup_hot_bucket", "x10_exact",
-            () => stressVecs(10, hot = 3000), run(0), warm = false))
+            () => stressVecs(10, hot = 3000), run(0), warm = false),
+          // r17 verdict #6: the 100× PLANTED row. Background stays 1× —
+          // whole-corpus replication at 0.3-threshold has a Θ(n²) TRUE
+          // pair set by construction (the r16 x10 analysis: 2.67M
+          // verified pairs), which measures output volume, not the
+          // hot-bucket policy. Holding the corpus at 1× and growing ONLY
+          // the planted clique 300 → 30,000 isolates the claim: the
+          // capped policy emits the 2(m−1) spanning set, so a 100×
+          // clique should cost low-single-digit × the x1_hot wall
+          // (compare against x1, same background; cap-off on this
+          // corpus would be 450M pairs — documented by x10_exact, not
+          // re-paid here).
+          measure("q78_semantic_dedup_hot_bucket", "x100_hot_capped",
+            () => stressVecs(1, hot = 30000), run(cap), warm = false))
       },
       shape("q92_pagerank_fact_scale", Seq(1, 10, 100),
         stressLineitem, q92Run),
@@ -382,7 +395,15 @@ object ScaleStress {
             () => fact, df => agg(df.join(dim, Seq("k")))),
           measure("q83_salted_join_hot_key", "salted_32",
             () => fact, df => agg(graft.operators.SkewJoin
-              .saltedJoin(df, dim, Seq("k"), saltBuckets = 32))))
+              .saltedJoin(df, dim, Seq("k"), saltBuckets = 32))),
+          // r17: the hot-key split-union variant on the same corpus —
+          // only key 7's dim rows replicate (32 rows total); the cold
+          // 5% takes the plain join. Should match or beat blanket
+          // salting while replicating 1/1000th of the right side.
+          measure("q83_salted_join_hot_key", "split_union_32",
+            () => fact, df => agg(graft.operators.SkewJoin
+              .hotKeySaltedJoin(df, dim, Seq("k"),
+                hotThreshold = 100000L, saltBuckets = 32))))
         finally olds.foreach { case (k, o) =>
           o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
       })
@@ -397,7 +418,7 @@ object ScaleStress {
     // unless an explicit SPARK_GRAFT_SCALE_OUT says otherwise.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       if (sys.env.contains("SPARK_GRAFT_SCALE_SHAPES")) "SCALE_partial.json"
-      else "SCALE_r16.json")
+      else "SCALE_r17.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
@@ -410,7 +431,7 @@ object ScaleStress {
         val f100 = for { a <- runs.get("x100"); b <- runs.get("x1") } yield
           s""","wall_factor_100x":${num(a.wallSec / math.max(b.wallSec, 1e-9))}"""
         s""""$name":{$body${factor.getOrElse("")}${f100.getOrElse("")}}"""
-      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition; q83 compares salted vs unsalted wall on a planted 95%-hot key with AQE skew handling disabled (the operator's documented use case)","host_load":"see calibration in BENCH"}""")
+      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition; q22 x100_guard_engaged: rows_out 1 = default pair-volume guard refused the dense corpus; q78 x100_hot_capped grows ONLY the planted clique 100x over the x1 background (compare wall vs x1); q83 compares unsalted vs blanket-salted vs hot-key-split-union wall on a planted 95%-hot key with AQE skew handling disabled (the operator's documented use case)","host_load":"see calibration in BENCH"}""")
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }

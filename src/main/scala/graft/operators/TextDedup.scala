@@ -305,7 +305,7 @@ object TextDedup {
     * pigeonhole over 4 chunks. Output: (doc_a, doc_b, hamming). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxPairsPerBucket: Long = DefaultMaxPairsPerBucket): DataFrame = {
+                   maxPairsPerBucket: Long = SimhashMaxPairsPerBucket): DataFrame = {
     val sig = simhashSignatures(docs, idCol, textCol)
     val chunks0 = sig.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
@@ -379,8 +379,23 @@ object TextDedup {
     * volume: past ~200k pairs from ONE bucket the corpus is in the dense-
     * duplicate regime, where pair enumeration is the wrong tool (q78's
     * denseBucketCap argument) — the groups path (`minhashLshGroups`)
-    * computes the same clusters without materializing pair volume. */
+    * computes the same clusters without materializing pair volume.
+    *
+    * The ceiling scales with the VERIFIER's per-candidate cost: the
+    * jaccard and edit-distance operators pay an intersection aggregate /
+    * banded DP per candidate (200k/bucket is already seconds), while
+    * simhash's verifier is one XOR+popcount, so its guard
+    * ([[SimhashMaxPairsPerBucket]]) sits four orders of magnitude higher
+    * — organic simhash chunk buckets concentrate (a 15-bit chunk shared
+    * by 733 of sf1's 50k docs is normal structure, not a dup cluster),
+    * and flagging those would make the guard cry wolf. */
   val DefaultMaxPairsPerBucket = 200000L
+
+  /** [[simhashPairs]]' per-bucket candidate ceiling: ~1e9 popcount
+    * comparisons ≈ a minute of one-bucket work — the point where chunk-
+    * collision enumeration is genuinely the wrong regime (≥ ~45k docs in
+    * ONE 15-bit bucket) rather than normal chunk concentration. */
+  val SimhashMaxPairsPerBucket = 1000000000L
 
   /** LAZY per-bucket pair-volume guard (round-17, the q78 `denseBucketCap`
     * discipline applied to the pair-regime operators): asserts, inside the
