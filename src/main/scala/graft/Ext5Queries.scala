@@ -126,48 +126,74 @@ object Ext5Queries {
     "q106_cdc_chunks" -> ((s, dir) =>
       graft.operators.TextAnalysis.cdcChunks(t(s, dir, "documents"))),
 
-    // Mergeable distinct-count sketches: daily HLL sketches persisted to
-    // parquet (the lake-table seam), rolled up by sketch UNION — a
-    // year-over-year distinct query reads sketch rows, not raw events.
-    // Rows-only (sketch internals are engine-specific) with the q42-style
-    // runtime self-gate: the merged estimate must sit within 5% of the
-    // exact per-key distinct or the query fails loudly.
+    // Mergeable distinct-count sketches: daily PORTABLE-HLL register rows
+    // persisted to parquet (the lake-table seam), rolled up along the day
+    // dimension by a plain register-lattice max-merge, then estimated —
+    // a year-over-year distinct query reads sketch rows, not raw events.
+    // Round-17: rows-only → HASH-GREEN — the portable registers
+    // (md5-derived, exact-integer estimator sum; SketchRollup.PortableHll)
+    // let DuckDB replay the merged ESTIMATE cell-exact (max is
+    // associative, so merged daily registers equal direct registers over
+    // all events, which is what the oracle computes). The ≤5%-vs-exact
+    // runtime self-gate stays; the Datasketches binary-sketch variant
+    // remains in SketchRollup for callers wanting fixed-size blobs.
     "q107_sketch_rollup" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.{col, countDistinct, date_trunc}
+      import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, lit, max, sum}
+      import graft.operators.SketchRollup.PortableHll
       val ev = t(s, dir, "events")
-      val daily = graft.operators.SketchRollup.buildSketches(
-        ev, Seq("event_type"), date_trunc("day", col("ts")), col("user_id"))
-      val lake = graft.util.Fs.scratchDir("graft-q107-sketches").toString + "/daily"
-      daily.write.mode("overwrite").parquet(lake) // the persistence seam
-      val merged = graft.operators.SketchRollup.mergedEstimate(
-        s.read.parquet(lake), Seq("event_type"))
+      val daily = PortableHll.registers(ev,
+        Seq("event_type" -> col("event_type"),
+          "day" -> date_trunc("day", col("ts"))), col("user_id"))
+      val counts = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      val lake = graft.util.Fs.scratchDir("graft-q107-sketches").toString
+      daily.write.mode("overwrite").parquet(s"$lake/registers") // the seam
+      counts.write.mode("overwrite").parquet(s"$lake/counts")
+      val merged = s.read.parquet(s"$lake/registers")
+        .groupBy(col("event_type"), col("hb")).agg(max("hm").as("hm"))
+      val est = PortableHll.estimate(merged, Seq("event_type"))
+      val n = s.read.parquet(s"$lake/counts")
+        .groupBy("event_type").agg(sum("n_rows").as("n_rows"))
+      val out = est.join(n, "event_type")
+        .select(col("event_type"), col("approx_distinct"), col("n_rows"))
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact"))
-      merged.join(exact, "event_type").collect() // ≤ #event_types rows
+      out.join(exact, "event_type").collect() // ≤ #event_types rows
         .foreach { r =>
-          val (a, e) = (r.getAs[Long]("approx_distinct"), r.getAs[Long]("exact"))
-          val relErr = math.abs(a - e).toDouble / e
+          val (a, e) = (r.getAs[Double]("approx_distinct"), r.getAs[Long]("exact"))
+          val relErr = math.abs(a - e) / e
           require(relErr <= 0.05,
             f"q107 ${r.getAs[String]("event_type")} merged-sketch error " +
               f"$relErr%.4f > 5%% (approx=$a exact=$e)")
         }
-      merged.select(col("event_type"), col("approx_distinct"), col("n_rows"))
+      out
     }),
 
     // Sketch-based percentiles — the 100 TB twin of q38: exact
-    // percentile() buffers every group value; approx_percentile (the
-    // Greenwald-Khanna sketch) is fixed-memory with a RANK-error
-    // guarantee (value error is unbounded on skewed data, which is why
-    // the gate checks rank). SELF-GATING, q42 pattern: the reported
-    // values' true ranks must sit within 1% of their targets or the
-    // query fails loudly. Rows-only (sketch internals engine-specific).
+    // percentile() buffers every group value; the KMV bottom-k sample
+    // ([[graft.plans.BottomK]], seeded by the portable md5 hash of the
+    // unique order key) is fixed-memory (k·16 bytes per group, map-side
+    // combine) with a rank-error guarantee σ ≈ √(p(1−p)/k) ≈ 0.5% at
+    // k = 10,000. Round-17: rows-only → HASH-GREEN — unlike
+    // approx_percentile (Greenwald–Khanna, partition-order dependent),
+    // the KMV sample is a pure function of the data, so DuckDB replays
+    // sample selection AND the rank-indexed quantile reads cell-exact.
+    // The rank self-gate stays: the oracle proves cross-engine agreement,
+    // the gate proves the estimates still estimate.
     "q109_approx_percentiles" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val o = t(s, dir, "orders").select(col("o_orderstatus"), col("o_totalprice"))
+      graft.plans.Hash60.register(s)
+      graft.plans.BottomK.register(s)
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      def at(p: Double) = element_at(col("sample"),
+        ceil(lit(p) * size(col("sample"))).cast("int"))
       val approx = o.groupBy(col("o_orderstatus"))
-        .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("ap"))
-        .select(col("o_orderstatus"),
-          element_at(col("ap"), 1).as("p50"), element_at(col("ap"), 2).as("p90"))
+        .agg(graft.plans.BottomK.of(
+          call_function("graft_hash60", col("o_orderkey").cast("string")),
+          col("o_totalprice").cast("double"), 10000).as("sample"))
+        .select(col("o_orderstatus"), at(0.5).as("p50"), at(0.9).as("p90"))
       def rank(v: String) =
         (sum(when(col("o_totalprice") <= col(v), 1L).otherwise(0L)).cast("double") /
           count(lit(1))).as(s"r_$v")
@@ -352,6 +378,64 @@ object Ext5Queries {
          |m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // q107: the portable-HLL rollup replayed from raw events — max-merge
+    // of daily registers is associative, so the oracle computes the same
+    // registers directly per event_type and applies the identical
+    // exact-integer estimator chain (see Queries.hllScalarSql for the
+    // scalar form of the same derivation).
+    "q107_sketch_rollup" ->
+      """WITH ro AS (
+        |  SELECT event_type, h >> 48 AS hb, h & 281474976710655 AS rest
+        |  FROM (SELECT event_type,
+        |          (('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT) AS h
+        |        FROM events)),
+        |go AS (SELECT event_type, hb,
+        |         max(CASE WHEN rest = 0 THEN 49
+        |             ELSE 49 - length(bin(rest)) END) AS hm
+        |       FROM ro GROUP BY event_type, hb),
+        |so AS (SELECT event_type,
+        |         CAST(sum(1::BIGINT << (49 - hm)) AS BIGINT) AS s,
+        |         count(*) AS nb
+        |       FROM go GROUP BY event_type),
+        |eo AS (SELECT event_type, (4096 - nb) AS v,
+        |              s + (4096 - nb) * 562949953421312 AS n FROM so),
+        |fo AS (SELECT event_type,
+        |         round(CASE WHEN v > 0 AND
+        |             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 562949953421312.0 / CAST(n AS DOUBLE) <= 2.5 * 4096.0
+        |           THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+        |           ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 562949953421312.0 / CAST(n AS DOUBLE) END, 4)
+        |           AS approx_distinct
+        |       FROM eo)
+        |SELECT f.event_type, f.approx_distinct, n.n_rows
+        |FROM fo f JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+        |                FROM events GROUP BY event_type) n USING (event_type)""".stripMargin,
+
+    // q109: the KMV quantile sketch replayed — sample = k smallest
+    // (md5-hash, value) pairs per group (collision-proof pair ordering),
+    // quantile = value at rank ceil(p·n) of the value-sorted sample.
+    "q109_approx_percentiles" ->
+      """WITH h AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         (('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT) AS hh
+        |  FROM orders),
+        |s AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY hh, o_totalprice) AS rn
+        |  FROM h),
+        |r AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice) AS vr,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM s WHERE rn <= 10000)
+        |SELECT o_orderstatus,
+        |  round(max(CASE WHEN vr = CAST(ceil(0.5 * n) AS BIGINT)
+        |            THEN o_totalprice END), 4) AS p50_approx,
+        |  round(max(CASE WHEN vr = CAST(ceil(0.9 * n) AS BIGINT)
+        |            THEN o_totalprice END), 4) AS p90_approx
+        |FROM r GROUP BY o_orderstatus""".stripMargin,
 
     // q112: every decoded feature in the projection is id-arithmetic —
     // the DECODE is what the match proves (a parser that mis-walks the

@@ -351,28 +351,26 @@ object Queries {
           "o_totalprice" -> "matched_totalprice"))
     }),
 
-    // HLL sketch: approximate distinct (no cross-engine oracle — estimator
-    // internals are engine-specific). SELF-GATING (the q89 pattern): an
-    // exact twin is computed alongside and the query fails loudly if
-    // either estimate drifts past 2% relative error, so an estimator
-    // regression turns the board red instead of shipping as a
-    // plausible-looking number. The twin is priced per column over the
-    // DISTINCT values (map-side partial dedup, then one narrow shuffle of
-    // unique keys): the sketch is duplicate-insensitive — every copy of a
-    // value hashes to the same HLL register — so approx_count_distinct
-    // over distinct(x) is bit-identical to the raw-scan sketch, and the
-    // exact count is just count(*) of the same frame. This avoids the
-    // Expand blowup (2 distinct cols + 2 plain aggs in one agg = 3×
-    // row replication through the shuffle) that a fused twin costs.
-    // A production 100 TB run keeps the sketch-only aggregation.
+    // PORTABLE HLL approximate distinct (round-17: rows-only → hash-green).
+    // The estimate comes from [[SketchRollup.PortableHll]] — md5-derived
+    // registers and an exact-integer register sum, so DuckDB replays the
+    // ESTIMATE itself cell-exact (estimator internals were the only thing
+    // keeping this query rows-only; Datasketches HLL remains available as
+    // the binary-sketch variant in SketchRollup). The 2%-vs-exact runtime
+    // self-gate stays: the oracle proves cross-engine agreement, the gate
+    // proves the estimator still estimates. A production 100 TB run keeps
+    // the sketch-only aggregation (registers are a bounded two-level
+    // hash aggregate: ≤4096 rows per group per partition).
     "q42_approx_distinct" -> ((s, dir) => {
       import s.implicits._
-      def gated(c: String): Long = {
-        val r = t(s, dir, "lineitem").select(col(c)).distinct()
-          .agg(count(lit(1)).as("exact"),
-            approx_count_distinct(col(c), rsd = 0.01).as("approx")).head()
-        val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
-        val relErr = math.abs(approx - exact).toDouble / exact
+      import graft.operators.SketchRollup.PortableHll
+      def gated(c: String): Double = {
+        val colDf = t(s, dir, "lineitem").select(col(c))
+        val approx = PortableHll
+          .estimate(PortableHll.registers(colDf, Nil, col(c)), Nil)
+          .head().getAs[Double]("approx_distinct")
+        val exact = colDf.distinct().count()
+        val relErr = math.abs(approx - exact) / exact
         require(relErr <= 0.02,
           f"q42 $c approx-distinct error $relErr%.4f > 2%% (approx=$approx exact=$exact)")
         approx
@@ -505,6 +503,32 @@ object Queries {
 
   private val sqlAllOk: String =
     sqlRules.map { case (_, ok) => s"coalesce($ok, false)" }.mkString(" AND ")
+
+  /** DuckDB scalar-subquery twin of `SketchRollup.PortableHll` over one
+    * column of `table`: md5-top-60-bit hash → 12-bit bucket / 48-bit rest
+    * → rank `49 − length(bin(rest))` → EXACT integer register sum
+    * `Σ 2^(49−M)` (empty buckets contribute 2^49) → the identical IEEE
+    * estimator chain, linear counting below 2.5·m. Every step up to the
+    * final double chain is integer-exact, so the estimate matches Spark's
+    * cell-for-cell. */
+  private[graft] def hllScalarSql(table: String, column: String): String =
+    s"""(WITH ro AS (
+       |  SELECT h >> 48 AS hb, h & 281474976710655 AS rest FROM (
+       |    SELECT (('0x'||substr(md5(CAST($column AS VARCHAR)),1,15))::BIGINT) AS h
+       |    FROM $table)),
+       |go AS (SELECT hb,
+       |         max(CASE WHEN rest = 0 THEN 49
+       |             ELSE 49 - length(bin(rest)) END) AS hm
+       |       FROM ro GROUP BY hb),
+       |so AS (SELECT CAST(sum(1::BIGINT << (49 - hm)) AS BIGINT) AS s,
+       |              count(*) AS nb FROM go),
+       |eo AS (SELECT (4096 - nb) AS v,
+       |              s + (4096 - nb) * 562949953421312 AS n FROM so)
+       |SELECT round(CASE WHEN v > 0 AND
+       |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 562949953421312.0 / CAST(n AS DOUBLE) <= 2.5 * 4096.0
+       |  THEN 4096.0 * ln(4096.0 / CAST(v AS DOUBLE))
+       |  ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0 * 562949953421312.0 / CAST(n AS DOUBLE) END, 4)
+       |FROM eo)""".stripMargin
 
   // -------------------------------------------------------------- oracles ---
 
@@ -676,6 +700,13 @@ object Queries {
                 r.o_totalprice AS matched_totalprice
          FROM events e ASOF JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+
+    // q42: the portable-HLL estimate replayed end to end — same md5
+    // registers, same exact-integer register sum, same one chain of IEEE
+    // estimator ops (see SketchRollup.PortableHll).
+    "q42_approx_distinct" ->
+      s"""SELECT ${hllScalarSql("lineitem", "l_orderkey")} AS approx_orders,
+         |       ${hllScalarSql("lineitem", "l_partkey")} AS approx_parts""".stripMargin,
 
     "q41_window_suite" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,

@@ -45,4 +45,78 @@ object SketchRollup {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .cast("long").as("approx_distinct"),
         sum("n_rows").as("n_rows"))
+
+  /** ENGINE-PORTABLE HyperLogLog (round-17: the move that made the
+    * distinct-count sketches oracle-checkable — q42/q107 from rows-only
+    * to hash-green).
+    *
+    * Datasketches HLL internals are engine-specific, so its estimate can
+    * only ever be self-gated. This variant derives every register from
+    * the portable 60-bit md5 hash ([[graft.plans.Hash60]], proven
+    * cell-exact against DuckDB's `('0x'||substr(md5(s),1,15))::BIGINT`
+    * twin across the dedup family): bucket = top 12 hash bits, rank =
+    * leading-zero count of the remaining 48 (computed as
+    * `49 − length(bin(rest))` — exact integer logic in both engines),
+    * and the estimator's register sum Σ 2^(−M_j) is carried as the EXACT
+    * integer Σ 2^(49−M_j) (≤ 4096·2^49 < 2^63), so the only floating
+    * arithmetic is one fixed chain of IEEE ops both engines evaluate
+    * identically. The classic small-range linear-counting correction
+    * applies below 2.5·m.
+    *
+    * Shuffle shape: registers are a two-level hash aggregation with
+    * map-side combine — (group, bucket) max-rank partials, at most
+    * m = 4096 rows per group per partition, regardless of input volume.
+    * Register rows ARE the lake format: merging sketches along any
+    * dimension afterwards is a plain `groupBy(..).max(hm)` — the HLL
+    * union on the register lattice, with no engine-specific gadget (and
+    * exact: max-merge then estimate ≡ estimate of the union by
+    * construction).
+    *
+    * Value contract: `value` is canonicalized `cast("string")` before
+    * hashing — pass integer/string columns (float formatting differs
+    * across engines). */
+  object PortableHll {
+    val BucketBits = 12
+    val Buckets: Int = 1 << BucketBits            // 4096
+    val RankBits: Int = 60 - BucketBits           // 48
+    private val RestMask = (1L << RankBits) - 1   // 2^48 − 1
+    private val Scale = 1L << (RankBits + 1)      // 2^49: rank ≤ 49 stays integral
+
+    /** Register rows `(groupCols..., hb, hm)`: max rank per
+      * (group, hash-bucket). `groupCols` are (name, expression) pairs and
+      * may be empty (one global sketch). */
+    def registers(df: DataFrame, groupCols: Seq[(String, Column)],
+                  value: Column): DataFrame = {
+      graft.plans.Hash60.register(df.sparkSession)
+      val h = call_function("graft_hash60", value.cast("string"))
+      val rest = h.bitwiseAND(lit(RestMask))
+      val rank = when(rest === 0, lit(RankBits + 1))
+        .otherwise(lit(RankBits + 1) - length(bin(rest)))
+      val sel = groupCols.map { case (n, c) => c.as(n) } ++
+        Seq(shiftright(h, RankBits).as("hb"), rank.as("hr"))
+      df.select(sel: _*)
+        .groupBy((groupCols.map(_._1) :+ "hb").map(col): _*)
+        .agg(max(col("hr")).as("hm"))
+    }
+
+    /** The estimator over register rows: one aggregation per group. */
+    def estimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
+      val grouped = regs.groupBy(keys.map(col): _*)
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${RankBits + 1} - hm)")).as("__s"),
+          count(lit(1)).as("__nb"))
+        .withColumn("__v", lit(Buckets.toLong) - col("__nb"))
+        .withColumn("__n", col("__s") + col("__v") * lit(Scale))
+      // one fixed chain of IEEE ops, spelled identically in the oracle:
+      // alpha_m · m² · 2^49 / N, then linear counting below 2.5·m
+      val eRaw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0))) *
+        lit(4096.0) * lit(4096.0) * lit(562949953421312.0) /
+        col("__n").cast("double")
+      grouped.withColumn("__eraw", eRaw)
+        .withColumn("approx_distinct",
+          round(when(col("__v") > 0 && col("__eraw") <= lit(2.5) * lit(4096.0),
+            lit(4096.0) * log(lit(4096.0) / col("__v").cast("double")))
+            .otherwise(col("__eraw")), 4))
+        .drop("__s", "__nb", "__v", "__n", "__eraw")
+    }
+  }
 }

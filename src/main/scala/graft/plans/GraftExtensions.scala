@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_edit_distance", classOf[EditDistanceCapped])(EditDistanceCapped.builder)
     fn("graft_approx_topk", classOf[ApproxTopK])(ApproxTopK.builder)
     fn("graft_collect_capped_long", classOf[CollectCappedLong])(CollectCappedLong.builder)
+    fn("graft_bottomk", classOf[BottomK])(BottomK.builder)
     fn("graft_hash60", classOf[Hash60])(Hash60.builder)
     fn("graft_ngram_hash60", classOf[NgramHash60])(NgramHash60.builder)
     fn("graft_winnow_hash60", classOf[WinnowHash60])(WinnowHash60.builder)
