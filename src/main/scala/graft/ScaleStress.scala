@@ -258,13 +258,16 @@ object ScaleStress {
           measure("q22_ngram_jaccard_df_spike", "x100_guard_engaged",
             () => constDensityDocs(100), df => {
               val cached = df.cache()
+              def tripped(t: Throwable): Boolean =
+                t != null && (Option(t.getMessage)
+                  .exists(_.contains("maxPairsPerBucket")) || tripped(t.getCause))
               try {
                 val trip =
                   try {
                     TextDedup.ngramJaccardPairs(cached,
                       maxShingleDf = TextDedup.dfCapFor(cached.count())).count()
                     0L
-                  } catch { case _: IllegalArgumentException => 1L }
+                  } catch { case e: Exception if tripped(e) => 1L }
                 require(trip == 1L,
                   "pair-volume guard did NOT engage on the df-spike corpus")
                 trip

@@ -403,9 +403,17 @@ object TextDedup {
     * `maxPairsPerBucket` ordered pairs — a corpus in the dense-duplicate
     * regime fails LOUDLY with the escalation route in the message instead
     * of detonating into hours of output-bound pair emission (SCALE_r16's
-    * df-spike row: 52× wall at 100×). The window partitions by the
-    * bucket key the downstream self-join shuffles on anyway, so the guard
-    * introduces no additional exchange. */
+    * df-spike row: 52× wall at 100×).
+    *
+    * The window partitions by the bucket key the downstream self-join
+    * shuffles on anyway, so the guard introduces no additional exchange.
+    * (Round-18 A/B note: an aggregate + join-back variant — bucket sizes
+    * via map-side-combined groupBy, broadcast back — measured STRICTLY
+    * worse at sf0.1 (q21 min 1.00 → 2.21 s, q47 0.50 → 0.66 s, same
+    * window): recomputing the guarded frame for the aggregate branch costs
+    * more than the window's sort, even with the signatures persisted. The
+    * window form stays; operators whose guard input is a cheap projection
+    * use the eager preflight in [[editDistancePairs]] instead.) */
   private def guardPairBuckets(df: DataFrame, bucketCols: Seq[String],
                                maxPairsPerBucket: Long, op: String,
                                escalation: String): DataFrame = {
@@ -434,16 +442,14 @@ object TextDedup {
                         maxShingleDf: Int = 20,
                         idCol: String = "doc_id", textCol: String = "text",
                         maxPairsPerBucket: Long = DefaultMaxPairsPerBucket): DataFrame = {
-    // pair-volume guard (round-17): bucket size is ALREADY bounded by the
-    // df filter, so the guard is a free driver-side check on the derived
-    // cap — a dfCapFor-scaled cap on a df-spike corpus (SCALE_r16: 52×
-    // wall at 100×) fails loudly here instead of detonating downstream.
-    require(maxShingleDf.toLong * (maxShingleDf - 1) / 2 <= maxPairsPerBucket,
-      s"ngramJaccardPairs: maxShingleDf=$maxShingleDf allows " +
-        s"${maxShingleDf.toLong * (maxShingleDf - 1) / 2} candidate pairs " +
-        s"from a single shingle bucket (> maxPairsPerBucket=" +
-        s"$maxPairsPerBucket) — dense-duplicate regime; route it through " +
-        "minhashLshGroups, or raise maxPairsPerBucket deliberately")
+    // pair-volume guard (round-18, advisor fix): checked against ACTUAL
+    // bucket sizes in-plan, not the cap-derived worst case — a dfCapFor-
+    // scaled cap on a large HEALTHY corpus (dfCapFor(500k)=2000 → 2M
+    // worst-case pairs) must not hard-fail when no bucket is actually
+    // dense; conversely a df-spike corpus whose buckets really sit at the
+    // derived cap (SCALE_r16: 52× wall at 100×) still fails loudly. The
+    // check is free: `size(ids)` is already materialized for the df
+    // filter, so the assert below adds no exchange and no window.
     // Single pass over documents, exactly TWO shuffles:
     //  - the per-doc distinct-shingle count n_sh is size() of the shingle
     //    array BEFORE the explode (no groupBy(doc_id) shuffle at all), and
@@ -496,6 +502,14 @@ object TextDedup {
     val buckets = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleDf))
+      .filter(coalesce(assert_true(
+        size(col("ids")).cast("long") * (size(col("ids")) - 1) / 2
+          <= maxPairsPerBucket,
+        concat(lit("ngramJaccardPairs: a shingle bucket of "),
+          size(col("ids")),
+          lit(s" docs exceeds maxPairsPerBucket=$maxPairsPerBucket — " +
+            "dense-duplicate regime; route it through minhashLshGroups, " +
+            "or raise the cap deliberately"))), lit(true)))
     // n is functionally dependent on doc_id, so grouping by (a, n_a, b,
     // n_b) is the same partition as (a, b) — the sizes come along free.
     buckets
@@ -541,14 +555,32 @@ object TextDedup {
     // (id, block, bucket, prefix) rows only; when the build side is big
     // enough to force a sort-merge join its own key exchange subsumes this
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // pair-volume guard (round-17): a hot (block, length-bucket) makes the
-    // blocked self-join quadratic — fail loudly with the escalation route
-    val d0 = guardPairBuckets(
-      docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
-        floor(col(lenCol) / 10).cast("int").as("len_bucket"),
-        substring(col(textCol), 1, prefixLen).as("prefix")),
-      Seq("__blk", "len_bucket"), maxPairsPerBucket, "editDistancePairs",
-      "block on a finer key (add a shingle/prefix band to blockCol)")
+    // pair-volume guard (round-18 form): a hot (block, length-bucket) makes
+    // the blocked self-join quadratic — fail loudly with the escalation
+    // route. Unlike simhash (whose guard input needs the full signature
+    // computation), the blocking key here is a cheap two-column projection,
+    // so the guard runs as an EAGER preflight aggregate: a column-pruned
+    // scan of (blockCol, lenCol) with map-side combine, one count row per
+    // block. The lazy plan stays the pure pre-guard join — the r17 window
+    // count cost 0.23→0.52 s at sf0.1 because it dragged the full
+    // (id, block, bucket, 80-char prefix) rows through a low-cardinality
+    // exchange+sort the broadcast join never needed.
+    val hot = docs
+      .select(col(blockCol).as("__blk"),
+        floor(col(lenCol) / 10).cast("int").as("len_bucket"))
+      .groupBy("__blk", "len_bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") * (col("__bn") - 1) / 2 > maxPairsPerBucket)
+      .limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"editDistancePairs: a candidate bucket (${r.get(0)},${r.get(1)}) of " +
+        s"${r.getLong(2)} docs exceeds maxPairsPerBucket=$maxPairsPerBucket " +
+        "— dense-duplicate regime; block on a finer key (add a " +
+        "shingle/prefix band to blockCol), or raise the cap deliberately"
+    })
+    val d0 = docs.select(col(idCol).as("doc_id"), col(blockCol).as("__blk"),
+      floor(col(lenCol) / 10).cast("int").as("len_bucket"),
+      substring(col(textCol), 1, prefixLen).as("prefix"))
     // probe side only — a broadcast build side would pay the exchange for
     // nothing (plan-audited: the extra Exchange sat under BroadcastExchange)
     val d = d0.repartition(par)

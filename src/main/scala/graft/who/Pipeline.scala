@@ -111,7 +111,9 @@ object Pipeline {
     * email / metrics hook sees exactly what the gate saw. The default
     * ([[FailOnDq]]) throws, matching the reference's failed-task behavior;
     * a non-throwing hook lets the run complete and return the report with
-    * `dq.passed == false` for callers that gate downstream themselves. */
+    * `dq.passed == false` for callers that gate downstream themselves — but
+    * the success watermark is NOT advanced for such a run, so etl_state
+    * never records a DQ-failed run as successful. */
   def run(spark: SparkSession, fetcher: PageFetcher, cfg: PipelineConfig,
           onDqFailure: DqReport => Unit = FailOnDq): PipelineReport = {
     val stateRepo = new StateRepo(spark, cfg.stateDir)
@@ -245,12 +247,18 @@ object Pipeline {
     val dq = DqReport(factRowCount = dqRow.getLong(0), nullKeyCount = dqRow.getLong(1))
 
     // --- DQ-failure notification seam (dag:36-39 email_on_failure analog);
-    // fires before the watermark so a failed run never advances it ---------
+    // fires before the watermark, and a failed run NEVER advances it — even
+    // with a non-throwing hook, etl_state must not record the run as
+    // successful (the reference's failed task blocks the whole DAG run) ----
     if (!dq.passed) onDqFailure(dq)
 
     // --- watermark (etl/state.py:39-55; wired here, unlike the reference) --
-    stateRepo.setLastSuccessfulRunAt("who_gho_etl",
-      new java.sql.Timestamp(System.currentTimeMillis()))
+    // advance only on a passing run: a non-throwing onDqFailure hook returns
+    // control here, and the failed run must stay invisible to the watermark
+    if (dq.passed) {
+      stateRepo.setLastSuccessfulRunAt("who_gho_etl",
+        new java.sql.Timestamp(System.currentTimeMillis()))
+    }
 
     obsRawDf.unpersist()
     PipelineReport(

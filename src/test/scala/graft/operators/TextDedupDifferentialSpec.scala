@@ -204,15 +204,28 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("w must be >= 1"))
   }
 
-  test("pair-volume guard: ngramJaccardPairs refuses a cap past maxPairsPerBucket") {
-    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
-      TextDedup.ngramJaccardPairs(docs, maxShingleDf = 5000,
-        maxPairsPerBucket = 1000L)
+  test("pair-volume guard: ngramJaccardPairs trips on ACTUAL dense buckets only") {
+    // 30 identical docs: every shingle bucket holds all 30 -> 435 pairs
+    val dense = spark.range(30)
+      .select(col("id").as("doc_id"),
+        lit("w1 w2 w3 w4 w5 w6 w7 w8").as("text"))
+    val e = intercept[Exception] {
+      TextDedup.ngramJaccardPairs(dense, maxShingleDf = 50,
+        maxPairsPerBucket = 100L).count()
     }
-    assert(e.getMessage.contains("minhashLshGroups"))
-    // a cap inside the budget still works
-    assert(TextDedup.ngramJaccardPairs(docs, maxShingleDf = 20).count() === 0)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("minhashLshGroups")))
+    // the advisor's false positive (round 17): a large derived cap with NO
+    // actually-dense bucket must run clean — the old driver-side require
+    // on the cap's worst case hard-failed any corpus past ~158k docs
+    val healthy = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z q r"))
+      .toDF("doc_id", "text")
+    assert(TextDedup.ngramJaccardPairs(healthy, maxShingleDf = 5000,
+      maxPairsPerBucket = 1000L).count() === 1)
+    // and a dense bucket under the cap passes untripped
+    assert(TextDedup.ngramJaccardPairs(dense, maxShingleDf = 50,
+      maxPairsPerBucket = 1000L).count() === 30L * 29 / 2)
   }
 
   test("pair-volume guard: simhashPairs fails loudly on a dense-duplicate bucket") {

@@ -259,6 +259,11 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       onDqFailure = dq => notified = Some(dq))
     assert(!report.dq.passed)
     assert(notified.exists(_.factRowCount === 0))
+    // even with a non-throwing hook, a DQ-failed run must NOT advance the
+    // success watermark — etl_state never records the run as successful
+    // (the reference's failed task blocks the DAG run entirely)
+    val state = new graft.sources.StateRepo(spark, cfg.stateDir)
+    assert(state.get("who_gho_etl").forall(_.last_successful_run_at.isEmpty))
 
     // default hook: the run fails loudly, like the reference's failed task
     val wh2 = tempDir("graft-wh-dqhook2")
