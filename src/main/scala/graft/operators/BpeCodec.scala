@@ -317,14 +317,18 @@ object BpeCodec {
     val spark = vocab.sparkSession
     import spark.implicits._
     val bcT = spark.sparkContext.broadcast(rankTable(merges))
+    // cap enforced BEFORE driver materialization (advisor, round 18):
+    // take(cap+1) bounds what ever reaches the driver to cap+1 rows — a
+    // vocabulary far past the cap trips the require below without first
+    // exhausting driver memory, which is exactly the failure the guard
+    // exists for (a plain collect-then-require guards nothing)
     val enc = vocab.select("w").as[String].mapPartitions { it =>
       val t = bcT.value
       it.map(w => (w, greedyEncode(w, t).length.toLong))
-    }.collect()
+    }.take(MaxVocabWords + 1)
     require(enc.length <= MaxVocabWords,
-      s"BpeCodec: vocabulary has ${enc.length} words (> $MaxVocabWords) — " +
-        "unbounded raw-text vocab would exhaust the driver; normalize/hash " +
-        "words first")
+      s"BpeCodec: vocabulary exceeds $MaxVocabWords words — unbounded " +
+        "raw-text vocab would exhaust the driver; normalize/hash words first")
     val m = new java.util.HashMap[String, Long](enc.length * 2)
     enc.foreach { case (w, n) => m.put(w, n) }
     m

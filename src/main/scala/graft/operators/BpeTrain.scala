@@ -154,11 +154,13 @@ object BpeTrain {
       .select(explode(when(size(toks) >= 0, toks)).as("w")).distinct()
       .select(col("w"), graft.plans.BpeEncodeLen.encodeLen(col("w"), merges)
         .cast("long").as("n_syms"))
-      .as[(String, Long)].collect()
+      .as[(String, Long)].take(BpeCodec.MaxVocabWords + 1)
+    // take(cap+1), not collect-then-require: the guard must bound driver
+    // memory BEFORE materialization (advisor, round 18)
     require(dict.length <= BpeCodec.MaxVocabWords,
-      s"BpeTrain.encode: vocabulary has ${dict.length} words " +
-        s"(> ${BpeCodec.MaxVocabWords}) — unbounded raw-text vocab would " +
-        "exhaust the driver; normalize/hash words first")
+      s"BpeTrain.encode: vocabulary exceeds ${BpeCodec.MaxVocabWords} " +
+        "words — unbounded raw-text vocab would exhaust the driver; " +
+        "normalize/hash words first")
     val m = new java.util.HashMap[String, Long](dict.length * 2)
     dict.foreach { case (w, n) => m.put(w, n) }
     graft.operators.BpeCodec.statsFromEncodedVocab(docs, m, idCol, textCol)

@@ -273,7 +273,14 @@ object JdbcUpsert {
       targetCols = cols,
       statements = staging =>
         dialect.mergeCdcSql(renderIdent(target), staging, cols, keys, opCol, deleteValue),
-      freshInsertWhere = s""" WHERE "$opCol" <> '$deleteValue'""")
+      // identifier ALWAYS double-quoted (Spark's JDBC writer creates the
+      // staging column case-exact, so a bare identifier would be
+      // case-folded by the engine), literal with quotes doubled: the
+      // require above already rejects quoted deleteValues, but the
+      // predicate must stay well-formed even if that gate ever loosens
+      // (advisor, round 18 — injection-style breakage on the fresh path)
+      freshInsertWhere = " WHERE \"" + opCol.replace("\"", "\"\"") +
+        s"""" <> '${deleteValue.replace("'", "''")}'""")
   }
 
   private def execute(conn: Connection, sql: String): Unit = {

@@ -69,28 +69,34 @@ object SkewJoin {
     require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"joinType '$joinType' is not salt-safe: replicated right rows would " +
         "duplicate unmatched right-side output (use inner/left/semi/anti)")
-    val hot = left.select(keys.map(col): _*)
+    // Detection runs ONCE, eagerly: the hot set is bounded at
+    // maxHotKeys+1 rows by the take, so it collects to the driver and
+    // re-enters the plan as a broadcast LOCAL relation. (The previous
+    // lazily-persisted formulation unpersisted in a finally before the
+    // returned DataFrame ever executed, so the detection aggregate was
+    // recomputed at action time — once per branch referencing it.)
+    val hotRows = left.select(keys.map(col): _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__graft_keycnt"))
       .filter(col("__graft_keycnt") > hotThreshold)
       .select(keys.map(col): _*)
-      .limit(maxHotKeys + 1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      require(hot.count() <= maxHotKeys,
-        s"more than $maxHotKeys keys exceed hotThreshold=$hotThreshold — " +
-          "the hot set would not broadcast; raise the threshold (or salt " +
-          "everything with saltedJoin against a small right side)")
-      val hotB = broadcast(hot)
-      val hotLeft = left.join(hotB, keys, "left_semi")
-      val coldLeft = left.join(hotB, keys, "left_anti")
-      val hotRight = right.join(hotB, keys, "left_semi")
-      // right rows of cold keys still join hot-side rows never — but they
-      // must reach the cold branch untouched; the split is on the LEFT key
-      // set, and the plain branch keeps the full right side so right rows
-      // of hot keys joining cold left rows cannot exist by construction.
-      saltedJoin(hotLeft, hotRight, keys, saltBuckets, joinType)
-        .unionByName(coldLeft.join(right, keys, joinType))
-    } finally hot.unpersist()
+      .take(maxHotKeys + 1)
+    require(hotRows.length <= maxHotKeys,
+      s"more than $maxHotKeys keys exceed hotThreshold=$hotThreshold — " +
+        "the hot set would not broadcast; raise the threshold (or salt " +
+        "everything with saltedJoin against a small right side)")
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => left.schema(k)))
+    val hotB = broadcast(left.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), keySchema))
+    val hotLeft = left.join(hotB, keys, "left_semi")
+    val coldLeft = left.join(hotB, keys, "left_anti")
+    val hotRight = right.join(hotB, keys, "left_semi")
+    // right rows of cold keys still join hot-side rows never — but they
+    // must reach the cold branch untouched; the split is on the LEFT key
+    // set, and the plain branch keeps the full right side so right rows
+    // of hot keys joining cold left rows cannot exist by construction.
+    saltedJoin(hotLeft, hotRight, keys, saltBuckets, joinType)
+      .unionByName(coldLeft.join(right, keys, joinType))
   }
 }

@@ -247,11 +247,13 @@ object TermWeighting {
     // plus a (doc,term) aggregate to compute what is just an instance sum.
     val model = bal.select(explodeTerms(termsOf(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)].collect()
+      .as[(String, Long)].take(maxVocabTerms + 1)
+    // take(cap+1), not collect-then-require: the guard must bound driver
+    // memory BEFORE materialization (advisor, round 18)
     require(model.length <= maxVocabTerms,
-      s"unigramLogLoss: vocabulary has ${model.length} terms " +
-        s"(> maxVocabTerms=$maxVocabTerms) — unbounded raw-text vocab; " +
-        "normalize/hash terms first or raise the cap deliberately")
+      s"unigramLogLoss: vocabulary exceeds maxVocabTerms=$maxVocabTerms " +
+        "— unbounded raw-text vocab; normalize/hash terms first or raise " +
+        "the cap deliberately")
     val n = model.map(_._2).sum.toDouble
     val lnP = new java.util.HashMap[String, Double](model.length * 2)
     // same IEEE ops as the expression form: -log(cnt.cast(double) / N)

@@ -68,6 +68,54 @@ class SkewAndIvfSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("hotKeySaltedJoin: cold branch keeps AQE skew splitting for a " +
+    "moderately-hot key the threshold misses") {
+    // two-tier skew: key 1 is hot (above hotThreshold -> salted branch),
+    // key 2 is moderately hot (below the threshold -> cold branch) but
+    // still skewed enough that AQE's runtime skew-join handling must
+    // split its shuffle partition. The guard question (round-17 verdict):
+    // does routing key 2 through the plain cold join PRESERVE that AQE
+    // rescue, or does the split-union shape disable it?
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      conf.set("spark.sql.shuffle.partitions", "8")
+
+      val left = spark.range(6000).select(lit(1L).as("k"), col("id").as("lv"))
+        .union(spark.range(5000).select(lit(2L).as("k"), col("id").as("lv")))
+        .union(spark.range(64).select((col("id") + 10).as("k"), col("id").as("lv")))
+      val right = Seq((1L, "hot"), (2L, "warm"), (15L, "cold")).toDF("k", "rv")
+
+      val split = SkewJoin.hotKeySaltedJoin(left, right, Seq("k"),
+        hotThreshold = 5500, saltBuckets = 8).select("k", "lv", "rv")
+      val n = split.count()
+      assert(n === left.join(right, Seq("k")).count())
+
+      // executed adaptive plan: the hot branch carries the salt column;
+      // the cold branch's shuffle join was skew-split by AQE at runtime
+      val collected = split.queryExecution
+      collected.executedPlan.execute() // no-op if already materialized
+      val planStr = collected.executedPlan.toString
+      assert(planStr.contains("__graft_salt"),
+        "hot branch lost its salt — split-union shape changed")
+      assert(planStr.contains("skew=true"),
+        s"cold branch's moderately-hot key was NOT skew-split by AQE:\n$planStr")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("saltedJoin spreads the hot key across buckets") {
     val left = spark.range(1000).select(lit(1L).as("k"), col("id").as("lv"))
     val salted = left.withColumn("__graft_salt",
