@@ -213,7 +213,8 @@ object Bench {
           val lshFound = lsh.topK(lsh.index(corpus), probe, 10,
               probeHamming = probeH)
             .collect().map(_.getLong(0)).toSet
-          val ivf = Similarity.Ivf(ExtQueries.IvfCentroids, ExtQueries.IvfProbe)
+          val ivf = Similarity.Ivf(ExtQueries.IvfCentroids, ExtQueries.IvfProbe,
+            exact = true)
           val (centers, index) = ivf.build(corpus)
           val ivfFound = ivf.topK(centers, index, probe, 10)
             .collect().map(_.getLong(0)).toSet

@@ -358,8 +358,15 @@ object ExtQueries {
         shortlist = shortlist)
     }),
 
+    // Round-18: the EXACT training variant (integer micro-unit Lloyd from
+    // an md5-ordered init — Similarity.Ivf.trainExact) makes the whole
+    // pipeline DuckDB-replayable: the oracle re-trains all 5 rounds from
+    // raw parquet (the q118 unrolled-CTE pattern), re-derives the probe
+    // cells and re-ranks exactly — q36 moves from rows-only to hash-green.
+    // The planted recall gate stays (quality, not identity).
     "q36_ivf_topk" -> ((s, dir) => {
-      val ivf = Similarity.Ivf(nCentroids = IvfCentroids, nProbe = IvfProbe)
+      val ivf = Similarity.Ivf(nCentroids = IvfCentroids, nProbe = IvfProbe,
+        exact = true)
       plantedGate("q36_ivf_topk", dir) {
         val (pc, _, plantedIds) = plantedFixture(s, dir)
         val (c, i) = ivf.build(pc)
@@ -370,7 +377,8 @@ object ExtQueries {
       }
       val (centers, index) = ivf.loadOrBuild(s,
         t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
-        Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet", "ivf_16_4"))
+        Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet",
+          "ivf_exact_16_4"))
       val q = t(s, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       ivf.topK(centers, index, q, k = 10)
@@ -650,6 +658,138 @@ object ExtQueries {
     s"""WITH $signLshPairsCtes
         SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.3"""
 
+  /** q25 oracle (round-18 — the portable-sketch evidence pattern applied
+    * to the ANN family): a FULL replay of the persisted sign-LSH probe.
+    * The 8×12 hyperplanes are md5-derived with the identical formula to
+    * Similarity.planeVector (plane index t·12+j); bucket bits are the
+    * SIGN of the plane dot — scale-invariant and order-robust (a real
+    * dot is never within an ulp of zero, so any summation order agrees);
+    * the probe ball is pure integer XOR logic with the Hamming depth
+    * derived from the corpus count exactly as [[annLshProbeHFor]]; the
+    * re-rank is the q24-proven cosine (dot of normalized vectors,
+    * round 6, ties by vec_id). The hyperplanes are materialized ONCE as
+    * 96 list rows (not re-hashed per vector element — 123M md5 calls at
+    * sf1 otherwise). */
+  private def annTopkOracle: String =
+    s"""WITH $normalizedCte,
+        corpus AS (SELECT vec_id, v FROM n WHERE vec_id <> 0),
+        qv AS (SELECT v FROM n WHERE vec_id = 0),
+        plv AS (SELECT t, j, list(p ORDER BY d) AS pv
+                FROM (SELECT t, j, d,
+                        ('0x'||substr(md5('plane_'||(t*12+j)||'_'||d),1,15))::BIGINT
+                          / POW(2,59) - 1.0 AS p
+                      FROM range(8) rt(t), range(12) rj(j), range(64) rd(d))
+                GROUP BY t, j),
+        sig AS (SELECT c.vec_id, p.t,
+                  CAST(sum(CASE WHEN list_sum([z[1]*z[2]
+                                 for z in list_zip(c.v, p.pv)]) >= 0
+                           THEN (1 << p.j) ELSE 0 END) AS BIGINT) AS sig
+                FROM corpus c, plv p GROUP BY 1, 2),
+        qsig AS (SELECT p.t,
+                  CAST(sum(CASE WHEN list_sum([z[1]*z[2]
+                                 for z in list_zip(q.v, p.pv)]) >= 0
+                           THEN (1 << p.j) ELSE 0 END) AS BIGINT) AS sig
+                 FROM qv q, plv p GROUP BY 1),
+        hh AS (SELECT CASE WHEN count(*) < 1000 THEN 3 ELSE 2 END AS h
+               FROM corpus),
+        masks AS (SELECT CAST(0 AS BIGINT) AS m
+                  UNION ALL
+                  SELECT CAST(1 << i AS BIGINT) FROM range(12) r(i)
+                  UNION ALL
+                  SELECT CAST((1 << i) | (1 << jj) AS BIGINT)
+                  FROM range(12) ri(i), range(12) rjj(jj) WHERE jj > i
+                  UNION ALL
+                  SELECT CAST((1 << i) | (1 << jj) | (1 << l) AS BIGINT)
+                  FROM range(12) ri(i), range(12) rjj(jj), range(12) rl(l)
+                  WHERE jj > i AND l > jj AND (SELECT h FROM hh) >= 3),
+        probes AS (SELECT q.t, xor(q.sig, m.m) AS bucket FROM qsig q, masks m),
+        cand AS (SELECT DISTINCT s.vec_id
+                 FROM sig s JOIN probes p ON s.t = p.t AND s.sig = p.bucket),
+        scored AS (SELECT c.vec_id,
+                     list_sum([z[1]*z[2] for z in list_zip(c.v, q.v)]) AS cos
+                   FROM corpus c JOIN cand USING (vec_id), qv q)
+        SELECT vec_id, round(cos, 6) AS cosine FROM scored
+        ORDER BY cos DESC, vec_id LIMIT 10"""
+
+  /** q36 oracle (round-18): full replay of the EXACT-trained IVF probe —
+    * the q118 unrolled-CTE Lloyd over the md5-ordered sample, then probe
+    * selection (top nProbe centroids by query dot, ties to the smaller
+    * cid — Scala's stable sortBy), cell assignment (NearestCentroid
+    * contract: ORDER BY dist, cid), and the exact cosine re-rank. */
+  private def ivfTopkOracle(k: Int, iters: Int, nProbe: Int,
+                            maxSample: Int, kOut: Int): String = {
+    def dist(cqRef: String) =
+      s"""list_sum([(p[1] - CAST(p[2] AS DOUBLE)/1000000.0) *
+         |              (p[1] - CAST(p[2] AS DOUBLE)/1000000.0)
+         |              for p in list_zip(e.v, $cqRef)])""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH $normalizedCte,
+      |e AS (
+      |  SELECT vec_id, v,
+      |         [CAST(floor(x * 1000000.0) AS BIGINT) for x in v] AS q,
+      |         ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
+      |  FROM n WHERE vec_id <> 0),
+      |smp AS (
+      |  SELECT vec_id, v, q FROM (
+      |    SELECT vec_id, v, q,
+      |           row_number() OVER (ORDER BY h, vec_id) AS rn FROM e)
+      |  WHERE rn <= $maxSample),
+      |c0 AS (
+      |  SELECT rn - 1 AS cid, q AS cq FROM (
+      |    SELECT q, row_number() OVER (ORDER BY h, vec_id) AS rn FROM e)
+      |  WHERE rn <= $k),
+      |""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s"""a$r AS (
+        |  SELECT vec_id, q, cid AS c FROM (
+        |    SELECT e.vec_id, e.q, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |                              ORDER BY ${dist("c.cq")}, c.cid) AS rn
+        |    FROM smp e, c${r - 1} c)
+        |  WHERE rn = 1),
+        |s$r AS (
+        |  SELECT c AS cid, pos, sum(x) AS sx, count(*) AS n FROM (
+        |    SELECT c, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos
+        |    FROM a$r)
+        |  GROUP BY c, pos),
+        |n$r AS (
+        |  SELECT cid,
+        |         list(CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
+        |              ORDER BY pos) AS cq
+        |  FROM s$r GROUP BY cid),
+        |c$r AS (
+        |  SELECT p.cid, COALESCE(nn.cq, p.cq) AS cq
+        |  FROM c${r - 1} p LEFT JOIN n$r nn ON p.cid = nn.cid),
+        |""".stripMargin
+    }
+    sb ++= s"""cd AS (SELECT cid, [CAST(x AS DOUBLE)/1000000.0 for x in cq] AS c
+      |       FROM c$iters),
+      |qn AS (SELECT v FROM n WHERE vec_id = 0),
+      |prb AS (
+      |  SELECT cid FROM (
+      |    SELECT cd.cid,
+      |           row_number() OVER (ORDER BY
+      |             list_sum([z[1]*z[2] for z in list_zip(cd.c, q.v)]) DESC,
+      |             cd.cid) AS rn
+      |    FROM cd, qn q)
+      |  WHERE rn <= $nProbe),
+      |asg AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT e.vec_id, cd.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |                              ORDER BY ${dist("cd.cq")}, cd.cid) AS rn
+      |    FROM e, c$iters cd)
+      |  WHERE rn = 1),
+      |scored AS (
+      |  SELECT e.vec_id,
+      |         list_sum([z[1]*z[2] for z in list_zip(e.v, q.v)]) AS cos
+      |  FROM e JOIN asg a ON e.vec_id = a.vec_id
+      |  JOIN prb p ON a.cid = p.cid, qn q)
+      |SELECT vec_id, round(cos, 6) AS cosine FROM scored
+      |ORDER BY cos DESC, vec_id LIMIT $kOut""".stripMargin
+    sb.toString
+  }
+
   private[graft] def langidOracle: String = {
     def cnt(markers: Seq[String]): String = markers.map { m =>
       s"CAST((length(p) - length(replace(p, '$m', ''))) / ${m.length} AS INTEGER)"
@@ -735,8 +875,10 @@ object ExtQueries {
          SELECT vec_id, round(cos, 6) AS cosine FROM scored
          ORDER BY cos DESC, vec_id LIMIT 10""",
     "q24_embedding_near_dup" -> signLshOracle,
-    // q25_ann_topk: intentionally no oracle (rows-only check) — ANN quality
-    // is asserted against brute force in SimilaritySpec instead.
+    // q25: full sign-LSH probe replay (round-18) — signatures, probe ball,
+    // and re-rank are all md5-derived / deterministic-IEEE; recall quality
+    // is still separately gated in the query + SimilaritySpec.
+    "q25_ann_topk" -> annTopkOracle,
     "q26_langid" -> langidOracle,
     "q44_containment_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -796,8 +938,11 @@ object ExtQueries {
                         ELSE [] END AS fps
                   FROM hashes)
           SELECT doc_id, unnest(fps) AS fingerprint FROM win""",
-    // q36_ivf_topk: intentionally no oracle (kmeans centroids are not
-    // reproducible in SQL) — quality asserted vs brute force in spec.
+    // q36: exact-IVF replay (round-18) — integer micro-unit Lloyd over the
+    // md5-ordered sample is order-independent, so DuckDB re-trains all 5
+    // rounds from raw parquet and re-derives probe cells + re-rank.
+    "q36_ivf_topk" -> ivfTopkOracle(k = IvfCentroids, iters = 5,
+      nProbe = IvfProbe, maxSample = 65536, kOut = 10),
     "q27_quality_score" -> qualityOracle,
     "q28_token_bpe" -> tokenBpeOracle,
     "q29_multimodal_features" -> multimodalOracle,

@@ -687,10 +687,17 @@ object Similarity {
     *    partitioned by that column, a probe is a partition-pruned scan of
     *    nProbe/nCentroids of the data.
     *
-    * Deterministic for a given (seed, input file layout); no cross-engine
-    * oracle exists, retrieval quality is spec-tested against brute force. */
+    * Two training modes:
+    *  - `exact = false` (default): Lloyd with float means from a
+    *    `Random(seed)`-shuffled init — deterministic for a given (seed,
+    *    input file layout) but with no cross-engine oracle; retrieval
+    *    quality is spec-tested against brute force.
+    *  - `exact = true` (round-18, the q118 portable-replay trick applied
+    *    to the coarse quantizer): integer micro-unit centroid state from
+    *    an md5-ordered init, making training + assignment + probe
+    *    selection + re-rank all DuckDB-replayable — see [[trainExact]]. */
   final case class Ivf(nCentroids: Int, nProbe: Int, seed: Long = 42L,
-                       maxSample: Int = 65536) {
+                       maxSample: Int = 65536, exact: Boolean = false) {
 
     /** Build the index ONCE into `path` (index parquet partitioned by
       * `centroid_id`, plus a tiny `centers` table) and return the persisted
@@ -722,17 +729,91 @@ object Similarity {
     def build(embeddings: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): (Array[Array[Double]], DataFrame) = {
       val normed = normalize(embeddings, idCol, vecCol)
-      // bounded driver-side sample; rough cells are all IVF needs. limit()
-      // draws from the leading partitions — for pathologically
-      // cluster-ordered data pass a pre-shuffled frame.
-      val sample = normed.select(col("v")).limit(maxSample)
-        .collect().map(_.getSeq[Double](0).toArray)
-      val centers = lloyd(sample, nCentroids, seed, iters = 5)
+      val centers =
+        if (exact) trainExact(normed)
+        else {
+          // bounded driver-side sample; rough cells are all IVF needs.
+          // limit() draws from the leading partitions — for pathologically
+          // cluster-ordered data pass a pre-shuffled frame.
+          val sample = normed.select(col("v")).limit(maxSample)
+            .collect().map(_.getSeq[Double](0).toArray)
+          lloyd(sample, nCentroids, seed, iters = 5)
+        }
       val spark = embeddings.sparkSession
       graft.plans.NearestCentroid.register(spark)
       val index = normed.withColumn("centroid_id",
         graft.plans.NearestCentroid.assign(col("v"), centers))
       (centers, index)
+    }
+
+    /** Integer micro-unit Lloyd over an md5-ordered bounded sample — the
+      * q118 portable-sketch trick (exact integer carry + md5-derived
+      * determinism + second-engine replay) applied to IVF's coarse
+      * quantizer, which was the ONLY non-replayable step of the whole
+      * q36 pipeline (assignment, probe selection and exact re-rank were
+      * already deterministic IEEE expressions a second engine evaluates
+      * identically — the q117 pattern).
+      *
+      *  - sample = the `maxSample` vectors with the smallest
+      *    (hash60(vec_id), vec_id) — an md5-ordered uniform draw both
+      *    engines can reproduce with one ORDER BY (a limit() over leading
+      *    partitions is deterministic for one file layout but has no SQL
+      *    twin);
+      *  - init = the first `nCentroids` of that same order;
+      *  - per round: assignment against `cq/1e6` doubles (strict <,
+      *    first-wins — the [[graft.plans.NearestCentroid]] contract the
+      *    oracle mirrors with `row_number() ORDER BY dist, cid`), then
+      *    EXACT BIGINT sums of the `floor(v·1e6)` micro-units and
+      *    `Math.floorDiv` means — order-independent, so cross-partition /
+      *    cross-engine sum order cannot change a single cell.
+      *
+      * The quantization shifts each trained center by ≤ 1e-6 per element
+      * per round vs float Lloyd — irrelevant for rough IVF cells (recall
+      * gates unchanged), decisive for verifiability. Sample fit stays
+      * O(maxSample · k · dim · iters) on the driver, independent of
+      * corpus size. */
+    private def trainExact(normed: DataFrame): Array[Array[Double]] = {
+      graft.plans.Hash60.register(normed.sparkSession)
+      val sample = normed
+        .withColumn("__h", graft.functions.TextFunctions.hash60Fast(
+          col("vec_id").cast("string")))
+        .orderBy(col("__h"), col("vec_id"))
+        .limit(maxSample)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(sample.length >= nCentroids,
+        s"IVF exact training needs >= $nCentroids vectors, got ${sample.length}")
+      val dim = sample.head.length
+      val pts: Array[Array[Long]] =
+        sample.map(_.map(x => math.floor(x * 1e6).toLong))
+      var cq: Array[Array[Long]] = pts.take(nCentroids).map(_.clone())
+      for (_ <- 1 to 5) {
+        val centers = cq.map(_.map(_.toDouble / 1e6))
+        val sums = Array.fill(nCentroids, dim)(0L)
+        val counts = new Array[Long](nCentroids)
+        var pi = 0
+        while (pi < sample.length) {
+          val v = sample(pi)
+          var best = -1
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < nCentroids) {
+            var d = 0.0
+            var i = 0
+            while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val qv = pts(pi)
+          var i = 0
+          while (i < dim) { sums(best)(i) += qv(i); i += 1 }
+          pi += 1
+        }
+        cq = Array.tabulate(nCentroids)(c =>
+          if (counts(c) == 0) cq(c)
+          else Array.tabulate(dim)(i => Math.floorDiv(sums(c)(i), counts(c))))
+      }
+      cq.map(_.map(_.toDouble / 1e6))
     }
 
     /** Incremental maintenance: fold `newVectors` into an EXISTING index

@@ -150,4 +150,31 @@ class SkewAndIvfSpec extends AnyFunSuite with SparkSpec {
       }.sortBy(-_._2).take(2).map(_._1).toSeq: _*)).count()
     assert(probedRows < corpus.count())
   }
+
+  test("exact IVF: micro-unit centers, deterministic training, planted recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v0 = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    val planted = (1 to 5).map { p =>
+      (9000L + p, v0.zipWithIndex.map { case (x, d) =>
+        x * (1.0f + 0.02f * p * ((d % 3) - 1)) })
+    }
+    val corpus = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding")
+      .union(planted.toDF("vec_id", "embedding"))
+    val q = emb.filter($"vec_id" === 0).select($"embedding".as("qv"))
+
+    val ivf = Similarity.Ivf(nCentroids = 8, nProbe = 2, exact = true)
+    val (centers, index) = ivf.build(corpus)
+    // centroid state is integer micro-units: every element round-trips
+    // through its BIGINT form exactly (x == round(x·1e6)/1e6 — the same
+    // IEEE division the DuckDB replay performs on the same integer)
+    assert(centers.flatten.forall(x =>
+      math.rint(x * 1e6).toLong / 1e6 == x))
+    // training is a pure function of the corpus (md5 init, no RNG)
+    val (centers2, _) = ivf.build(corpus)
+    assert(centers.map(_.toSeq).toSeq === centers2.map(_.toSeq).toSeq)
+    // quantized cells retrieve the planted near-duplicates like float IVF
+    val found = ivf.topK(centers, index, q, k = 10).collect()
+      .map(_.getLong(0)).toSet intersect planted.map(_._1).toSet
+    assert(found.size === 5)
+  }
 }
