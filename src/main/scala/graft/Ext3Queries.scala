@@ -200,13 +200,16 @@ object Ext3Queries {
         t(s, dir, "documents"), col("lang"), col("doc_id"), alpha = 0.5)
         .select(col("doc_id"), col("lang"))),
 
-    // In-engine weak-label classifier: train hashed-feature logistic
-    // regression to reproduce a substance gate (n_chars >= 300 — the kind
-    // of length heuristic real curation uses) from raw tokens only, then
-    // score every doc. Rows-only (gradient sums are float-order dependent,
-    // no SQL oracle); learnability and the shuffle-free score plan are
-    // pinned in QualityClassifierSpec, and the smoke gate below asserts
-    // the learned scores actually track the label on this corpus.
+    // In-engine weak-label classifier: train hashed-feature GD to
+    // reproduce a substance gate (n_chars >= 300 — the kind of length
+    // heuristic real curation uses) from raw tokens only, then score
+    // every doc. Round-18: the EXACT-REPLAY variant (md5 feature hashing,
+    // sqrt length prior, rational squashing, integer gradient carry —
+    // QualityClassifier.trainExactReplay) replaces the float-logistic
+    // path in the declared query, so ALL SIX EPOCHS are DuckDB-replayable
+    // and q89 moves from rows-only to hash-green; the float path stays
+    // spec-verified for callers wanting the textbook logistic. The 85%
+    // weak-label agreement gate is unchanged — accuracy, not identity.
     "q89_quality_classifier" -> ((s, dir) => {
       import graft.operators.QualityClassifier
       val docs = t(s, dir, "documents")
@@ -216,14 +219,16 @@ object Ext3Queries {
       val tokCount = Seq(
         size(split(trim(col("text")), "\\s+")).cast("double") / 10.0)
       val feats = QualityClassifier
-        .hashFeatures(docs, label, dim = 256, denseExprs = tokCount).persist()
+        .hashFeaturesExact(docs, label, dim = 256, denseExprs = tokCount)
+        .persist()
       // half-sample gradients (deterministic hash sample): the 85% gate
       // below is the arbiter of whether accuracy survived the sample —
       // at corpus scale this halves every epoch's read
-      val model = QualityClassifier.train(feats, dim = 256, denseDims = 2,
-        epochs = 6, learningRate = 1.0, sampleFraction = 0.5)
+      val model = QualityClassifier.trainExactReplay(feats, dim = 256,
+        denseDims = 2, epochs = 6, learningRate = 1.0, sampleFraction = 0.5)
       feats.unpersist()
-      val scored = QualityClassifier.score(docs, model, denseExprs = tokCount)
+      val scored = QualityClassifier
+        .scoreExact(docs, model, denseExprs = tokCount)
         .select(col("doc_id"), col("n_chars"), col("quality_score"))
       // self-check: weak-label agreement must clear 85% or the query
       // fails loudly rather than shipping an untrained model
@@ -312,7 +317,111 @@ object Ext3Queries {
                           x -> x <> '')) AS term
        FROM documents"""
 
+  /** q89's feature CTE (non-interpolated: the `\s+` regex must not pass
+    * through the s-interpolator's escape processing). md5 feature ids
+    * (the Hash60 twin) mod 256, empty tokens filtered — exactly
+    * [[graft.operators.QualityClassifier.hashFeaturesExact]]; `d1raw` is
+    * the declared query's whitespace-token-count dense channel. */
+  private val q89FeatsCte: String =
+    """feats AS (
+      SELECT doc_id, n_chars,
+        [('0x'||substr(md5(t),1,15))::BIGINT % 256
+         for t in list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> x <> '')] AS f,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 10.0 AS d1raw
+      FROM documents)"""
+
+  /** q89 oracle (round-18): full replay of the exact-replay classifier —
+    * all `epochs` GD rounds unrolled as CTEs (the q118/pagerank pattern).
+    * Per epoch: per-doc margin (exact HUGEINT token-weight sum, then the
+    * same fixed-order IEEE chain as `marginExact`), rational-sigmoid
+    * residuals, per-instance gradient contributions quantized to 1e-9
+    * BIGINT units BEFORE the sum (order-independent), floor-quantized
+    * weight steps at 1e-12. Index convention: 0..dim-1 sparse, -1 bias,
+    * -2/-3 the two dense dims. */
+  private def q89ExactOracle(epochs: Int, lr: String, fraction: Double): String = {
+    val W = "1000000000000.0" // weight scale 1e12
+    val G = "1000000000.0"    // gradient scale 1e9
+    val D = "1000000.0"       // dense scale 1e6
+    def margin(swRef: String, wRef: String, rowRef: String) =
+      s"""((((COALESCE($swRef, 0) / $W) / $rowRef.lenf
+         |  + ((SELECT wq FROM $wRef WHERE i = -2) / $W) * (($rowRef.dq0 - m.mq0) / $D))
+         |  + ((SELECT wq FROM $wRef WHERE i = -3) / $W) * (($rowRef.dq1 - m.mq1) / $D))
+         |  + (SELECT wq FROM $wRef WHERE i = -1) / $W)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH $q89FeatsCte,
+      |base AS MATERIALIZED (
+      |  SELECT doc_id, n_chars, f,
+      |    greatest(len(f), 1) AS lenf,
+      |    CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS label,
+      |    CAST(floor(sqrt(CAST(len(f) AS DOUBLE)) * $D) AS BIGINT) AS dq0,
+      |    CAST(floor(d1raw * $D) AS BIGINT) AS dq1
+      |  FROM feats),
+      |smp AS MATERIALIZED (
+      |  SELECT * FROM base
+      |  WHERE (('0x'||substr(md5('graft-train|'||doc_id),1,8))::BIGINT % 1000000)
+      |        / 1000000.0 < $fraction),
+      |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
+      |mqs AS MATERIALIZED (SELECT
+      |  (SELECT CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
+      |   FROM (SELECT sum(dq0) AS sx FROM smp), nn) AS mq0,
+      |  (SELECT CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
+      |   FROM (SELECT sum(dq1) AS sx FROM smp), nn) AS mq1),
+      |xs AS MATERIALIZED (SELECT doc_id, unnest(f) AS fi FROM smp),
+      |w0 AS MATERIALIZED (SELECT unnest(range(-3, 256)) AS i, CAST(0 AS BIGINT) AS wq),
+      |""".stripMargin
+    for (e <- 1 to epochs) {
+      sb ++= s"""sw$e AS MATERIALIZED (
+        |  SELECT x.doc_id, sum(w.wq) AS swq
+        |  FROM xs x JOIN w${e - 1} w ON w.i = x.fi GROUP BY x.doc_id),
+        |r$e AS MATERIALIZED (
+        |  SELECT doc_id, lenf, dq0, dq1,
+        |    (0.5 + mg / (2.0 * (1.0 + abs(mg)))) - label AS resid
+        |  FROM (
+        |    SELECT s.doc_id, s.lenf, s.dq0, s.dq1, s.label,
+        |      ${margin(s"sw.swq", s"w${e - 1}", "s")} AS mg
+        |    FROM smp s LEFT JOIN sw$e sw ON s.doc_id = sw.doc_id, mqs m)),
+        |g$e AS MATERIALIZED (
+        |  SELECT i, sum(c) AS sx FROM (
+        |    SELECT x.fi AS i,
+        |      CAST(floor((r.resid * (1.0 / r.lenf)) * $G) AS BIGINT) AS c
+        |    FROM xs x JOIN r$e r ON x.doc_id = r.doc_id
+        |    UNION ALL
+        |    SELECT -1, CAST(floor((resid * 1.0) * $G) AS BIGINT) FROM r$e
+        |    UNION ALL
+        |    SELECT -2, CAST(floor((r.resid * ((r.dq0 - m.mq0) / $D)) * $G) AS BIGINT)
+        |    FROM r$e r, mqs m
+        |    UNION ALL
+        |    SELECT -3, CAST(floor((r.resid * ((r.dq1 - m.mq1) / $D)) * $G) AS BIGINT)
+        |    FROM r$e r, mqs m)
+        |  GROUP BY i),
+        |w$e AS MATERIALIZED (
+        |  SELECT w.i,
+        |    w.wq - CAST(floor((($lr * (COALESCE(g.sx, 0) / $G))
+        |                       / (SELECT n FROM nn)) * $W) AS BIGINT) AS wq
+        |  FROM w${e - 1} w LEFT JOIN g$e g ON w.i = g.i),
+        |""".stripMargin
+    }
+    sb ++= s"""swf AS MATERIALIZED (
+      |  SELECT x.doc_id, sum(w.wq) AS swq
+      |  FROM (SELECT doc_id, unnest(f) AS fi FROM base) x
+      |  JOIN w$epochs w ON w.i = x.fi GROUP BY x.doc_id),
+      |fin AS MATERIALIZED (
+      |  SELECT b.doc_id, b.n_chars,
+      |    ${margin(s"sw.swq", s"w$epochs", "b")} AS mg
+      |  FROM base b LEFT JOIN swf sw ON b.doc_id = sw.doc_id, mqs m)
+      |SELECT doc_id, n_chars,
+      |       round(0.5 + mg / (2.0 * (1.0 + abs(mg))), 4) AS quality_score
+      |FROM fin""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+
+    // q89: full six-epoch replay of the exact-GD classifier (round-18) —
+    // trained weights, not just scores, are recomputed by DuckDB.
+    "q89_quality_classifier" -> q89ExactOracle(epochs = 6, lr = "1.0",
+      fraction = 0.5),
 
     "q74_tfidf_terms" ->
       s"""WITH tok AS ($sqlTok),

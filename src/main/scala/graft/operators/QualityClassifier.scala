@@ -178,4 +178,169 @@ object QualityClassifier {
       .withColumn("quality_score",
         round(sigmoid(margin(col("__graft_feats"), col("__graft_dense"), model)), 4))
       .drop("__graft_feats", "__graft_dense")
+
+  // ------------------------------------------------- exact-replay variant
+
+  /** EXACT-REPLAY classifier (round-18 — the portable-sketch pattern
+    * applied to trained-model state, the q118/q36 move for GD):
+    * [[train]]'s float gradient sums are partition-order dependent, but
+    * the three non-portable ingredients each have a portable substitute
+    * with the same modeling power:
+    *
+    *  - `xxhash64` feature hashing → the portable 60-bit md5 hash
+    *    ([[graft.plans.Hash60]], SQL twin proven since round 14);
+    *  - the `ln(1+n)` length prior → `sqrt(n)` — IEEE-754 REQUIRES sqrt
+    *    to be correctly rounded, so it is bit-identical across engines,
+    *    while `log`/`exp` are library functions with no cross-engine
+    *    bit contract (the actual boundary that kept q89 rows-only);
+    *  - the logistic sigmoid → the rational squashing function
+    *    σ̂(x) = 0.5 + x / (2·(1+|x|)) — only +,×,/,abs, all exact IEEE;
+    *    same sign structure, same 0.5-at-margin-0 threshold, and its
+    *    implied loss is a valid classification objective (gradient
+    *    direction preserved), so the accuracy gate is unchanged;
+    *
+    * plus the integer carry: WEIGHTS are BIGINT units of 1e−12, per-row
+    * gradient contributions are quantized to BIGINT units of 1e−9 BEFORE
+    * the cross-partition sum (exact, order-independent), dense features
+    * quantize to 1e−6 units and center on a floorDiv mean. Every epoch is
+    * then either exact integer math or a fixed-order deterministic IEEE
+    * expression — a second engine replays all epochs and the final scores
+    * cell-exactly. Quantization costs ≤1e−9 per gradient element per
+    * epoch — invisible to a classifier gated on accuracy. */
+  final case class ExactModel(wq: Array[Long], dwq: Array[Long],
+                              mq: Array[Long], biasq: Long)
+
+  private val WScaleD = 1e12 // weight units
+  private val GScaleD = 1e9  // gradient-contribution units
+  private val DQScaleD = 1e6 // dense-feature units
+
+  private def sparseFeatsExact(textCol: Column, dim: Int): Column =
+    transform(
+      filter(tokensFast(textCol), t => t =!= ""),
+      t => pmod(graft.functions.TextFunctions.hash60Fast(t),
+        lit(dim.toLong)).cast("int"))
+
+  private def denseFeatsExact(featCol: Column, extra: Seq[Column]): Column =
+    array((sqrt(size(featCol).cast("double")) +:
+      extra.map(_.cast("double"))): _*)
+
+  /** Portable-hash twin of [[hashFeatures]]: md5-derived feature ids,
+    * sqrt length prior. Registers the Hash60/Tokenize kernels. */
+  def hashFeaturesExact(docs: DataFrame, labelExpr: Column, dim: Int = 4096,
+                        denseExprs: Seq[Column] = Nil,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    graft.plans.Tokenize.register(docs.sparkSession)
+    graft.plans.Hash60.register(docs.sparkSession)
+    val extras = denseExprs.zipWithIndex
+      .map { case (e, i) => e.cast("double").as(s"__graft_x$i") }
+    docs
+      .select(col(idCol) +: sparseFeatsExact(col(textCol), dim).as("features") +:
+        labelExpr.cast("double").as("label") +: extras: _*)
+      .withColumn("dense", denseFeatsExact(col("features"),
+        denseExprs.indices.map(i => col(s"__graft_x$i"))))
+      .drop(denseExprs.indices.map(i => s"__graft_x$i"): _*)
+  }
+
+  /** Rational squashing function — exact IEEE, cross-engine. */
+  private def sigmaHat(c: Column): Column =
+    lit(0.5) + c / (lit(2.0) * (lit(1.0) + abs(c)))
+
+  /** Margin against integer weights: exact BIGINT token-weight sum
+    * (fold order irrelevant for integers), then a FIXED left-to-right
+    * chain of deterministic IEEE terms — the same expression the oracle
+    * spells. */
+  private def marginExact(featCol: Column, denseCol: Column,
+                          m: ExactModel): Column = {
+    val lenD = greatest(size(featCol), lit(1)).cast("double")
+    val sumWq = aggregate(featCol, lit(0L),
+      (acc, f) => acc + element_at(lit(m.wq), f + 1))
+    val sparse = (sumWq.cast("double") / lit(WScaleD)) / lenD
+    val withDense = m.dwq.zipWithIndex.foldLeft(sparse) { case (acc, (w, k)) =>
+      val dq = floor(element_at(denseCol, k + 1) * lit(DQScaleD)).cast("long")
+      acc + lit(w.toDouble / WScaleD) *
+        ((dq - lit(m.mq(k))).cast("double") / lit(DQScaleD))
+    }
+    withDense + lit(m.biasq.toDouble / WScaleD)
+  }
+
+  /** Full-batch GD with exact integer carry — same shuffle shape as
+    * [[train]] (one codegen residual pass + one map-side-combined index
+    * aggregation + one dim-bounded collect per epoch), but every
+    * cross-partition sum is BIGINT. */
+  def trainExactReplay(features: DataFrame, dim: Int = 4096,
+                       denseDims: Int = 1, epochs: Int = 20,
+                       learningRate: Double = 0.5,
+                       sampleFraction: Double = 1.0,
+                       sampleIdCol: String = "doc_id"): ExactModel = {
+    require(epochs > 0, "epochs must be positive")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "sampleFraction must be in (0, 1]")
+    val sampled = sampleFraction < 1.0
+    val base =
+      if (!sampled) features
+      else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
+        seed = "graft-train")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nL = base.count()
+    require(nL > 0, "cannot train on an empty frame (sample too small?)")
+    val n = nL.toDouble
+    // dense means as floorDiv of exact quantized sums — order-independent
+    val dqCols = (0 until denseDims).map(k =>
+      floor(element_at(col("dense"), k + 1) * lit(DQScaleD)).cast("long"))
+    val sums = base
+      .select(dqCols.zipWithIndex.map { case (c, k) => sum(c).as(s"s$k") }: _*)
+      .head()
+    val mq = Array.tabulate(denseDims)(k => Math.floorDiv(sums.getLong(k), nL))
+    var m = ExactModel(new Array[Long](dim), new Array[Long](denseDims),
+      mq, 0L)
+    val invLen = lit(1.0) / greatest(size(col("features")), lit(1)).cast("double")
+    val gradIndex = concat(
+      transform(col("features"), f => struct(f.as("i"), invLen.as("v"))),
+      array(struct(lit(-1).as("i"), lit(1.0).as("v"))),
+      transform(sequence(lit(0), lit(denseDims - 1)),
+        k => struct((-k - 2).as("i"),
+          ((floor(element_at(col("dense"), k + 1) * lit(DQScaleD)).cast("long") -
+            element_at(lit(mq), k + 1)).cast("double") / lit(DQScaleD)).as("v"))))
+    for (_ <- 1 to epochs) {
+      val grad = base
+        .select(gradIndex.as("__gi"),
+          (sigmaHat(marginExact(col("features"), col("dense"), m)) - col("label"))
+            .as("__resid"))
+        .select(explode(col("__gi")).as("__e"), col("__resid"))
+        .groupBy(col("__e.i").as("__i"))
+        .agg(sum(floor((col("__resid") * col("__e.v")) * lit(GScaleD))
+          .cast("long")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def stepQ(oldQ: Long, idx: Int): Long = {
+        val sx = grad.getOrElse(idx, 0L)
+        oldQ - math.floor(
+          ((learningRate * (sx.toDouble / GScaleD)) / n) * WScaleD).toLong
+      }
+      m = ExactModel(
+        Array.tabulate(dim)(i => stepQ(m.wq(i), i)),
+        Array.tabulate(denseDims)(k => stepQ(m.dwq(k), -k - 2)),
+        mq,
+        stepQ(m.biasq, -1))
+    }
+    if (sampled) base.unpersist()
+    m
+  }
+
+  /** Exact-replay scoring: shuffle-free projection, quality_score =
+    * round(σ̂(margin), 4) — identical arithmetic to the oracle's replay. */
+  def scoreExact(docs: DataFrame, model: ExactModel,
+                 denseExprs: Seq[Column] = Nil,
+                 textCol: String = "text"): DataFrame = {
+    graft.plans.Tokenize.register(docs.sparkSession)
+    graft.plans.Hash60.register(docs.sparkSession)
+    docs
+      .withColumn("__graft_feats", sparseFeatsExact(col(textCol), model.wq.length))
+      .withColumn("__graft_dense", denseFeatsExact(col("__graft_feats"), denseExprs))
+      .withColumn("quality_score",
+        round(sigmaHat(marginExact(col("__graft_feats"), col("__graft_dense"),
+          model)), 4))
+      .drop("__graft_feats", "__graft_dense")
+  }
 }

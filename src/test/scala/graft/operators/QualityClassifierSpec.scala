@@ -48,6 +48,33 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("exact-replay variant: learns, deterministic weights, shuffle-free score") {
+    val feats = QualityClassifier
+      .hashFeaturesExact(corpus, col("is_good") === 1, dim = 512).persist()
+    val model = QualityClassifier.trainExactReplay(feats, dim = 512,
+      epochs = 30, learningRate = 1.0)
+    // integer-quantized GD is a PURE function of the corpus: a second
+    // training run reproduces every weight unit exactly (the property the
+    // DuckDB oracle's replay rests on)
+    val model2 = QualityClassifier.trainExactReplay(feats, dim = 512,
+      epochs = 30, learningRate = 1.0)
+    feats.unpersist()
+    assert(model.wq.toSeq === model2.wq.toSeq)
+    assert(model.dwq.toSeq === model2.dwq.toSeq)
+    assert(model.biasq === model2.biasq)
+
+    val scored = QualityClassifier.scoreExact(corpus, model)
+      .select(col("doc_id"), col("is_good"), col("quality_score")).collect()
+    val correct = scored.count { r =>
+      (r.getDouble(2) >= 0.5) == (r.getInt(1) == 1)
+    }
+    assert(correct >= 190, s"exact-variant training accuracy ${correct / 200.0}")
+
+    val plan = QualityClassifier.scoreExact(corpus, model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("dense channel learns a length gate the sparse buckets cannot") {
     // identical vocabulary everywhere, label = long doc: only the dense
     // ln(1+n_tokens) feature separates
