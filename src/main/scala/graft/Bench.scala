@@ -244,7 +244,8 @@ object Bench {
           val scanFrac = lsh.candidateFraction(lsh.index(corpusReal),
             ExtQueries.plantedFixture(spark, sfDir)._2.map(_.toDouble),
             probeHamming = probeH)
-          val pq = Similarity.Pq(m = ExtQueries.PqM, nCodes = ExtQueries.PqCodes)
+          val pq = Similarity.Pq(m = ExtQueries.PqM, nCodes = ExtQueries.PqCodes,
+            exact = true)
           val cbP = pq.train(corpus)
           val pqShortlist = ExtQueries.pqShortlistFor(corpus.count())
           val pqFound = pq.topK(cbP, pq.encode(cbP, corpus), corpus,

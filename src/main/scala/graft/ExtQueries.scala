@@ -332,8 +332,13 @@ object ExtQueries {
     // slid 0.6 → 0.4), and the query carries the same corpus-recall HARD
     // gate q25 got in r12 alongside the planted gate, so a PQ quality
     // regression turns the board red instead of shipping silently.
+    // Round-18: exact=true — sub-quantizers train with the integer
+    // micro-unit Lloyd from the md5-ordered sample, so the oracle replays
+    // training (16 subspaces × 5 rounds), encoding, the ADC shortlist and
+    // the exact re-rank: q98 moves from rows-only to hash-green. Recall
+    // gates unchanged.
     "q98_pq_topk" -> ((s, dir) => {
-      val pq = Similarity.Pq(m = PqM, nCodes = PqCodes)
+      val pq = Similarity.Pq(m = PqM, nCodes = PqCodes, exact = true)
       plantedGate("q98_pq_topk", dir) {
         val (pc, v0, plantedIds) = plantedFixture(s, dir)
         val cbP = pq.train(pc)
@@ -840,7 +845,115 @@ object ExtQueries {
          round((('0x'||substr(md5(text),9,4))::INTEGER % 256) / 255.0, 4) AS brightness
        FROM documents"""
 
+  /** q98 oracle (round-18): full replay of the exact-trained PQ probe.
+    * Sub-quantizer training runs as ONE keyed CTE chain — rounds are
+    * keyed by (subspace, cid) instead of 16 unrolled chains — with the
+    * q118 exact-integer carry; encoding is the per-(vector, subspace)
+    * argmin (NearestCentroid contract); the ADC score is rebuilt as an
+    * EXPLICIT left-associated 16-term chain (a SQL SUM over the subspace
+    * ips would be order-free and could drift an ulp at the shortlist
+    * boundary — the fold order is part of the contract); shortlist and
+    * re-rank mirror Pq.topK. All heavy CTEs MATERIALIZED (the q89
+    * lesson: plain CTEs inline per reference and compound
+    * exponentially). */
+  private def pqTopkOracle(m: Int, nCodes: Int, iters: Int, kOut: Int,
+                           maxSample: Int, subDim: Int): String = {
+    def dist(svRef: String, cqRef: String) =
+      s"""list_sum([(z[1] - CAST(z[2] AS DOUBLE)/1000000.0) *
+         |            (z[1] - CAST(z[2] AS DOUBLE)/1000000.0)
+         |            for z in list_zip($svRef, $cqRef)])""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"""WITH $normalizedCte,
+      |e AS MATERIALIZED (
+      |  SELECT vec_id, v,
+      |         ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
+      |  FROM n WHERE vec_id <> 0),
+      |smp AS MATERIALIZED (
+      |  SELECT vec_id, v, rn FROM (
+      |    SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rn FROM e)
+      |  WHERE rn <= $maxSample),
+      |sp AS MATERIALIZED (
+      |  SELECT s.rn, s.vec_id, g.sg,
+      |         s.v[g.sg*$subDim+1 : g.sg*$subDim+$subDim] AS sv,
+      |         [CAST(floor(x * 1000000.0) AS BIGINT)
+      |          for x in s.v[g.sg*$subDim+1 : g.sg*$subDim+$subDim]] AS q
+      |  FROM smp s, range($m) g(sg)),
+      |c0 AS MATERIALIZED (
+      |  SELECT sg, rn - 1 AS cid, q AS cq FROM sp WHERE rn <= $nCodes),
+      |""".stripMargin
+    for (r <- 1 to iters) {
+      sb ++= s"""a$r AS MATERIALIZED (
+        |  SELECT sg, vec_id, q, cid AS c FROM (
+        |    SELECT p.sg, p.vec_id, p.q, c.cid,
+        |           row_number() OVER (PARTITION BY p.sg, p.vec_id
+        |                              ORDER BY ${dist("p.sv", "c.cq")}, c.cid) AS rn2
+        |    FROM sp p JOIN c${r - 1} c ON c.sg = p.sg)
+        |  WHERE rn2 = 1),
+        |s$r AS MATERIALIZED (
+        |  SELECT sg, c AS cid, pos, sum(x) AS sx, count(*) AS cnt FROM (
+        |    SELECT sg, c, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos
+        |    FROM a$r)
+        |  GROUP BY 1, 2, 3),
+        |n$r AS MATERIALIZED (
+        |  SELECT sg, cid,
+        |         list(CAST((sx - (((sx % cnt) + cnt) % cnt)) / cnt AS BIGINT)
+        |              ORDER BY pos) AS cq
+        |  FROM s$r GROUP BY 1, 2),
+        |c$r AS MATERIALIZED (
+        |  SELECT p.sg, p.cid, COALESCE(nn.cq, p.cq) AS cq
+        |  FROM c${r - 1} p LEFT JOIN n$r nn ON p.sg = nn.sg AND p.cid = nn.cid),
+        |""".stripMargin
+    }
+    val adcChain = (1 until m).foldLeft("t0.ip")((acc, i) => s"($acc + t$i.ip)")
+    val adcJoins = (0 until m).map(i =>
+      s"JOIN ci t$i ON t$i.vec_id = e.vec_id AND t$i.sg = $i").mkString("\n  ")
+    sb ++= s"""ep AS MATERIALIZED (
+      |  SELECT e.vec_id, g.sg,
+      |         e.v[g.sg*$subDim+1 : g.sg*$subDim+$subDim] AS sv
+      |  FROM e, range($m) g(sg)),
+      |code AS MATERIALIZED (
+      |  SELECT sg, vec_id, cid FROM (
+      |    SELECT p.sg, p.vec_id, c.cid,
+      |           row_number() OVER (PARTITION BY p.sg, p.vec_id
+      |                              ORDER BY ${dist("p.sv", "c.cq")}, c.cid) AS rn2
+      |    FROM ep p JOIN c$iters c ON c.sg = p.sg)
+      |  WHERE rn2 = 1),
+      |qn AS (SELECT v FROM n WHERE vec_id = 0),
+      |lut AS MATERIALIZED (
+      |  SELECT c.sg, c.cid,
+      |         list_sum([z[1]*z[2] for z in list_zip(
+      |           [CAST(x AS DOUBLE)/1000000.0 for x in c.cq],
+      |           q.v[c.sg*$subDim+1 : c.sg*$subDim+$subDim])]) AS ip
+      |  FROM c$iters c, qn q),
+      |ci AS MATERIALIZED (
+      |  SELECT code.vec_id, code.sg, lut.ip
+      |  FROM code JOIN lut ON lut.sg = code.sg AND lut.cid = code.cid),
+      |scored AS MATERIALIZED (
+      |  SELECT e.vec_id, $adcChain AS adc
+      |  FROM e
+      |  $adcJoins),
+      |sl AS (SELECT greatest(100, CAST(ceil(count(*) * 0.05) AS BIGINT)) AS sl
+      |       FROM e),
+      |short AS MATERIALIZED (
+      |  SELECT vec_id FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY adc DESC, vec_id) AS rn
+      |    FROM scored)
+      |  WHERE rn <= (SELECT sl FROM sl))
+      |SELECT vec_id, round(cos, 6) AS cosine FROM (
+      |  SELECT e.vec_id,
+      |         list_sum([z[1]*z[2] for z in list_zip(e.v, q.v)]) AS cos
+      |  FROM e JOIN short USING (vec_id), qn q)
+      |ORDER BY cos DESC, vec_id LIMIT $kOut""".stripMargin
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+
+    // q98: exact-PQ replay (round-18) — DuckDB re-trains all 16
+    // sub-quantizers (5 integer-carry Lloyd rounds each), re-encodes,
+    // re-derives the ADC shortlist and re-ranks.
+    "q98_pq_topk" -> pqTopkOracle(m = PqM, nCodes = PqCodes, iters = 5,
+      kOut = 10, maxSample = 65536, subDim = 64 / PqM),
     "q19_exact_dedup_groups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS canonical_id, count(*) AS n_docs

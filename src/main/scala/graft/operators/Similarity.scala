@@ -627,6 +627,66 @@ object Similarity {
     centers
   }
 
+  /** The `maxSample` normalized vectors with the smallest
+    * (hash60(vec_id), vec_id) — the md5-ordered deterministic sample both
+    * engines reproduce with one ORDER BY; shared by the exact IVF and PQ
+    * trainers (a limit() over leading partitions has no SQL twin). */
+  private def hashOrderedSample(normed: DataFrame,
+                                maxSample: Int): Array[Array[Double]] = {
+    graft.plans.Hash60.register(normed.sparkSession)
+    normed
+      .withColumn("__h", graft.functions.TextFunctions.hash60Fast(
+        col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(maxSample)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+  }
+
+  /** Driver-side integer micro-unit Lloyd (the q118 exact-carry trick):
+    * init = the first `k` sample rows (callers pass an md5-ordered
+    * sample), per round assignment against `cq/1e6` doubles (strict <,
+    * first-wins — the NearestCentroid contract), exact BIGINT sums of the
+    * `floor(x·1e6)` micro-units, `Math.floorDiv` means; empty cells keep
+    * their center. Every step is exact integer math or a fixed-order
+    * deterministic IEEE expression, so a second engine replays training
+    * cell-exactly. Shared by [[Ivf]] (`exact = true`) and [[Pq]]
+    * (`exact = true`, once per subspace). */
+  private def exactLloydDriver(sample: Array[Array[Double]], k: Int,
+                               iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    val pts: Array[Array[Long]] =
+      sample.map(_.map(x => math.floor(x * 1e6).toLong))
+    var cq: Array[Array[Long]] = pts.take(k).map(_.clone())
+    for (_ <- 1 to iters) {
+      val centers = cq.map(_.map(_.toDouble / 1e6))
+      val sums = Array.fill(k, dim)(0L)
+      val counts = new Array[Long](k)
+      var pi = 0
+      while (pi < sample.length) {
+        val v = sample(pi)
+        var best = -1
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val qv = pts(pi)
+        var i = 0
+        while (i < dim) { sums(best)(i) += qv(i); i += 1 }
+        pi += 1
+      }
+      cq = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cq(c)
+        else Array.tabulate(dim)(i => Math.floorDiv(sums(c)(i), counts(c))))
+    }
+    cq.map(_.map(_.toDouble / 1e6))
+  }
+
   /** Deterministic pseudo-random hyperplane for plane j: component d is the
     * portable 60-bit md5 hash of "plane_j_d" scaled to [-1, 1) — the exact
     * formula the oracle recomputes in SQL. Evaluated on the driver into a
@@ -781,47 +841,10 @@ object Similarity {
       * statistically identical. Bench publishes the mean-20 number as
       * `q36_mean20_recall_at_10` so the trend is luck-proof. */
     private def trainExact(normed: DataFrame): Array[Array[Double]] = {
-      graft.plans.Hash60.register(normed.sparkSession)
-      val sample = normed
-        .withColumn("__h", graft.functions.TextFunctions.hash60Fast(
-          col("vec_id").cast("string")))
-        .orderBy(col("__h"), col("vec_id"))
-        .limit(maxSample)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      val sample = hashOrderedSample(normed, maxSample)
       require(sample.length >= nCentroids,
         s"IVF exact training needs >= $nCentroids vectors, got ${sample.length}")
-      val dim = sample.head.length
-      val pts: Array[Array[Long]] =
-        sample.map(_.map(x => math.floor(x * 1e6).toLong))
-      var cq: Array[Array[Long]] = pts.take(nCentroids).map(_.clone())
-      for (_ <- 1 to 5) {
-        val centers = cq.map(_.map(_.toDouble / 1e6))
-        val sums = Array.fill(nCentroids, dim)(0L)
-        val counts = new Array[Long](nCentroids)
-        var pi = 0
-        while (pi < sample.length) {
-          val v = sample(pi)
-          var best = -1
-          var bd = Double.MaxValue
-          var c = 0
-          while (c < nCentroids) {
-            var d = 0.0
-            var i = 0
-            while (i < dim) { val t = v(i) - centers(c)(i); d += t * t; i += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          val qv = pts(pi)
-          var i = 0
-          while (i < dim) { sums(best)(i) += qv(i); i += 1 }
-          pi += 1
-        }
-        cq = Array.tabulate(nCentroids)(c =>
-          if (counts(c) == 0) cq(c)
-          else Array.tabulate(dim)(i => Math.floorDiv(sums(c)(i), counts(c))))
-      }
-      cq.map(_.map(_.toDouble / 1e6))
+      exactLloydDriver(sample, nCentroids, iters = 5)
     }
 
     /** Incremental maintenance: fold `newVectors` into an EXISTING index
@@ -1194,25 +1217,34 @@ object Similarity {
     *
     * Sub-quantizers train per subspace via the shared seeded Lloyd's on a
     * bounded driver sample — deterministic for a given (seed, input
-    * layout); retrieval quality is spec-tested against brute force (no
-    * SQL oracle exists for k-means, same status as IVF/q36). */
+    * layout). With `exact = true` (round-18) the sub-quantizers train
+    * with the integer micro-unit Lloyd from the md5-ordered sample
+    * instead (the q36/q118 move), making codebooks — and therefore
+    * encode, ADC shortlist and re-rank — DuckDB-replayable. */
   final case class Pq(m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
-                      maxSample: Int = 65536) {
+                      maxSample: Int = 65536, exact: Boolean = false) {
 
     /** codebooks(i)(c) = centroid c of subspace i, trained over the
       * NORMALIZED vectors so ADC approximates cosine. */
     def train(embeddings: DataFrame, idCol: String = "vec_id",
               vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
-      val sample = normalize(embeddings, idCol, vecCol)
-        .select(col("v")).limit(maxSample)
-        .collect().map(_.getSeq[Double](0).toArray)
+      val normed = normalize(embeddings, idCol, vecCol)
+      val sample =
+        if (exact) hashOrderedSample(normed, maxSample)
+        else normed.select(col("v")).limit(maxSample)
+          .collect().map(_.getSeq[Double](0).toArray)
       require(sample.nonEmpty, "cannot train PQ codebooks on an empty table")
       val dim = sample.head.length
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
       val sub = dim / m
-      Array.tabulate(m)(i =>
-        lloyd(sample.map(_.slice(i * sub, (i + 1) * sub)), nCodes,
-          seed + i, iters = 5))
+      if (exact)
+        Array.tabulate(m)(i =>
+          exactLloydDriver(sample.map(_.slice(i * sub, (i + 1) * sub)),
+            nCodes, iters = 5))
+      else
+        Array.tabulate(m)(i =>
+          lloyd(sample.map(_.slice(i * sub, (i + 1) * sub)), nCodes,
+            seed + i, iters = 5))
     }
 
     /** (vec_id, codes array<int>): nearest sub-centroid per subspace,
