@@ -251,10 +251,21 @@ object ScaleStress {
           // corpus size — the claim that matters at 100 TB
           measure("q22_ngram_jaccard_df_spike", "x100",
             () => constDensityDocs(100), derivedCapRun, warm = false),
-          // round-17 guard row: at DEFAULT settings the derived cap on the
-          // x100 corpus exceeds maxPairsPerBucket and the operator must
-          // refuse loudly (rows_out 1 = guard engaged) instead of paying
-          // the 52× detonation the x100 row measures by opt-in above
+          // guard row: at DEFAULT settings the x100 corpus's densest
+          // in-cap shingle buckets (~655 docs, measured) exceed the
+          // 200k-pair per-bucket ceiling and the operator must refuse
+          // loudly (rows_out 1 = guard engaged). Round-18 trade note: the
+          // guard now checks ACTUAL bucket sizes in-plan (the advisor fix
+          // — the old worst-case require also rejected every HEALTHY
+          // corpus past ~158k docs), so the trip fires when the dense
+          // bucket is reached at runtime, near the end of the bucket
+          // stage — this corpus pays most of one linear pipeline pass
+          // before refusing. A per-bucket cap cannot pre-empt this
+          // corpus's real cost anyway (90M of its pairs come from
+          // buckets UNDER the 632-doc threshold); the cap's job at
+          // 100 TB is refusing the unbounded single-bucket blowup, and
+          // the refusal is never worse than ~1× of the detonation it
+          // prevents downstream.
           measure("q22_ngram_jaccard_df_spike", "x100_guard_engaged",
             () => constDensityDocs(100), df => {
               val cached = df.cache()
@@ -421,7 +432,7 @@ object ScaleStress {
     // unless an explicit SPARK_GRAFT_SCALE_OUT says otherwise.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       if (sys.env.contains("SPARK_GRAFT_SCALE_SHAPES")) "SCALE_partial.json"
-      else "SCALE_r17.json")
+      else "SCALE_r18.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
