@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — proves the [[graft.plans.NearestCentroid]] codegen kernel (the
   *    IVF fast path) cell-exact against a second engine, not just
   *    against its own spec.
-  *  - q118 distributed Lloyd ([[graft.operators.Clustering.lloydRefine]])
-  *    — rows-only by nature, inertia-monotonicity self-gate.
+  *  - q118 distributed Lloyd — EXACT integer micro-unit form
+  *    ([[graft.operators.Clustering.lloydAssignExact]], hash-green since
+  *    round 17); the float-mean [[graft.operators.Clustering.lloydRefine]]
+  *    stays spec-verified with its inertia-monotonicity self-gate.
   *  - q119 quality-canonical dedup ([[graft.operators.Dedup.keepBestByScore]])
   *    — q50 groups × q27 scores, oracle composes both CTE chains.
   *  - q120 inverted-index BM25 ([[graft.operators.InvertedIndex]]) —
