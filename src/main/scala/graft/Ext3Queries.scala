@@ -219,13 +219,14 @@ object Ext3Queries {
       val tokCount = Seq(
         size(split(trim(col("text")), "\\s+")).cast("double") / 10.0)
       val feats = QualityClassifier
-        .hashFeaturesExact(docs, label, dim = 256, denseExprs = tokCount)
+        .hashFeaturesExact(docs, label, dim = Q89Dim, denseExprs = tokCount)
         .persist()
       // half-sample gradients (deterministic hash sample): the 85% gate
       // below is the arbiter of whether accuracy survived the sample —
       // at corpus scale this halves every epoch's read
-      val model = QualityClassifier.trainExactReplay(feats, dim = 256,
-        denseDims = 2, epochs = 6, learningRate = 1.0, sampleFraction = 0.5)
+      val model = QualityClassifier.trainExactReplay(feats, dim = Q89Dim,
+        denseDims = Q89DenseDims, epochs = Q89Epochs,
+        learningRate = Q89LearningRate, sampleFraction = Q89SampleFraction)
       feats.unpersist()
       val scored = QualityClassifier
         .scoreExact(docs, model, denseExprs = tokCount)
@@ -317,19 +318,30 @@ object Ext3Queries {
                           x -> x <> '')) AS term
        FROM documents"""
 
+  /** q89's declared hyper-parameters — ONE definition feeding both the
+    * declared query and the replay oracle (round-19, advisor fix: the
+    * oracle previously duplicated these as literals, so a drift in the
+    * declared query's parameters would only surface at the next oracle
+    * run instead of failing to compile). */
+  private[graft] val Q89Dim = 256
+  private[graft] val Q89DenseDims = 2 // sqrt-length prior + token-count channel
+  private[graft] val Q89Epochs = 6
+  private[graft] val Q89LearningRate = 1.0
+  private[graft] val Q89SampleFraction = 0.5
+
   /** q89's feature CTE (non-interpolated: the `\s+` regex must not pass
     * through the s-interpolator's escape processing). md5 feature ids
     * (the Hash60 twin) mod 256, empty tokens filtered — exactly
     * [[graft.operators.QualityClassifier.hashFeaturesExact]]; `d1raw` is
     * the declared query's whitespace-token-count dense channel. */
-  private val q89FeatsCte: String =
+  private def q89FeatsCte(dim: Int): String =
     """feats AS (
       SELECT doc_id, n_chars,
-        [('0x'||substr(md5(t),1,15))::BIGINT % 256
+        [('0x'||substr(md5(t),1,15))::BIGINT % %DIM%
          for t in list_filter(string_split_regex(lower(trim(text)), '\s+'),
                               x -> x <> '')] AS f,
         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 10.0 AS d1raw
-      FROM documents)"""
+      FROM documents)""".replace("%DIM%", dim.toString)
 
   /** q89 oracle (round-18): full replay of the exact-replay classifier —
     * all `epochs` GD rounds unrolled as CTEs (the q118/pagerank pattern).
@@ -339,7 +351,12 @@ object Ext3Queries {
     * BIGINT units BEFORE the sum (order-independent), floor-quantized
     * weight steps at 1e-12. Index convention: 0..dim-1 sparse, -1 bias,
     * -2/-3 the two dense dims. */
-  private def q89ExactOracle(epochs: Int, lr: String, fraction: Double): String = {
+  private def q89ExactOracle(dim: Int, denseDims: Int, epochs: Int,
+                             lr: Double, fraction: Double): String = {
+    // the margin/gradient chains below spell the two dense channels
+    // (indices -2/-3) explicitly — fail at build time if the layout drifts
+    require(denseDims == 2,
+      s"q89ExactOracle is spelled for denseDims=2, got $denseDims")
     val W = "1000000000000.0" // weight scale 1e12
     val G = "1000000000.0"    // gradient scale 1e9
     val D = "1000000.0"       // dense scale 1e6
@@ -349,7 +366,7 @@ object Ext3Queries {
          |  + ((SELECT wq FROM $wRef WHERE i = -3) / $W) * (($rowRef.dq1 - m.mq1) / $D))
          |  + (SELECT wq FROM $wRef WHERE i = -1) / $W)""".stripMargin
     val sb = new StringBuilder
-    sb ++= s"""WITH $q89FeatsCte,
+    sb ++= s"""WITH ${q89FeatsCte(dim)},
       |base AS MATERIALIZED (
       |  SELECT doc_id, n_chars, f,
       |    greatest(len(f), 1) AS lenf,
@@ -368,7 +385,7 @@ object Ext3Queries {
       |  (SELECT CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
       |   FROM (SELECT sum(dq1) AS sx FROM smp), nn) AS mq1),
       |xs AS MATERIALIZED (SELECT doc_id, unnest(f) AS fi FROM smp),
-      |w0 AS MATERIALIZED (SELECT unnest(range(-3, 256)) AS i, CAST(0 AS BIGINT) AS wq),
+      |w0 AS MATERIALIZED (SELECT unnest(range(${-(denseDims + 1)}, $dim)) AS i, CAST(0 AS BIGINT) AS wq),
       |""".stripMargin
     for (e <- 1 to epochs) {
       sb ++= s"""sw$e AS MATERIALIZED (
@@ -420,8 +437,9 @@ object Ext3Queries {
 
     // q89: full six-epoch replay of the exact-GD classifier (round-18) —
     // trained weights, not just scores, are recomputed by DuckDB.
-    "q89_quality_classifier" -> q89ExactOracle(epochs = 6, lr = "1.0",
-      fraction = 0.5),
+    "q89_quality_classifier" -> q89ExactOracle(dim = Q89Dim,
+      denseDims = Q89DenseDims, epochs = Q89Epochs, lr = Q89LearningRate,
+      fraction = Q89SampleFraction),
 
     "q74_tfidf_terms" ->
       s"""WITH tok AS ($sqlTok),

@@ -428,6 +428,10 @@ object ExtQueries {
     * sweep at sf0.1, shortlist 100 (scan_frac 0.05): (8,16) 0.6 →
     * (16,16) 0.9 recall@10 — finer subspaces beat more codes at fixed
     * bits on these 64-dim embeddings. */
+  /** Test-embedding dimensionality (TESTDATA.md: 64-dim float vectors at
+    * every SF). Oracle builders derive sub-space widths from this instead
+    * of a bare 64 literal; the operators themselves read dim from data. */
+  private[graft] val EmbeddingDim = 64
   private[graft] val PqM = 16
   private[graft] val PqCodes = 16
   /** ADC shortlist sized as a FRACTION of the corpus (floor 100): the
@@ -952,8 +956,10 @@ object ExtQueries {
     // q98: exact-PQ replay (round-18) — DuckDB re-trains all 16
     // sub-quantizers (5 integer-carry Lloyd rounds each), re-encodes,
     // re-derives the ADC shortlist and re-ranks.
-    "q98_pq_topk" -> pqTopkOracle(m = PqM, nCodes = PqCodes, iters = 5,
-      kOut = 10, maxSample = 65536, subDim = 64 / PqM),
+    "q98_pq_topk" -> pqTopkOracle(m = PqM, nCodes = PqCodes,
+      iters = graft.operators.Similarity.LloydIters, kOut = 10,
+      maxSample = graft.operators.Similarity.DefaultTrainSample,
+      subDim = EmbeddingDim / PqM),
     "q19_exact_dedup_groups" ->
       """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
          min(doc_id) AS canonical_id, count(*) AS n_docs
@@ -1054,8 +1060,10 @@ object ExtQueries {
     // q36: exact-IVF replay (round-18) — integer micro-unit Lloyd over the
     // md5-ordered sample is order-independent, so DuckDB re-trains all 5
     // rounds from raw parquet and re-derives probe cells + re-rank.
-    "q36_ivf_topk" -> ivfTopkOracle(k = IvfCentroids, iters = 5,
-      nProbe = IvfProbe, maxSample = 65536, kOut = 10),
+    "q36_ivf_topk" -> ivfTopkOracle(k = IvfCentroids,
+      iters = graft.operators.Similarity.LloydIters,
+      nProbe = IvfProbe,
+      maxSample = graft.operators.Similarity.DefaultTrainSample, kOut = 10),
     "q27_quality_score" -> qualityOracle,
     "q28_token_bpe" -> tokenBpeOracle,
     "q29_multimodal_features" -> multimodalOracle,

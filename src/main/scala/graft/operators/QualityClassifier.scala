@@ -124,8 +124,10 @@ object QualityClassifier {
       else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
         seed = "graft-train")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val n = base.count().toDouble
     require(n > 0, "cannot train on an empty frame (sample too small?)")
+    requireDenseDims(base, denseDims)
     val mu = base
       .select((0 until denseDims).map(k =>
         avg(element_at(col("dense"), k + 1)).as(s"m$k")): _*)
@@ -160,8 +162,21 @@ object QualityClassifier {
         denseMean,
         step(m.bias, -1))
     }
-    if (sampled) base.unpersist()
     m
+    } finally { if (sampled) base.unpersist() }
+  }
+
+  /** `denseDims` must equal the arity [[hashFeatures]]/[[hashFeaturesExact]]
+    * actually produced: with ANSI off, `element_at(dense, k+1)` past the
+    * array end returns NULL, so a mismatched caller would silently train
+    * on NULL margins (gradient rows dropped) instead of failing. One
+    * first-row probe up front turns that into a loud error. */
+  private def requireDenseDims(features: DataFrame, denseDims: Int): Unit = {
+    val actual = features.select(size(col("dense"))).head().getInt(0)
+    require(actual == denseDims,
+      s"denseDims=$denseDims does not match the dense array length $actual " +
+        "produced at hashFeatures time — pass the arity the feature frame " +
+        "was built with (1 + denseExprs.size)")
   }
 
   /** Score `docs`: adds `quality_score` = P(label=1 | text). Pure
@@ -283,8 +298,10 @@ object QualityClassifier {
       else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
         seed = "graft-train")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val nL = base.count()
     require(nL > 0, "cannot train on an empty frame (sample too small?)")
+    requireDenseDims(base, denseDims)
     val n = nL.toDouble
     // dense means as floorDiv of exact quantized sums — order-independent
     val dqCols = (0 until denseDims).map(k =>
@@ -324,8 +341,8 @@ object QualityClassifier {
         mq,
         stepQ(m.biasq, -1))
     }
-    if (sampled) base.unpersist()
     m
+    } finally { if (sampled) base.unpersist() }
   }
 
   /** Exact-replay scoring: shuffle-free projection, quality_score =

@@ -593,6 +593,14 @@ object Similarity {
       graft.plans.NormalizeVector.normalize(col(vecCol)).as("v"))
   }
 
+  /** Shared training constants for the sample-fit quantizers. Declared
+    * ONCE so the DuckDB replay oracles (ExtQueries' q36/q98 builders)
+    * derive the same literals from these vals instead of duplicating
+    * them — a parameter drift then breaks the build or the oracle
+    * loudly, not silently (round-19, advisor fix). */
+  val LloydIters = 5
+  val DefaultTrainSample = 65536
+
   /** Plain Lloyd's iterations over an in-memory sample — deterministic
     * for a given seed; empty cells keep their previous center. Shared by
     * the IVF coarse quantizer and the PQ sub-quantizers. */
@@ -757,7 +765,7 @@ object Similarity {
     *    an md5-ordered init, making training + assignment + probe
     *    selection + re-rank all DuckDB-replayable — see [[trainExact]]. */
   final case class Ivf(nCentroids: Int, nProbe: Int, seed: Long = 42L,
-                       maxSample: Int = 65536, exact: Boolean = false) {
+                       maxSample: Int = DefaultTrainSample, exact: Boolean = false) {
 
     /** Build the index ONCE into `path` (index parquet partitioned by
       * `centroid_id`, plus a tiny `centers` table) and return the persisted
@@ -797,7 +805,7 @@ object Similarity {
           // cluster-ordered data pass a pre-shuffled frame.
           val sample = normed.select(col("v")).limit(maxSample)
             .collect().map(_.getSeq[Double](0).toArray)
-          lloyd(sample, nCentroids, seed, iters = 5)
+          lloyd(sample, nCentroids, seed, iters = LloydIters)
         }
       val spark = embeddings.sparkSession
       graft.plans.NearestCentroid.register(spark)
@@ -844,7 +852,7 @@ object Similarity {
       val sample = hashOrderedSample(normed, maxSample)
       require(sample.length >= nCentroids,
         s"IVF exact training needs >= $nCentroids vectors, got ${sample.length}")
-      exactLloydDriver(sample, nCentroids, iters = 5)
+      exactLloydDriver(sample, nCentroids, iters = LloydIters)
     }
 
     /** Incremental maintenance: fold `newVectors` into an EXISTING index
@@ -1222,7 +1230,7 @@ object Similarity {
     * instead (the q36/q118 move), making codebooks — and therefore
     * encode, ADC shortlist and re-rank — DuckDB-replayable. */
   final case class Pq(m: Int = 8, nCodes: Int = 16, seed: Long = 42L,
-                      maxSample: Int = 65536, exact: Boolean = false) {
+                      maxSample: Int = DefaultTrainSample, exact: Boolean = false) {
 
     /** codebooks(i)(c) = centroid c of subspace i, trained over the
       * NORMALIZED vectors so ADC approximates cosine. */
@@ -1238,13 +1246,19 @@ object Similarity {
       require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
       val sub = dim / m
       if (exact)
+        // exactLloydDriver inits cq = pts.take(nCodes) and indexes all
+        // nCodes cells each round; a short sample would AIOOBE opaquely
+        // (the float path degrades via take(min(k, n)) instead).
+        require(sample.length >= nCodes,
+          s"PQ exact training needs >= $nCodes sample vectors, got ${sample.length}")
+      if (exact)
         Array.tabulate(m)(i =>
           exactLloydDriver(sample.map(_.slice(i * sub, (i + 1) * sub)),
-            nCodes, iters = 5))
+            nCodes, iters = LloydIters))
       else
         Array.tabulate(m)(i =>
           lloyd(sample.map(_.slice(i * sub, (i + 1) * sub)), nCodes,
-            seed + i, iters = 5))
+            seed + i, iters = LloydIters))
     }
 
     /** (vec_id, codes array<int>): nearest sub-centroid per subspace,

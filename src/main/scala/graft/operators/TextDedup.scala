@@ -391,6 +391,18 @@ object TextDedup {
     * and flagging those would make the guard cry wolf. */
   val DefaultMaxPairsPerBucket = 200000L
 
+  /** Input-size gate for [[ngramJaccardPairs]]' eager pair-volume
+    * preflight (round-19). Below this doc count a dense-bucket trip is
+    * caught by the free in-plan assert at worst a couple of seconds into
+    * the run, so no preflight is worth paying; above it a fail-slow trip
+    * costs minutes (SCALE_r18: 160 s refusal on the 500k-doc spike — the
+    * assert only fires when the dense bucket is REACHED, near the end of
+    * the bucket stage), so the operator pays one extra count-only df
+    * aggregate over the cached shingle frame up front and refuses before
+    * any bucket is collected. 100k sits above every healthy benched
+    * corpus (sf1 documents = 50k) and well below the spike regime. */
+  val PairPreflightDocThreshold = 100000L
+
   /** [[simhashPairs]]' per-bucket candidate ceiling: ~1e9 popcount
     * comparisons ≈ a minute of one-bucket work — the point where chunk-
     * collision enumeration is genuinely the wrong regime (≥ ~45k docs in
@@ -499,12 +511,48 @@ object TextDedup {
     val sh = docSh
       .select(col("doc_id"), size(col("__sh")).as("n"),
         explode(col("__sh")).as("sh"))
+    // size-gated eager preflight (round-19): on a large input a dense-
+    // bucket trip must not cost a full pipeline pass before refusing.
+    // The preflight is the SAME per-bucket condition as the in-plan
+    // assert below, evaluated from a count-only df aggregate — no
+    // collect_list, no sort, no pair emission — so the 500k-doc spike
+    // refuses after the linear shingle pass instead of near the end of
+    // the bucket stage (SCALE_r18: 160 s; the count-path refusal is
+    // bounded by the tokenize+hash scan it cannot avoid). Small inputs
+    // skip it: the count(*) gate itself is a metadata-cheap aggregate,
+    // and below the threshold the in-plan assert already fails fast.
+    if (docs.count() > PairPreflightDocThreshold) {
+      val viol =
+        try sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf &&
+            col("df") * (col("df") - 1) / 2 > maxPairsPerBucket)
+          .select(col("df"))
+          .limit(1).collect()
+        catch { case e: Throwable => docSh.unpersist(); throw e }
+      if (viol.nonEmpty) {
+        docSh.unpersist()
+        throw new IllegalArgumentException(
+          s"ngramJaccardPairs: a shingle bucket of ${viol.head.getLong(0)} " +
+            s"docs exceeds maxPairsPerBucket=$maxPairsPerBucket — " +
+            "dense-duplicate regime; route it through minhashLshGroups, " +
+            "or raise the cap deliberately")
+      }
+    }
+    // in-plan assert (kept for the sub-threshold path and as a belt for
+    // callers that bypass the preflight via transformed inputs). The
+    // condition is ORDER-INDEPENDENT across the merged filter's
+    // conjuncts (round-19, advisor fix): Spark gives no contract on
+    // conjunct evaluation order after CombineFilters merges this with
+    // the df filter above, so a bucket the df cap silently drops
+    // (size > maxShingleDf) must pass the assert vacuously rather than
+    // rely on the df conjunct evaluating first.
     val buckets = sh.groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
       .filter(size(col("ids")).between(2, maxShingleDf))
       .filter(coalesce(assert_true(
-        size(col("ids")).cast("long") * (size(col("ids")) - 1) / 2
-          <= maxPairsPerBucket,
+        size(col("ids")) > maxShingleDf ||
+          size(col("ids")).cast("long") * (size(col("ids")) - 1) / 2
+            <= maxPairsPerBucket,
         concat(lit("ngramJaccardPairs: a shingle bucket of "),
           size(col("ids")),
           lit(s" docs exceeds maxPairsPerBucket=$maxPairsPerBucket — " +
