@@ -215,9 +215,9 @@ object Ext5Queries {
     // BPE merge-rule training: learn a tokenizer FROM the corpus (the
     // step beyond q28's fixed tokenizer). One corpus pass builds the
     // vocab-sized word dict; the 12-round merge loop runs on the dict.
-    // Rows-only — a 12-round argmax loop has no tractable SQL oracle;
-    // semantics pinned by a differential spec vs a naive in-memory
-    // reference trainer.
+    // Round-19: HASH-GREEN — the full 12-round loop replays in DuckDB
+    // via bpeTrainCtes(12) (q111's proven two-round chain, unrolled);
+    // the differential spec vs the in-memory reference trainer stays.
     "q110_bpe_train" -> ((s, dir) =>
       graft.operators.BpeTrain.learnMerges(t(s, dir, "documents"), numMerges = 12)),
 
@@ -322,60 +322,99 @@ object Ext5Queries {
        |  FROM isl GROUP BY doc_id, island
        |)""".stripMargin
 
-  /** q111's merge-learning chain (btoks .. m2) as a reusable CTE
-    * string: q111 reads the learned rules, q122 re-applies them to
-    * every word. Must follow a WITH. */
-  private[graft] val bpeFirstTwoCtes: String =
-      s"""btoks AS (
+  /** The BPE trainer's recurrence unrolled `rounds` rounds as a CTE
+    * chain — the q118/pagerank unrolled-replay pattern applied to the
+    * merge-learning loop. Round r over dict d{r-1}(w, cnt, syms):
+    * weighted adjacent-pair counts (p$r), argmax with the trainer's
+    * byte-order tiebreak (m$r: pc DESC, a, b — DuckDB binary collation ==
+    * Spark UTF8String compare), then GREEDY LEFT-TO-RIGHT application:
+    * match positions (mt$r), gaps-and-islands parity over runs of
+    * consecutive matches (rn$r/sv$r — when a==b only every other match
+    * of a run survives, exactly the fold's acc.last pairing; when a<>b
+    * runs are singletons and every match survives), rebuild (d$r).
+    *
+    * Round-19: generalized from the fixed two-round chain — 12 rounds
+    * replays q110's ENTIRE training loop and d12 IS the 12-rule encoded
+    * vocabulary, so q110 and q121 graduate from rows-only to hash-green.
+    * Every CTE is MATERIALIZED (the r18 q89 lesson: plain CTEs inline
+    * per reference and a 12-round chain re-expands combinatorially).
+    * Boundary: learnMerges stops early if the vocab exhausts (no
+    * adjacent pair left) — no corpus this engine tests comes close, and
+    * an exhausted round would diverge loudly (empty m$r empties d$r).
+    * Must follow a WITH. */
+  private[graft] def bpeTrainCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""btoks AS MATERIALIZED (
          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
          |  FROM documents
          |),
-         |bdict AS (
+         |d0 AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
          |  FROM btoks WHERE w <> '' GROUP BY w
-         |),
-         |p1 AS (
+         |)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+         |p$r AS MATERIALIZED (
          |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
-         |  FROM bdict, unnest(range(1, len(syms))) AS t(i)
+         |  FROM d${r - 1}, unnest(range(1, len(syms))) AS t(i)
          |  GROUP BY 1, 2
          |),
-         |m1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
-         |matches AS (
-         |  SELECT d.w, d.cnt, d.syms, i AS pos
-         |  FROM bdict d CROSS JOIN m1, unnest(range(1, len(d.syms))) AS t(i)
-         |  WHERE d.syms[i] = m1.a AND d.syms[i+1] = m1.b
+         |m$r AS MATERIALIZED (SELECT a, b, pc FROM p$r ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+         |mt$r AS MATERIALIZED (
+         |  SELECT d.w, i AS pos
+         |  FROM d${r - 1} d CROSS JOIN m$r m, unnest(range(1, len(d.syms))) AS t(i)
+         |  WHERE d.syms[i] = m.a AND d.syms[i+1] = m.b
          |),
-         |runs AS (
+         |rn$r AS MATERIALIZED (
          |  SELECT w, pos,
          |         pos - CAST(row_number() OVER (PARTITION BY w ORDER BY pos) AS BIGINT) AS grp
-         |  FROM matches
+         |  FROM mt$r
          |),
-         |survivors AS (
+         |sv$r AS MATERIALIZED (
          |  SELECT w, list(pos ORDER BY pos) AS sv
          |  FROM (SELECT w, pos, grp,
          |               CAST(row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS BIGINT) AS k
-         |        FROM runs)
+         |        FROM rn$r)
          |  WHERE (k % 2) = 1
          |  GROUP BY w
          |),
-         |merged AS (
+         |d$r AS MATERIALIZED (
          |  SELECT d.w, d.cnt,
          |    list_filter(
          |      list_transform(range(1, len(d.syms)+1), i ->
          |        CASE
-         |          WHEN s.sv IS NOT NULL AND list_contains(s.sv, i) THEN m1.a || m1.b
+         |          WHEN s.sv IS NOT NULL AND list_contains(s.sv, i) THEN m.a || m.b
          |          WHEN s.sv IS NOT NULL AND list_contains(s.sv, i-1) THEN NULL
          |          ELSE d.syms[i]
          |        END),
          |      x -> x IS NOT NULL) AS syms
-         |  FROM bdict d LEFT JOIN survivors s USING (w) CROSS JOIN m1
-         |),
-         |p2 AS (
-         |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS pc
-         |  FROM merged, unnest(range(1, len(syms))) AS t(i)
-         |  GROUP BY 1, 2
-         |),
-         |m2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+         |  FROM d${r - 1} d LEFT JOIN sv$r s USING (w) CROSS JOIN m$r m
+         |)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** ENCODE-stats tail over an encoded dict CTE `d$rounds(w, cnt, syms)`:
+    * per-doc term frequencies joined to the vocab's encoded lengths —
+    * the exact aggregation [[graft.operators.BpeCodec.statsFromEncodedVocab]]
+    * computes. Shared by the q121 (12-rule) and q122 (2-rule) oracles. */
+  private[graft] def bpeEncodeStatsSql(rounds: Int): String =
+    s"""WITH ${bpeTrainCtes(rounds)},
+       |wtf AS MATERIALIZED (
+       |  SELECT doc_id, w, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE w <> '' GROUP BY doc_id, w),
+       |enc AS MATERIALIZED (
+       |  SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM d$rounds)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+       |       CAST(sum(tf * length(w)) AS BIGINT) AS n_chars,
+       |       CAST(sum(tf * n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       round(CAST(sum(tf * length(w)) AS DOUBLE) / sum(tf * n_syms), 4)
+       |         AS chars_per_token
+       |FROM wtf JOIN enc USING (w)
+       |GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -449,55 +488,37 @@ object Ext5Queries {
          |FROM documents, unnest(range(0, doc_id % 3 + 2)) AS t(f)
          |ORDER BY media_id, frame_idx""".stripMargin,
 
-    // q111: the BPE recurrence unrolled two rounds in SQL. Greedy
-    // left-to-right application of merge (a,b): when a<>b matches cannot
-    // overlap so every match survives; when a==b, within each maximal run
-    // of consecutive match positions only every other match (odd
-    // row_number) survives — the same pairing the left-to-right fold
-    // makes. Tiebreak ORDER BY pc DESC, a, b is byte-order in both
-    // engines (DuckDB binary collation == Spark UTF8String compare).
+    // q111: the BPE recurrence unrolled two rounds in SQL (the
+    // bpeTrainCtes builder at rounds=2 — see its scaladoc for the greedy
+    // application semantics and the byte-order tiebreak).
     "q111_bpe_first_merges" ->
-      s"""WITH $bpeFirstTwoCtes
+      s"""WITH ${bpeTrainCtes(2)}
          |SELECT 1 AS merge_rank, a AS left_sym, b AS right_sym, pc AS pair_count FROM m1
          |UNION ALL
          |SELECT 2, a, b, pc FROM m2
          |ORDER BY merge_rank""".stripMargin,
 
-    // q122: the same m1/m2 learning chain, then ENCODE every word by
-    // greedy left-to-right application of both rules. A merge of (a, b)
-    // on the unit-separator-joined symbol string is `replace(s,
-    // SEP a SEP b SEP, SEP ab SEP)`: the sentinel separators enforce
-    // symbol boundaries, and SQL replace's scan-after-replacement is
-    // exactly the greedy fold's no-remerge-within-one-rule semantics
-    // ("aaa" + (a,a) -> ["aa","a"] in both). chr(31) (US) cannot occur
-    // in the whitespace-tokenized corpus.
-    "q122_bpe_encode_2rules" ->
-      s"""WITH $bpeFirstTwoCtes,
-         |wtf AS (
-         |  SELECT doc_id, w, count(*) AS tf
-         |  FROM (SELECT doc_id,
-         |               unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
-         |        FROM documents)
-         |  WHERE w <> '' GROUP BY doc_id, w),
-         |enc AS (
-         |  SELECT d.w,
-         |         CAST(len(string_split(
-         |           replace(replace(
-         |             chr(31) || array_to_string(d.syms, chr(31)) || chr(31),
-         |             chr(31)||m1.a||chr(31)||m1.b||chr(31),
-         |             chr(31)||m1.a||m1.b||chr(31)),
-         |             chr(31)||m2.a||chr(31)||m2.b||chr(31),
-         |             chr(31)||m2.a||m2.b||chr(31)),
-         |           chr(31))) - 2 AS BIGINT) AS n_syms
-         |  FROM bdict d CROSS JOIN m1 CROSS JOIN m2)
-         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
-         |       CAST(sum(tf * length(w)) AS BIGINT) AS n_chars,
-         |       CAST(sum(tf * n_syms) AS BIGINT) AS n_bpe_tokens,
-         |       round(CAST(sum(tf * length(w)) AS DOUBLE) / sum(tf * n_syms), 4)
-         |         AS chars_per_token
-         |FROM wtf JOIN enc USING (w)
-         |GROUP BY doc_id""".stripMargin,
+    // q110 (round-19, rows-only -> HASH-GREEN): the ENTIRE 12-round
+    // training loop replayed — the same chain q111 proves for two rounds,
+    // unrolled twelve. DuckDB re-learns every rule from raw parquet; a
+    // drift in any round's argmax, tiebreak, or greedy application
+    // breaks the hash.
+    "q110_bpe_train" ->
+      s"""WITH ${bpeTrainCtes(12)}
+         |${(1 to 12).map(r =>
+             s"""SELECT $r AS merge_rank, a AS "left", b AS "right", pc AS pair_count FROM m$r""")
+           .mkString("\nUNION ALL\n")}
+         |ORDER BY merge_rank""".stripMargin,
 
+    // q122: the same learning chain; after the round-2 apply, d2's syms
+    // ARE the 2-rule encodes of every vocab word (round-19: the encode
+    // tail now reads len(d2.syms) via the shared bpeEncodeStatsSql —
+    // the previous separator-replace() formulation under-merged
+    // IMMEDIATELY ADJACENT (a,b)(a,b) occurrences because SQL replace
+    // consumes the shared separator and does not re-scan it; the corpus
+    // never exhibited the pattern under the learned m1/m2, but the
+    // builder path is overlap-correct by construction).
+    "q122_bpe_encode_2rules" -> bpeEncodeStatsSql(2),
 
     "q100_dup_spans" ->
       s"""WITH $gramCtes,

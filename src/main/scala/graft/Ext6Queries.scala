@@ -158,11 +158,11 @@ object Ext6Queries {
 
     // BPE ENCODE under the full 12-rule vocabulary q110 trains — the
     // apply half of the tokenizer story (fertility stats per document).
-    // Rows-only (the 12-round argmax loop that produces the rules has no
-    // tractable SQL twin); the BpeEncodeLen kernel's semantics are pinned
-    // by BpeTrainSpec's differential encoder AND by q122 — the
-    // oracle-checked 2-rule prefix of exactly this computation (the
-    // q110/q111 evidence split).
+    // Round-19: HASH-GREEN — DuckDB re-learns all 12 rules
+    // (Ext5Queries.bpeTrainCtes(12), the q111 chain unrolled) and the
+    // round-12 dict's symbol lengths ARE the encode (the same greedy
+    // application the BpeEncodeLen kernel runs); the kernel's semantics
+    // stay pinned by BpeTrainSpec's differential encoder.
     "q121_bpe_encode" -> ((s, dir) =>
       graft.operators.BpeTrain.encode(
         t(s, dir, "documents"), learnedMergesCached(s, dir, 12))),
@@ -189,6 +189,12 @@ object Ext6Queries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // q121 (round-19, rows-only -> HASH-GREEN): DuckDB re-learns the 12
+    // merge rules from raw parquet and encodes every vocab word by the
+    // same greedy application — the round-12 dict's len(syms) joined to
+    // per-doc term frequencies is exactly BpeCodec.statsFromEncodedVocab.
+    "q121_bpe_encode" -> Ext5Queries.bpeEncodeStatsSql(12),
 
     // Same tokenizer CTE as the q85/q105 LM family; PMI from exact
     // integer counts, rounded to 4, total order (pmi desc, w1, w2).
