@@ -213,8 +213,11 @@ object Bench {
           val lshFound = lsh.topK(lsh.index(corpus), probe, 10,
               probeHamming = probeH)
             .collect().map(_.getLong(0)).toSet
-          val ivf = Similarity.Ivf(ExtQueries.IvfCentroids, ExtQueries.IvfProbe,
-            exact = true)
+          // same corpus-size-adaptive config as the declared q36 (round-19)
+          val ivfNc = ExtQueries.ivfCentroidsFor(
+            emb.filter(col("vec_id") =!= 0).count())
+          val ivfNp = ExtQueries.ivfProbeFor(ivfNc)
+          val ivf = Similarity.Ivf(ivfNc, ivfNp, exact = true)
           val (centers, index) = ivf.build(corpus)
           val ivfFound = ivf.topK(centers, index, probe, 10)
             .collect().map(_.getLong(0)).toSet
@@ -271,8 +274,9 @@ object Bench {
             "q25_lsh_bits" -> ExtQueries.AnnLshBits.toDouble,
             "q25_lsh_tables" -> ExtQueries.AnnLshTables.toDouble,
             "q25_probe_hamming" -> probeH.toDouble,
-            "q36_ivf_centroids" -> ExtQueries.IvfCentroids.toDouble,
-            "q36_probe_cells" -> ExtQueries.IvfProbe.toDouble)
+            "q36_ivf_centroids" -> ivfNc.toDouble,
+            "q36_probe_cells" -> ivfNp.toDouble,
+            "q36_scan_frac" -> ivfNp.toDouble / ivfNc)
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] ann_quality failed: ${e.getMessage}")
           Map.empty[String, Double]

@@ -369,9 +369,15 @@ object ExtQueries {
     // raw parquet (the q118 unrolled-CTE pattern), re-derives the probe
     // cells and re-ranks exactly — q36 moves from rows-only to hash-green.
     // The planted recall gate stays (quality, not identity).
+    // Round-19: the (nCentroids, nProbe) config adapts to corpus size —
+    // the √N cell rule (see ivfCentroidsFor) replaces the fixed 16/4
+    // whose mean-20 recall@10 sat at 0.56 and DECAYED with corpus
+    // growth; the oracle re-derives the identical config from count(*).
     "q36_ivf_topk" -> ((s, dir) => {
-      val ivf = Similarity.Ivf(nCentroids = IvfCentroids, nProbe = IvfProbe,
-        exact = true)
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      val nc = ivfCentroidsFor(corpus.count())
+      val np = ivfProbeFor(nc)
+      val ivf = Similarity.Ivf(nCentroids = nc, nProbe = np, exact = true)
       plantedGate("q36_ivf_topk", dir) {
         val (pc, _, plantedIds) = plantedFixture(s, dir)
         val (c, i) = ivf.build(pc)
@@ -380,10 +386,9 @@ object ExtQueries {
         (ivf.topK(c, i, probe, 10)
           .collect().map(_.getLong(0)).toSet, plantedIds)
       }
-      val (centers, index) = ivf.loadOrBuild(s,
-        t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      val (centers, index) = ivf.loadOrBuild(s, corpus,
         Similarity.IndexStore.pathFor(s, s"$dir/embeddings.parquet",
-          "ivf_exact_16_4"))
+          s"ivf_exact_${nc}_$np"))
       val q = t(s, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       ivf.topK(centers, index, q, k = 10)
@@ -420,8 +425,30 @@ object ExtQueries {
     * 0.16 with recall 0.9). */
   private[graft] def annLshProbeHFor(corpusRows: Long): Int =
     if (corpusRows < 1000L) 3 else 2
-  private[graft] val IvfCentroids = 16
-  private[graft] val IvfProbe = 4
+  /** IVF cell count — the standard √N rule (FAISS sizing guidance:
+    * nlist ∝ √N) at 3·√N, the knee of the round-19 sweep on the
+    * isotropic test embeddings, floored for tiny corpora and CAPPED at
+    * 256 where the bounded driver-side exact trainer stops being the
+    * right tool (past it, train distributedly —
+    * `Clustering.lloydAssignExact` is the same integer-carry round).
+    * Measured mean-20 recall@10 at ~0.3 scan fraction (IvfSweep):
+    * sf0.1 (n=1999): 16/4 = 0.58, 89/26 = 0.76, 134/40 = 0.805;
+    * sf1 (n=19999): 16/4 = 0.565, 128/38 = 0.765, 256/76 = 0.83 —
+    * at FIXED cell count recall decays with corpus size on isotropic
+    * gaussians (near-orthogonal "neighbors" spread uniformly over
+    * cells), so the cell count must grow with the corpus. Every
+    * ingredient (count, sqrt, one multiply, floor) is exact or
+    * correctly-rounded IEEE, so the oracle re-derives the identical
+    * config in SQL and q36 stays hash-green. */
+  private[graft] def ivfCentroidsFor(corpusRows: Long): Int =
+    math.min(256, math.max(16, (3.0 * math.sqrt(corpusRows.toDouble)).toInt))
+
+  /** Probe depth = 30% of the cells (floor 4): holds the published scan
+    * fraction at ~0.3 across corpus sizes while the √N cell rule buys
+    * the recall. (0.3·k is one IEEE multiply — both engines truncate the
+    * same double.) */
+  private[graft] def ivfProbeFor(nCentroids: Int): Int =
+    math.max(4, (0.3 * nCentroids).toInt)
   /** 16 subspaces × 4-bit codes = 64 bits/vector — the same code budget
     * as textbook PQ8×8 but with 16-centroid codebooks, which still train
     * on the 49-vector sf0.001 sample (256-centroid books cannot). r17
@@ -725,8 +752,7 @@ object ExtQueries {
     * selection (top nProbe centroids by query dot, ties to the smaller
     * cid — Scala's stable sortBy), cell assignment (NearestCentroid
     * contract: ORDER BY dist, cid), and the exact cosine re-rank. */
-  private def ivfTopkOracle(k: Int, iters: Int, nProbe: Int,
-                            maxSample: Int, kOut: Int): String = {
+  private def ivfTopkOracle(iters: Int, maxSample: Int, kOut: Int): String = {
     def dist(cqRef: String) =
       s"""list_sum([(p[1] - CAST(p[2] AS DOUBLE)/1000000.0) *
          |              (p[1] - CAST(p[2] AS DOUBLE)/1000000.0)
@@ -738,6 +764,11 @@ object ExtQueries {
       |         [CAST(floor(x * 1000000.0) AS BIGINT) for x in v] AS q,
       |         ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
       |  FROM n WHERE vec_id <> 0),
+      |cfg AS (
+      |  SELECT least(256, greatest(16,
+      |           CAST(floor(3.0 * sqrt(CAST(count(*) AS DOUBLE))) AS INT))) AS k
+      |  FROM e),
+      |cfg2 AS (SELECT greatest(4, CAST(floor(0.3 * k) AS INT)) AS np FROM cfg),
       |smp AS (
       |  SELECT vec_id, v, q FROM (
       |    SELECT vec_id, v, q,
@@ -746,7 +777,7 @@ object ExtQueries {
       |c0 AS (
       |  SELECT rn - 1 AS cid, q AS cq FROM (
       |    SELECT q, row_number() OVER (ORDER BY h, vec_id) AS rn FROM e)
-      |  WHERE rn <= $k),
+      |  WHERE rn <= (SELECT k FROM cfg)),
       |""".stripMargin
     for (r <- 1 to iters) {
       sb ++= s"""a$r AS (
@@ -781,7 +812,7 @@ object ExtQueries {
       |             list_sum([z[1]*z[2] for z in list_zip(cd.c, q.v)]) DESC,
       |             cd.cid) AS rn
       |    FROM cd, qn q)
-      |  WHERE rn <= $nProbe),
+      |  WHERE rn <= (SELECT np FROM cfg2)),
       |asg AS (
       |  SELECT vec_id, cid FROM (
       |    SELECT e.vec_id, cd.cid,
@@ -1060,9 +1091,8 @@ object ExtQueries {
     // q36: exact-IVF replay (round-18) — integer micro-unit Lloyd over the
     // md5-ordered sample is order-independent, so DuckDB re-trains all 5
     // rounds from raw parquet and re-derives probe cells + re-rank.
-    "q36_ivf_topk" -> ivfTopkOracle(k = IvfCentroids,
+    "q36_ivf_topk" -> ivfTopkOracle(
       iters = graft.operators.Similarity.LloydIters,
-      nProbe = IvfProbe,
       maxSample = graft.operators.Similarity.DefaultTrainSample, kOut = 10),
     "q27_quality_score" -> qualityOracle,
     "q28_token_bpe" -> tokenBpeOracle,
