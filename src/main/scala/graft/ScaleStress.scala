@@ -358,6 +358,62 @@ object ScaleStress {
         k => stressDocs(k, hot = 0),
         df => graft.operators.DataSelection
           .dsirWeights(df, col("doc_id") % 2 === 0).count()),
+      // q89: the exact-GD classifier's scale rows (r18 verdict #7).
+      // Training is full-batch GD over a HASH-FRACTION sample — each of
+      // the 6 epochs is one pass over fraction × corpus, so at a FIXED
+      // fraction wall is ~linear in corpus size (the "sample capped at
+      // 65,536" premise applies to the Lloyd trainers below, not GD).
+      // The 100 TB lever is the fraction itself: x10_frac_scaled trains
+      // the x10 corpus at fraction/10 — the same ABSOLUTE sample as x1 —
+      // so its wall should sit near x1's plus the unavoidable linear
+      // feature+scoring scans, proving training cost tracks sample rows,
+      // not corpus rows, with no hidden superlinear term.
+      "q89_classifier_corpus_scale" -> { () =>
+        import graft.operators.QualityClassifier
+        def run(frac: Double)(df: org.apache.spark.sql.DataFrame): Long = {
+          val docs = df.withColumn("n_chars", length(col("text")))
+          val label = col("n_chars") >= 300
+          val tokCount = Seq(
+            size(split(trim(col("text")), "\\s+")).cast("double") / 10.0)
+          val feats = QualityClassifier
+            .hashFeaturesExact(docs, label, dim = 256, denseExprs = tokCount)
+            .persist()
+          try {
+            val m = QualityClassifier.trainExactReplay(feats, dim = 256,
+              denseDims = 2, epochs = 6, learningRate = 1.0,
+              sampleFraction = frac)
+            QualityClassifier.scoreExact(docs, m, denseExprs = tokCount).count()
+          } finally { feats.unpersist(): Unit }
+        }
+        Map(
+          measure("q89_classifier_corpus_scale", "x1",
+            () => stressDocs(1, hot = 0), run(0.5)),
+          measure("q89_classifier_corpus_scale", "x10",
+            () => stressDocs(10, hot = 0), run(0.5)),
+          measure("q89_classifier_corpus_scale", "x10_frac_scaled",
+            () => stressDocs(10, hot = 0), run(0.05), warm = false))
+      },
+      // q98: the exact PQ sub-quantizer training's scale rows (r18
+      // verdict #7). The md5-ordered sample is capped at 65,536 vectors:
+      // x1/x10 (2k/20k) grow the sample with the corpus, x100 (200k)
+      // binds the cap — so the x100/x10 wall factor should read ~the
+      // 65536/20000 sample ratio (~3), NOT ~10: past the cap, training
+      // cost is flat in corpus size and only the ORDER BY sample draw
+      // scales. rows_out = the 16 × 16 trained centroids.
+      "q98_pq_train_corpus_scale" -> { () =>
+        import graft.operators.Similarity
+        def trainRun(df: org.apache.spark.sql.DataFrame): Long = {
+          val pq = Similarity.Pq(m = 16, nCodes = 16, exact = true)
+          pq.train(df).map(_.length.toLong).sum
+        }
+        Map(
+          measure("q98_pq_train_corpus_scale", "x1",
+            () => stressVecs(1, hot = 0), trainRun),
+          measure("q98_pq_train_corpus_scale", "x10",
+            () => stressVecs(10, hot = 0), trainRun),
+          measure("q98_pq_train_corpus_scale", "x100",
+            () => stressVecs(100, hot = 0), trainRun, warm = false))
+      },
       "q102_incremental_probe" -> { () =>
         def batch = docsBase.select((col("doc_id") + 80000000L).as("doc_id"),
           concat(col("text"), lit(" probe")).as("text"))
@@ -432,7 +488,7 @@ object ScaleStress {
     // unless an explicit SPARK_GRAFT_SCALE_OUT says otherwise.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       if (sys.env.contains("SPARK_GRAFT_SCALE_SHAPES")) "SCALE_partial.json"
-      else "SCALE_r18.json")
+      else "SCALE_r19.json")
     def writeArtifact(done: Seq[(String, Map[String, ShapeRun])]): Unit = {
       val json = done.map { case (name, runs) =>
         val body = runs.toSeq.sortBy(_._1).map { case (k, r) =>
@@ -445,7 +501,7 @@ object ScaleStress {
         val f100 = for { a <- runs.get("x100"); b <- runs.get("x1") } yield
           s""","wall_factor_100x":${num(a.wallSec / math.max(b.wallSec, 1e-9))}"""
         s""""$name":{$body${factor.getOrElse("")}${f100.getOrElse("")}}"""
-      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition; q22 x100_guard_engaged: rows_out 1 = default pair-volume guard refused the dense corpus; q78 x100_hot_capped grows ONLY the planted clique 100x over the x1 background (compare wall vs x1); q83 compares unsalted vs blanket-salted vs hot-key-split-union wall on a planted 95%-hot key with AQE skew handling disabled (the operator's documented use case)","host_load":"see calibration in BENCH"}""")
+      }.mkString("{", ",", s""","note":"wall_factor_10x ~10 is linear, ~100 quadratic; wall_factor_100x ~100 linear, ~10000 quadratic; q22 x100 holds duplication density constant (unique filler docs), so rows_out tracks x10 and ~linear wall is the pass condition; q22 x100_guard_engaged: rows_out 1 = default pair-volume guard refused the dense corpus; q78 x100_hot_capped grows ONLY the planted clique 100x over the x1 background (compare wall vs x1); q83 compares unsalted vs blanket-salted vs hot-key-split-union wall on a planted 95%-hot key with AQE skew handling disabled (the operator's documented use case); q89 x10_frac_scaled trains the x10 corpus at fraction/10 = the x1 absolute sample (training cost tracks sample rows); q98 x100 binds the 65536-vector training-sample cap (expect x100/x10 ~3, the sample ratio, not ~10)","host_load":"see calibration in BENCH"}""")
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
