@@ -757,55 +757,62 @@ object ExtQueries {
       s"""list_sum([(p[1] - CAST(p[2] AS DOUBLE)/1000000.0) *
          |              (p[1] - CAST(p[2] AS DOUBLE)/1000000.0)
          |              for p in list_zip(e.v, $cqRef)])""".stripMargin
+    // every CTE that is referenced more than once (and every round of the
+    // training chain — c$r feeds BOTH a${r+1} and c${r+1}) MUST be
+    // MATERIALIZED: this DuckDB inlines plain CTEs per reference, so the
+    // five-round chain re-expands ~2^5 times. At 16 cells that read as a
+    // tolerable 47 s at sf1; at the r19 adaptive 256 cells the inlined
+    // plan thrashed past a 103 GB RSS and never finished (the same
+    // lesson q89/q98/q110 already encode — see HANDOFF r18).
     val sb = new StringBuilder
     sb ++= s"""WITH $normalizedCte,
-      |e AS (
+      |e AS MATERIALIZED (
       |  SELECT vec_id, v,
       |         [CAST(floor(x * 1000000.0) AS BIGINT) for x in v] AS q,
       |         ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS h
       |  FROM n WHERE vec_id <> 0),
-      |cfg AS (
+      |cfg AS MATERIALIZED (
       |  SELECT least(256, greatest(16,
       |           CAST(floor(3.0 * sqrt(CAST(count(*) AS DOUBLE))) AS INT))) AS k
       |  FROM e),
-      |cfg2 AS (SELECT greatest(4, CAST(floor(0.3 * k) AS INT)) AS np FROM cfg),
-      |smp AS (
+      |cfg2 AS MATERIALIZED (SELECT greatest(4, CAST(floor(0.3 * k) AS INT)) AS np FROM cfg),
+      |smp AS MATERIALIZED (
       |  SELECT vec_id, v, q FROM (
       |    SELECT vec_id, v, q,
       |           row_number() OVER (ORDER BY h, vec_id) AS rn FROM e)
       |  WHERE rn <= $maxSample),
-      |c0 AS (
+      |c0 AS MATERIALIZED (
       |  SELECT rn - 1 AS cid, q AS cq FROM (
       |    SELECT q, row_number() OVER (ORDER BY h, vec_id) AS rn FROM e)
       |  WHERE rn <= (SELECT k FROM cfg)),
       |""".stripMargin
     for (r <- 1 to iters) {
-      sb ++= s"""a$r AS (
+      sb ++= s"""a$r AS MATERIALIZED (
         |  SELECT vec_id, q, cid AS c FROM (
         |    SELECT e.vec_id, e.q, c.cid,
         |           row_number() OVER (PARTITION BY e.vec_id
         |                              ORDER BY ${dist("c.cq")}, c.cid) AS rn
         |    FROM smp e, c${r - 1} c)
         |  WHERE rn = 1),
-        |s$r AS (
+        |s$r AS MATERIALIZED (
         |  SELECT c AS cid, pos, sum(x) AS sx, count(*) AS n FROM (
         |    SELECT c, unnest(q) AS x, unnest(range(1, len(q) + 1)) AS pos
         |    FROM a$r)
         |  GROUP BY c, pos),
-        |n$r AS (
+        |n$r AS MATERIALIZED (
         |  SELECT cid,
         |         list(CAST((sx - (((sx % n) + n) % n)) / n AS BIGINT)
         |              ORDER BY pos) AS cq
         |  FROM s$r GROUP BY cid),
-        |c$r AS (
+        |c$r AS MATERIALIZED (
         |  SELECT p.cid, COALESCE(nn.cq, p.cq) AS cq
         |  FROM c${r - 1} p LEFT JOIN n$r nn ON p.cid = nn.cid),
         |""".stripMargin
     }
-    sb ++= s"""cd AS (SELECT cid, [CAST(x AS DOUBLE)/1000000.0 for x in cq] AS c
+    sb ++= s"""cd AS MATERIALIZED (SELECT cid, [CAST(x AS DOUBLE)/1000000.0 for x in cq] AS c
       |       FROM c$iters),
-      |qn AS (SELECT v FROM n WHERE vec_id = 0),
-      |prb AS (
+      |qn AS MATERIALIZED (SELECT v FROM n WHERE vec_id = 0),
+      |prb AS MATERIALIZED (
       |  SELECT cid FROM (
       |    SELECT cd.cid,
       |           row_number() OVER (ORDER BY
@@ -813,7 +820,7 @@ object ExtQueries {
       |             cd.cid) AS rn
       |    FROM cd, qn q)
       |  WHERE rn <= (SELECT np FROM cfg2)),
-      |asg AS (
+      |asg AS MATERIALIZED (
       |  SELECT vec_id, cid FROM (
       |    SELECT e.vec_id, cd.cid,
       |           row_number() OVER (PARTITION BY e.vec_id

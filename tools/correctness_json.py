@@ -29,6 +29,17 @@ def norm(df):
 
 def main(sf_dir, out_dir, out_json):
     con = duckdb.connect()
+    # The heavy replay oracles (q36's 256-cell Lloyd chain, q78's exact
+    # O(n^2) pair join at sf1) exceed an in-memory duckdb's RAM ceiling —
+    # without a temp_directory an in-memory connection CANNOT spill and
+    # the process thrashes to the 80%-of-RAM limit (observed: 103 GB RSS,
+    # D-state, ~2 h wedged at sf1). Cap memory and give it a disk spill.
+    import os
+    spill = os.environ.get("DUCKDB_SPILL_DIR", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
+    con.execute(
+        f"SET memory_limit='{os.environ.get('DUCKDB_MEMORY_LIMIT', '48GB')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
