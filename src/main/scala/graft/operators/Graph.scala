@@ -29,6 +29,63 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
   */
 object Graph {
 
+  /** Size gates for the driver-side loop finishers (round-19 optimization):
+    * past the point where the LOOP INPUT is known to be bounded — the
+    * edge-touched sliver of a dedup graph, an aggregated trade graph — the
+    * remaining fixpoint iteration costs one driver action per round at the
+    * job-scheduling floor (~25-100 ms each at any scale; measured 44-78
+    * jobs per query on the q50/q78 family, over half their wall). Below
+    * the caps the loop runs on the driver over the SAME materialized rows
+    * (exact integer union-find / the identical float recurrence), above
+    * them the distributed propagation runs unchanged. The caps are
+    * session-conf knobs, not constants, so a cluster deployment can size
+    * them to its driver heap (a 4M-edge sliver is ~64 MB collected —
+    * the bounded-collect class k-centroids / hot-key sets already occupy). */
+  private[operators] def maxDriverEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.graph.maxDriverEdges").map(_.toLong).getOrElse(4000000L)
+
+  /** Exact min-label connected components over a flat (a0,b0,a1,b1,...)
+    * edge array: union-find with path halving, roots kept at the smallest
+    * member index — ids are sorted ascending, so a root's id IS the
+    * component min, bit-identical to the distributed min-label fixpoint. */
+  private[operators] def minLabelComponents(flatEdges: Array[Long]): (Array[Long], Array[Long]) = {
+    val ids = java.util.Arrays.copyOf(flatEdges, flatEdges.length)
+    java.util.Arrays.sort(ids)
+    var n = 0
+    var i = 0
+    while (i < ids.length) {
+      if (n == 0 || ids(n - 1) != ids(i)) { ids(n) = ids(i); n += 1 }
+      i += 1
+    }
+    val id = java.util.Arrays.copyOf(ids, n)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    var e = 0
+    while (e < flatEdges.length) {
+      val a = find(java.util.Arrays.binarySearch(id, flatEdges(e)))
+      val b = find(java.util.Arrays.binarySearch(id, flatEdges(e + 1)))
+      // always attach the larger root below the smaller: the root index
+      // stays the component's min index = min id (ids are ascending)
+      if (a < b) parent(b) = a else if (b < a) parent(a) = b
+      e += 2
+    }
+    val label = new Array[Long](n)
+    var j = 0
+    while (j < n) { label(j) = id(find(j)); j += 1 }
+    (id, label)
+  }
+
+  private[operators] def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   /** Components of the undirected graph over `vertices` (column `id`) with
     * `edges` (columns `src`, `dst`; direction ignored, self-loops and
     * duplicates harmless). Output: `(id, component)`, component = min
@@ -65,9 +122,48 @@ object Graph {
     // subtree: measured 5s → 170s/run at sf0.1 on q78. Truncating to a
     // leaf here keeps every round's analyzed plan O(rounds), the same
     // discipline as minhashLshGroups' membership leaf.
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val spark = edges.sparkSession
+    val idType = vertices.schema("id").dataType
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // Driver finisher (round-19): the checkpointed edge sliver is the
+    // whole loop input; when it is bounded (≤ graft.graph.maxDriverEdges,
+    // default 4M ≈ 64 MB) and ids are integral, one collect + an exact
+    // integer union-find replaces 2·diameter propagation rounds of
+    // join+agg actions (each a driver job at the scheduling floor; the
+    // convergence labelSum actions go too). Min-label identity is exact —
+    // integer min, no float involved — so the output is bit-identical to
+    // the fixpoint. Above the cap (or exotic id types) the distributed
+    // loop below runs unchanged; count() over the checkpointed leaf is
+    // one cheap job either way.
+    val edgeCount = e0.count()
+    if (isIntegral(idType) && 2L * edgeCount <= 2L * maxDriverEdges(spark)
+        && edgeCount <= maxDriverEdges(spark)) {
+      // null endpoints contribute nothing in the join-based loop (a null
+      // never equi-joins); dropping them here preserves that semantics
+      val rows = e0.na.drop()
+        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val flat = new Array[Long](rows.length * 2)
+      var i = 0
+      while (i < rows.length) {
+        flat(2 * i) = rows(i).getLong(0); flat(2 * i + 1) = rows(i).getLong(1)
+        i += 1
+      }
+      e0.unpersist()
+      val (ids, labs) = minLabelComponents(flat)
+      import spark.implicits._
+      val labelDf = spark.createDataset(
+        ids.indices.map(j => (ids(j), labs(j))))
+        .toDF("id", "label")
+        .select(col("id").cast(idType).as("id"),
+          col("label").cast(idType).as("label"))
+      return vertices.select(col("id"))
+        .join(labelDf, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("component"))
+    }
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    e0.unpersist()
 
     // Pre-prune to edge-touched vertices (same discipline as
     // minhashLshGroups): an isolated vertex is its own component and has
@@ -182,6 +278,72 @@ object Graph {
       sum(when(col("outdeg") === 0, 1L).otherwise(0L)).as("dangling")).head()
     val n = vStats.getLong(0).toDouble
     val hasDangling = vStats.getLong(1) > 0
+
+    // Driver finisher (round-19, the connectedComponents gate applied to
+    // the rank loop): pagerank's loop input is the AGGREGATED graph —
+    // q92's is 25 nations — while each power-method round costs 1-2
+    // driver actions at the job floor (46 jobs measured for 10 rounds at
+    // sf0.1, most of a 2.6 s wall). When the vertex count (known from
+    // vStats) and the cached edge list are bounded, the identical
+    // recurrence runs on the driver: same per-round expression
+    // (1-d)/n + d·(in_mass + dangling/n), same coalesce-to-0.0 for
+    // in-degree-0 vertices, contributions summed in (dst, src) order.
+    // Ranks are floats, so cross-path sums can differ in final ulps —
+    // the same tolerance the DuckDB oracle already exercises (its SUM
+    // order is neither Spark's nor ours); q92 rounds to 8 places and is
+    // hash-checked at every SF. Above the caps the distributed loop runs
+    // unchanged.
+    val spark = vertices.sparkSession
+    val maxDriverV = spark.conf.getOption("graft.pagerank.maxDriverVertices")
+      .map(_.toLong).getOrElse(65536L)
+    val idType = vertices.schema("id").dataType
+    lazy val edgeCount = e.count() // e is persisted; filled by the validate count
+    if (isIntegral(idType) && vStats.getLong(0) <= maxDriverV &&
+        edgeCount <= maxDriverEdges(spark)) {
+      val vr = v.na.drop(Seq("id"))
+        .select(col("id").cast("long"), col("outdeg")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val nV = vr.length
+      val idArr = vr.map(_._1)
+      val outdegArr = vr.map(_._2)
+      def idx(v: Long): Int = java.util.Arrays.binarySearch(idArr, v)
+      val er = e.na.drop()
+        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(t => (t._2, t._1))
+      var rank = Array.fill(nV)(1.0 / n)
+      var it = 0
+      while (it < iterations) {
+        val dangling =
+          if (!hasDangling) 0.0
+          else {
+            var s = 0.0; var j = 0
+            while (j < nV) { if (outdegArr(j) == 0) s += rank(j); j += 1 }
+            s
+          }
+        val inMass = new Array[Double](nV)
+        var k = 0
+        while (k < er.length) {
+          val (src, dst) = er(k)
+          inMass(idx(dst)) += rank(idx(src)) / outdegArr(idx(src)).toDouble
+          k += 1
+        }
+        val next = new Array[Double](nV)
+        var j = 0
+        while (j < nV) {
+          next(j) = (1.0 - damping) / n + damping * (inMass(j) + dangling / n)
+          j += 1
+        }
+        rank = next
+        it += 1
+      }
+      v.unpersist(); e.unpersist()
+      import spark.implicits._
+      return spark.createDataset(
+        idArr.indices.map(j => (idArr(j), rank(j))))
+        .toDF("id", "rank")
+        .select(col("id").cast(idType).as("id"), col("rank"))
+    }
 
     def step(r: DataFrame, dangling: Double): DataFrame = {
       val contrib = e.join(r, e("src") === r("id"))

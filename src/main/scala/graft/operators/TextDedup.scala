@@ -224,6 +224,49 @@ object TextDedup {
       .filter(col("__n") >= 2)
       .select("doc_id", "bucket").localCheckpoint(true)
 
+    // Driver finisher (round-19, [[Graph.connectedComponents]]'s gate on
+    // the bipartite membership sliver): the checkpointed multi-member
+    // membership IS the whole loop input, and at duplicate-sliver sizes
+    // the remaining propagation costs ~40 driver actions at the job floor
+    // (measured: 44 jobs / 2.6 s for q50 at sf0.1, most of it the loop).
+    // Bounded (≤ graft.graph.maxDriverMembership rows, default 2M — the
+    // rows are (long, ~35-byte bucket string), so the collect is ≤ ~100
+    // MB) → one collect + exact integer union-find over (bucket-first,
+    // member) edges; min-label identity is integer-exact, so cluster_ids
+    // are bit-identical to the fixpoint's. Above the cap the distributed
+    // loop below runs unchanged; count() over the checkpointed leaf is
+    // one cheap job either way.
+    val sparkS = docs.sparkSession
+    val idType = docs.schema(idCol).dataType
+    val memCap = sparkS.conf.getOption("graft.graph.maxDriverMembership")
+      .map(_.toLong).getOrElse(2000000L)
+    if (graft.operators.Graph.isIntegral(idType) && membership.count() <= memCap) {
+      val rows = membership
+        .select(col("bucket"), col("doc_id").cast("long")).collect()
+      val first = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
+      val flatB = Array.newBuilder[Long]
+      flatB.sizeHint(rows.length * 2)
+      var i = 0
+      while (i < rows.length) {
+        val b = rows(i).getString(0); val d = rows(i).getLong(1)
+        val f = first.putIfAbsent(b, d)
+        if (f != null) { flatB += f.longValue(); flatB += d }
+        i += 1
+      }
+      membership.unpersist()
+      val (ids, labs) = graft.operators.Graph.minLabelComponents(flatB.result())
+      import sparkS.implicits._
+      val labelDf = sparkS.createDataset(
+        ids.indices.map(j => (ids(j), labs(j))))
+        .toDF("doc_id", "label")
+        .select(col("doc_id").cast(idType).as("doc_id"),
+          col("label").cast(idType).as("label"))
+      return docs.select(col(idCol).as("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    }
+
     var labels = membership.select("doc_id").distinct()
       .withColumn("label", col("doc_id")).persist(MEMORY_AND_DISK)
     // labels only ever DECREASE (min-propagation), so the fixpoint test is

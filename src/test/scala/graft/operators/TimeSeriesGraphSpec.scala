@@ -199,4 +199,66 @@ class TimeSeriesGraphSpec extends AnyFunSuite with SparkSpec {
     // median=5, mad=0 (majority identical) → group skipped entirely
     assert(DataQuality.madOutlierSummary(df, "grp", "v").collect().isEmpty)
   }
+
+  /** Round-19: the size-gated driver finishers must agree exactly with the
+    * distributed propagation loops they replace under the cap. Force the
+    * distributed path by zeroing the caps, compare against the default
+    * (driver) path on the same inputs. */
+  test("connectedComponents: driver union-find == distributed propagation") {
+    import spark.implicits._
+    // mixed structure: clique, chain, isolated vertices, dst<src edges
+    val vertices = (0L to 30L).toDF("id")
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 9L)) ++
+      (20L until 29L).map(i => (i, i + 1))).toDF("src", "dst")
+    def run(): Map[Long, Long] =
+      Graph.connectedComponents(vertices, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run()
+    spark.conf.set("graft.graph.maxDriverEdges", "0")
+    val viaLoop = try run() finally spark.conf.unset("graft.graph.maxDriverEdges")
+    assert(viaDriver === viaLoop)
+    assert(viaDriver(3L) === 1L && viaDriver(9L) === 9L && viaDriver(28L) === 20L)
+  }
+
+  test("pagerank: driver power loop == distributed loop (round to 12)") {
+    import spark.implicits._
+    val vertices = (0L to 5L).toDF("id")
+    // vertex 5 dangling (no out-edges) so the dangling branch is exercised
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (0L, 5L))
+      .toDF("src", "dst")
+    def run(): Map[Long, Double] =
+      Graph.pagerank(vertices, edges, iterations = 10)
+        .select(col("id"), round(col("rank"), 12).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaDriver = run()
+    spark.conf.set("graft.pagerank.maxDriverVertices", "0")
+    val viaLoop = try run()
+      finally spark.conf.unset("graft.pagerank.maxDriverVertices")
+    // float sums may reassociate between the two paths; rank invariants and
+    // 12-decimal agreement (the declared q92 rounds to 8) must hold
+    assert(viaDriver.keySet === viaLoop.keySet)
+    viaDriver.foreach { case (id, r) => assert(math.abs(r - viaLoop(id)) < 1e-12) }
+    assert(math.abs(viaDriver.values.sum - 1.0) < 1e-9)
+  }
+
+  test("minhashLshGroups: driver union-find == distributed propagation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),   // dup of 1
+      (3L, "alpha beta gamma delta epsilon eta"),    // near-dup of 1
+      (4L, "one two three four five six"),
+      (5L, "one two three four five six"),           // dup of 4
+      (6L, "totally unrelated text about nothing")
+    ).toDF("doc_id", "text")
+    def run(): Map[Long, Long] =
+      TextDedup.minhashLshGroups(docs, k = 12, bands = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run()
+    spark.conf.set("graft.graph.maxDriverMembership", "0")
+    val viaLoop = try run()
+      finally spark.conf.unset("graft.graph.maxDriverMembership")
+    assert(viaDriver === viaLoop)
+    assert(viaDriver(2L) === viaDriver(1L) && viaDriver(5L) === 4L)
+  }
 }
