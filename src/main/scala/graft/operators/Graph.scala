@@ -135,13 +135,20 @@ object Graph {
     // the fixpoint. Above the cap (or exotic id types) the distributed
     // loop below runs unchanged; count() over the checkpointed leaf is
     // one cheap job either way.
-    val edgeCount = e0.count()
-    if (isIntegral(idType) && 2L * edgeCount <= 2L * maxDriverEdges(spark)
-        && edgeCount <= maxDriverEdges(spark)) {
+    // count and collect fused into ONE action: take(cap+1) over the
+    // checkpointed leaf both decides the gate and delivers the rows (an
+    // over-cap result is detected by length and falls through)
+    val cap = maxDriverEdges(spark)
+    val rows0 =
+      if (isIntegral(idType) && cap < Int.MaxValue.toLong)
+        e0.na.drop()
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .limit(cap.toInt + 1).collect()
+      else null
+    if (rows0 != null && rows0.length <= cap) {
       // null endpoints contribute nothing in the join-based loop (a null
-      // never equi-joins); dropping them here preserves that semantics
-      val rows = e0.na.drop()
-        .select(col("src").cast("long"), col("dst").cast("long")).collect()
+      // never equi-joins); dropping them above preserves that semantics
+      val rows = rows0
       val flat = new Array[Long](rows.length * 2)
       var i = 0
       while (i < rows.length) {
@@ -249,8 +256,7 @@ object Graph {
     // referencing the parameter instead of `e` made that derivation run
     // once per consumer (measured ~2× the derivation cost at sf0.1).
     val e = edges.select(col("src"), col("dst")).persist(MEMORY_AND_DISK)
-    if (validateEdges) {
-      // this count also fills the e cache, so the derivation runs once
+    def validateDistributed(): Unit = if (validateEdges) {
       val bad = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id")))
         .join(vertices.select(col("id")), Seq("id"), "left_anti").count()
@@ -273,7 +279,9 @@ object Graph {
     // dangling term is exactly 0.0, and x + 0.0 == x in IEEE for the
     // strictly positive ranks, so skipping the term is bit-identical to
     // collecting an empty sum (the unrolled CTE oracle replays the same
-    // ops either way). This action also fills the v cache.
+    // ops either way). This action also fills the v AND e caches (via the
+    // outdeg subtree), so validation — which now runs after it, in
+    // whichever path executes — reads cached rows.
     val vStats = v.agg(count(lit(1)).as("n"),
       sum(when(col("outdeg") === 0, 1L).otherwise(0L)).as("dangling")).head()
     val n = vStats.getLong(0).toDouble
@@ -297,53 +305,81 @@ object Graph {
     val maxDriverV = spark.conf.getOption("graft.pagerank.maxDriverVertices")
       .map(_.toLong).getOrElse(65536L)
     val idType = vertices.schema("id").dataType
-    lazy val edgeCount = e.count() // e is persisted; filled by the validate count
-    if (isIntegral(idType) && vStats.getLong(0) <= maxDriverV &&
-        edgeCount <= maxDriverEdges(spark)) {
-      val vr = v.na.drop(Seq("id"))
-        .select(col("id").cast("long"), col("outdeg")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      val nV = vr.length
-      val idArr = vr.map(_._1)
-      val outdegArr = vr.map(_._2)
-      def idx(v: Long): Int = java.util.Arrays.binarySearch(idArr, v)
-      val er = e.na.drop()
-        .select(col("src").cast("long"), col("dst").cast("long")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(t => (t._2, t._1))
-      var rank = Array.fill(nV)(1.0 / n)
-      var it = 0
-      while (it < iterations) {
-        val dangling =
-          if (!hasDangling) 0.0
-          else {
-            var s = 0.0; var j = 0
-            while (j < nV) { if (outdegArr(j) == 0) s += rank(j); j += 1 }
-            s
+    val capE = maxDriverEdges(spark)
+    val er0 =
+      if (isIntegral(idType) && vStats.getLong(0) <= maxDriverV &&
+          capE < Int.MaxValue.toLong)
+        // count and collect fused (the connectedComponents take(cap+1)
+        // idiom); nulls are KEPT so validation semantics below match the
+        // distributed anti-join (a null endpoint is a missing endpoint)
+        e.limit(capE.toInt + 1).collect()
+      else null
+    if (er0 != null && er0.length <= capE &&
+        !er0.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+      val vRows = v.select(col("id").cast("long"), col("outdeg")).collect()
+      if (!vRows.exists(_.isNullAt(0))) {
+        val vr = vRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val nV = vr.length
+        val idArr = vr.map(_._1)
+        val outdegArr = vr.map(_._2)
+        def idx(v: Long): Int = java.util.Arrays.binarySearch(idArr, v)
+        val er = er0.map { r =>
+          val s = r.get(0); val d = r.get(1)
+          (s.asInstanceOf[Number].longValue(), d.asInstanceOf[Number].longValue())
+        }.sortBy(t => (t._2, t._1))
+        if (validateEdges) {
+          // in-memory twin of the distributed anti-join: every endpoint
+          // occurrence must be a vertex id
+          var bad = 0L
+          er.foreach { case (s, d) =>
+            if (idx(s) < 0) bad += 1
+            if (idx(d) < 0) bad += 1
           }
-        val inMass = new Array[Double](nV)
-        var k = 0
-        while (k < er.length) {
-          val (src, dst) = er(k)
-          inMass(idx(dst)) += rank(idx(src)) / outdegArr(idx(src)).toDouble
-          k += 1
+          require(bad == 0L,
+            s"pagerank: $bad edge endpoint(s) missing from `vertices` — " +
+              "their rank mass would silently vanish in the contribution " +
+              "join; add the vertices or clean the edge list " +
+              "(validateEdges=false skips)")
         }
-        val next = new Array[Double](nV)
-        var j = 0
-        while (j < nV) {
-          next(j) = (1.0 - damping) / n + damping * (inMass(j) + dangling / n)
-          j += 1
+        var rank = Array.fill(nV)(1.0 / n)
+        var it = 0
+        while (it < iterations) {
+          val dangling =
+            if (!hasDangling) 0.0
+            else {
+              var s = 0.0; var j = 0
+              while (j < nV) { if (outdegArr(j) == 0) s += rank(j); j += 1 }
+              s
+            }
+          val inMass = new Array[Double](nV)
+          var k = 0
+          while (k < er.length) {
+            val (src, dst) = er(k)
+            val si = idx(src); val di = idx(dst)
+            // a non-vertex endpoint contributes nothing — exactly the
+            // contribution join's miss semantics (validateEdges=false only)
+            if (si >= 0 && di >= 0)
+              inMass(di) += rank(si) / outdegArr(si).toDouble
+            k += 1
+          }
+          val next = new Array[Double](nV)
+          var j = 0
+          while (j < nV) {
+            next(j) = (1.0 - damping) / n + damping * (inMass(j) + dangling / n)
+            j += 1
+          }
+          rank = next
+          it += 1
         }
-        rank = next
-        it += 1
+        v.unpersist(); e.unpersist()
+        import spark.implicits._
+        return spark.createDataset(
+          idArr.indices.map(j => (idArr(j), rank(j))))
+          .toDF("id", "rank")
+          .select(col("id").cast(idType).as("id"), col("rank"))
       }
-      v.unpersist(); e.unpersist()
-      import spark.implicits._
-      return spark.createDataset(
-        idArr.indices.map(j => (idArr(j), rank(j))))
-        .toDF("id", "rank")
-        .select(col("id").cast(idType).as("id"), col("rank"))
     }
+    validateDistributed()
 
     def step(r: DataFrame, dangling: Double): DataFrame = {
       val contrib = e.join(r, e("src") === r("id"))

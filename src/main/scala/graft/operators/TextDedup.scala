@@ -240,9 +240,15 @@ object TextDedup {
     val idType = docs.schema(idCol).dataType
     val memCap = sparkS.conf.getOption("graft.graph.maxDriverMembership")
       .map(_.toLong).getOrElse(2000000L)
-    if (graft.operators.Graph.isIntegral(idType) && membership.count() <= memCap) {
-      val rows = membership
-        .select(col("bucket"), col("doc_id").cast("long")).collect()
+    // count and collect fused into ONE action (the Graph.scala take(cap+1)
+    // idiom): an over-cap result is detected by length and falls through
+    val memRows =
+      if (graft.operators.Graph.isIntegral(idType) && memCap < Int.MaxValue.toLong)
+        membership.select(col("bucket"), col("doc_id").cast("long"))
+          .limit(memCap.toInt + 1).collect()
+      else null
+    if (memRows != null && memRows.length <= memCap) {
+      val rows = memRows
       val first = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
       val flatB = Array.newBuilder[Long]
       flatB.sizeHint(rows.length * 2)
