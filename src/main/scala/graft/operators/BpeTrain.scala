@@ -77,6 +77,80 @@ object BpeTrain {
     // projection chain ever gets deep enough to hurt (numMerges ≫ 16),
     // re-introduce a periodic persist every K rounds, not every round.
     val base = words.persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Driver finisher (round-19, the Graph.connectedComponents gate
+    // applied to the merge loop): the dict is VOCABULARY-sized — the
+    // corpus pass above already reduced 100 TB of text to word counts —
+    // while each merge round costs a distributed argmax action at the
+    // driver job floor plus a fold chain one deeper than the last
+    // (12 rounds ≈ 31 jobs measured at sf0.1, most of q110's 2.5 s).
+    // Under the cap (graft.bpe.maxDriverVocab rows, default 1M — the
+    // same driver budget as encode()'s vocab collect) the identical loop
+    // runs in memory: exact integer pair counts, argmax tie-broken by
+    // (count desc, left, right) in UTF-8 BYTE order (UTF8String's
+    // comparison contract — NOT Java's UTF-16 order), and the same
+    // greedy left-to-right fold per word. Results are bit-identical by
+    // construction (all-integer argmax; the q110/q111 DuckDB replay
+    // oracles pin it). Over-cap corpora take the distributed loop
+    // unchanged; take(cap+1) is the one action either way.
+    val vocabCap = spark.conf.getOption("graft.bpe.maxDriverVocab")
+      .map(_.toInt).getOrElse(1000000)
+    val dictRows = base.limit(vocabCap + 1).collect()
+    if (dictRows.length <= vocabCap) {
+      var dictD: Array[(Array[String], Long)] =
+        dictRows.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      def utf8Lt(x: String, y: String): Boolean = {
+        val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        a.length < b.length
+      }
+      val learnedD = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var exhaustedD = false
+      for (rank <- 1 to numMerges if !exhaustedD) {
+        val pc = new java.util.HashMap[(String, String), java.lang.Long]()
+        dictD.foreach { case (syms, cnt) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            pc.merge((syms(i), syms(i + 1)), java.lang.Long.valueOf(cnt),
+              (x, y) => java.lang.Long.valueOf(x.longValue() + y.longValue()))
+            i += 1
+          }
+        }
+        if (pc.isEmpty) exhaustedD = true
+        else {
+          var bestA: String = null; var bestB: String = null; var bestC = 0L
+          pc.forEach { (k, v) =>
+            val c = v.longValue()
+            if (c > bestC || (c == bestC &&
+                (utf8Lt(k._1, bestA) ||
+                  (k._1 == bestA && utf8Lt(k._2, bestB))))) {
+              bestA = k._1; bestB = k._2; bestC = c
+            }
+          }
+          learnedD += ((rank, bestA, bestB, bestC))
+          // greedy left-to-right merge — the applyMerge fold's semantics
+          dictD = dictD.map { case (syms, cnt) =>
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            syms.foreach { s =>
+              if (out.nonEmpty && out.last == bestA && s == bestB)
+                out(out.length - 1) = bestA + bestB
+              else out += s
+            }
+            (out.toArray, cnt)
+          }
+        }
+      }
+      base.unpersist()
+      return learnedD.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+    }
+
     base.count()
     var dict = base
     val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()

@@ -108,6 +108,27 @@ class BpeTrainSpec extends AnyFunSuite with SparkSpec {
     assert(out.isEmpty) // no adjacent pairs exist at all
   }
 
+  test("driver merge loop == distributed merge loop (round-19 finisher)") {
+    // same corpora as the differential tests, including the UTF-8
+    // tie-break trap, run through BOTH paths by zeroing the vocab cap
+    val rnd = new scala.util.Random(119)
+    val vocab = Seq("hash", "join", "scan", "merge", "sort", "row")
+    val texts = (1 to 40).map(_ =>
+      (1 to 15).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("😀😀 ￠￠", "￠😀 😀￠", "aaa aaa aab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def run(): Seq[(Int, String, String, Long)] =
+      BpeTrain.learnMerges(docs, 12).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val viaDriver = run()
+    spark.conf.set("graft.bpe.maxDriverVocab", "0")
+    val viaLoop = try run()
+      finally spark.conf.unset("graft.bpe.maxDriverVocab")
+    assert(viaDriver === viaLoop)
+  }
+
   /** Reference encoder: greedy left-to-right application of rank-ordered
     * rules to each word's code points — the same fold as the reference
     * trainer's merge step. */
