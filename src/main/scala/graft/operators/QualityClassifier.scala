@@ -125,14 +125,21 @@ object QualityClassifier {
         seed = "graft-train")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val n = base.count().toDouble
+    // ONE action for row count, dense-arity probe and the dense means
+    // (round-19: was three passes — see trainExactReplay)
+    val probeCols = Seq(count(lit(1)).as("n"),
+      min(size(col("dense"))).as("mn"),
+      max(size(col("dense"))).as("mx")) ++
+      (0 until denseDims).map(k =>
+        avg(element_at(col("dense"), k + 1)).as(s"m$k"))
+    val probe = base.agg(probeCols.head, probeCols.tail: _*).head()
+    val n = probe.getLong(0).toDouble
     require(n > 0, "cannot train on an empty frame (sample too small?)")
-    requireDenseDims(base, denseDims)
-    val mu = base
-      .select((0 until denseDims).map(k =>
-        avg(element_at(col("dense"), k + 1)).as(s"m$k")): _*)
-      .head()
-    val denseMean = Array.tabulate(denseDims)(mu.getDouble)
+    require(probe.getInt(1) == denseDims && probe.getInt(2) == denseDims,
+      s"denseDims=$denseDims does not match the dense array length " +
+        s"${probe.getInt(2)} produced at hashFeatures time — pass the " +
+        "arity the feature frame was built with (1 + denseExprs.size)")
+    val denseMean = Array.tabulate(denseDims)(k => probe.getDouble(3 + k))
     var m = Model(new Array[Double](dim), new Array[Double](denseDims),
       denseMean, 0.0)
     // gradient indices: 0..dim-1 sparse (each instance weighted 1/len to
@@ -164,19 +171,6 @@ object QualityClassifier {
     }
     m
     } finally { if (sampled) base.unpersist() }
-  }
-
-  /** `denseDims` must equal the arity [[hashFeatures]]/[[hashFeaturesExact]]
-    * actually produced: with ANSI off, `element_at(dense, k+1)` past the
-    * array end returns NULL, so a mismatched caller would silently train
-    * on NULL margins (gradient rows dropped) instead of failing. One
-    * first-row probe up front turns that into a loud error. */
-  private def requireDenseDims(features: DataFrame, denseDims: Int): Unit = {
-    val actual = features.select(size(col("dense"))).head().getInt(0)
-    require(actual == denseDims,
-      s"denseDims=$denseDims does not match the dense array length $actual " +
-        "produced at hashFeatures time — pass the arity the feature frame " +
-        "was built with (1 + denseExprs.size)")
   }
 
   /** Score `docs`: adds `quality_score` = P(label=1 | text). Pure
@@ -299,17 +293,27 @@ object QualityClassifier {
         seed = "graft-train")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val nL = base.count()
-    require(nL > 0, "cannot train on an empty frame (sample too small?)")
-    requireDenseDims(base, denseDims)
-    val n = nL.toDouble
-    // dense means as floorDiv of exact quantized sums — order-independent
+    // ONE action for row count, dense-arity probe and the quantized dense
+    // sums (round-19: these were three driver actions — count, a head()
+    // probe, a sums head() — each a full pass over the sampled frame
+    // before the first epoch; the arity check is now over EVERY row via
+    // min/max, strictly stronger than the old first-row probe)
     val dqCols = (0 until denseDims).map(k =>
       floor(element_at(col("dense"), k + 1) * lit(DQScaleD)).cast("long"))
-    val sums = base
-      .select(dqCols.zipWithIndex.map { case (c, k) => sum(c).as(s"s$k") }: _*)
-      .head()
-    val mq = Array.tabulate(denseDims)(k => Math.floorDiv(sums.getLong(k), nL))
+    val probeCols = Seq(count(lit(1)).as("n"),
+      min(size(col("dense"))).as("mn"),
+      max(size(col("dense"))).as("mx")) ++
+      dqCols.zipWithIndex.map { case (c, k) => sum(c).as(s"s$k") }
+    val probe = base.agg(probeCols.head, probeCols.tail: _*).head()
+    val nL = probe.getLong(0)
+    require(nL > 0, "cannot train on an empty frame (sample too small?)")
+    require(probe.getInt(1) == denseDims && probe.getInt(2) == denseDims,
+      s"denseDims=$denseDims does not match the dense array length " +
+        s"${probe.getInt(2)} produced at hashFeatures time — pass the " +
+        "arity the feature frame was built with (1 + denseExprs.size)")
+    val n = nL.toDouble
+    // dense means as floorDiv of exact quantized sums — order-independent
+    val mq = Array.tabulate(denseDims)(k => Math.floorDiv(probe.getLong(3 + k), nL))
     var m = ExactModel(new Array[Long](dim), new Array[Long](denseDims),
       mq, 0L)
     val invLen = lit(1.0) / greatest(size(col("features")), lit(1)).cast("double")
