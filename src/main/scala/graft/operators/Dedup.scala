@@ -48,12 +48,29 @@ object Dedup {
     // deterministic representative without a global sort. Order columns get
     // synthetic aliases so a column used both for ordering and as payload
     // doesn't make the struct fields ambiguous.
+    //
+    // A payload column that IS one of the order columns (q06 orders by
+    // every non-key column) is NOT duplicated into the struct — the output
+    // reads it back from its ordering slot (round-19). The surviving row
+    // is identical: min(struct) only ever reaches a duplicated tail field
+    // after the ordering prefix ties, and a prefix tie implies the
+    // duplicate is tied too. Halving the struct matters because
+    // min(struct) cannot hash-aggregate (non-fixed-width buffer →
+    // SortAggregate): struct build + per-row lexicographic compare is the
+    // map-side wall, and both scale with field count (q06 sf0.1: 20 → 11
+    // fields).
+    val orderSlot: Map[String, String] = order.zipWithIndex.flatMap {
+      case (c, i) =>
+        org.apache.spark.sql.graft.ColumnInternals.simpleAttributeName(c)
+          .filter(nonKey.contains).map(_ -> s"__graft_o$i")
+    }.toMap
     val packed = struct(
       order.zipWithIndex.map { case (c, i) => c.as(s"__graft_o$i") } ++
-        nonKey.map(col): _*)
+        nonKey.filterNot(orderSlot.contains).map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(min(packed).as("__graft_rep"))
-      .select(keys.map(col) ++ nonKey.map(c => col(s"__graft_rep.$c").as(c)): _*)
+      .select(keys.map(col) ++ nonKey.map(c =>
+        col(s"__graft_rep.${orderSlot.getOrElse(c, c)}").as(c)): _*)
   }
 
   /** Reference D1 rule (etl/transform.py:45-48): dedup by `idCol` when the

@@ -17,4 +17,14 @@ object ColumnInternals {
     case _: SortOrder => true
     case _: ColumnNode => false
   }
+
+  /** The bare attribute name when the column is a plain single-part
+    * reference (`col("x")` / `$"x"`), None for any computed expression.
+    * Lets operators detect "this order column IS that payload column"
+    * without string-matching on rendered expressions. */
+  def simpleAttributeName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute
+        if a.nameParts.length == 1 => Some(a.nameParts.head)
+    case _ => None
+  }
 }
