@@ -47,24 +47,21 @@ import graft.functions.TextFunctions.{tokens, tokensFast}
   */
 object SpanDedup {
 
-  /** (pos, gramHash) structs for every token k-gram, 1-based positions —
-    * `substr(md5(space-joined k tokens), 1, 16)`, mirrored verbatim by the
-    * oracle's `substr(md5(array_to_string(t[i:i+k-1], ' ')), 1, 16)`. */
-  private def gramStructs(toks: Column, k: Int): Column =
-    transform(sequence(lit(1), size(toks) - (k - 1)),
-      i => struct(i.as("pos"),
-        substring(md5(concat_ws(" ", slice(toks, i, lit(k)))), 1, 16).as("g")))
-
-  /** (doc_id, pos, g) rows — tokens materialized in their own projection
-    * before the gram lambda touches them (same boundary as
-    * [[TextDedup.shingleRows]]: without it split() re-evaluates per
-    * element_at reference). Documents shorter than k tokens emit nothing:
-    * the short-doc guard lives INSIDE the generator expression (explode of
-    * an empty array) rather than as a Filter — a `filter(size(__toks) >= k)`
-    * gets pushed below the tokens projection and re-inlines the split as a
-    * second per-row scan-filter evaluation (PlanShapeSpec pins this out).
-    * The guard also keeps `sequence` total: sequence(1, size-k+1) with
-    * size < k would generate a DESCENDING range, not an empty one. */
+  /** (doc_id, pos, g) rows, 1-based positions, g = `substr(md5(space-joined
+    * k tokens), 1, 16)` — mirrored verbatim by the oracle's
+    * `substr(md5(array_to_string(t[i:i+k-1], ' ')), 1, 16)`.
+    *
+    * Gram hashes come from the fused [[graft.plans.GramMd5Prefix16]] kernel
+    * (round-19): the declarative
+    * `transform(sequence(...), i -> substring(md5(concat_ws(slice(...)))))`
+    * chain allocated a sliced array, a joined string, a 32-char hex string
+    * and a substring per gram — the measured majority of q100/q101's one
+    * heavy map stage. Identical values (differential-pinned in
+    * SpanDedupSpec), so the committed oracles are untouched. Tokens are
+    * materialized in their own projection before the generator consumes
+    * them (the [[TextDedup.shingleRows]] boundary); short docs yield an
+    * empty array inside the kernel, keeping the guard out of Filter
+    * position (the InferFiltersFromGenerate landmine, PlanShapeSpec). */
   private def gramRows(docs: DataFrame, k: Int, idCol: String, textCol: String): DataFrame = {
     // the tokenize+md5 map side runs BEFORE the bucket shuffle, so its
     // parallelism is the SCAN's: a small single-file input means one
@@ -73,14 +70,18 @@ object SpanDedup {
     // cluster — a many-split 100 TB input takes the free path, no extra
     // corpus shuffle (same starvation guard as Multimodal.pngPayloadFromId).
     graft.plans.Tokenize.register(docs.sparkSession)
+    graft.plans.GramMd5Prefix16.register(docs.sparkSession)
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val balanced = if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
     balanced
       .select(col(idCol).as("doc_id"), tokensFast(col(textCol)).as("__toks"))
-      .select(col("doc_id"), explode(
-        when(size(col("__toks")) >= k, gramStructs(col("__toks"), k))
-          .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+      .select(col("doc_id"),
+        call_function("graft_gram_md5_16", col("__toks"), lit(k)).as("__gs"))
+      // when(size>=0) blocks InferFiltersFromGenerate from re-inlining the
+      // kernel call as a scan filter (the q22 landmine / noInfer idiom)
+      .select(col("doc_id"),
+        posexplode(when(size(col("__gs")) >= 0, col("__gs"))).as(Seq("pos0", "g")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("g"))
   }
 
   /** Occurrences of cross-document duplicated k-grams: (doc_id, pos) for

@@ -137,4 +137,26 @@ class SpanDedupSpec extends AnyFunSuite with SparkSpec {
     assert(SpanDedup.duplicateSpans(docs, k = K, maxGramDf = 4).count() === 0L)
     assert(SpanDedup.duplicateSpans(docs, k = K, maxGramDf = 5).count() === 5L)
   }
+
+  test("GramMd5Prefix16 kernel == declarative substring(md5(concat_ws)) chain") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GramMd5Prefix16.register(spark)
+    val rnd = new scala.util.Random(119)
+    val texts = (1 to 50).map(_ => (1 to rnd.nextInt(20))
+      .map(_ => s"tok${rnd.nextInt(9)}").mkString(" ")) ++
+      Seq("", "one", "héllo wörld ünïcode gram test", "a b c")
+    for (k <- Seq(2, 3, 8)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+        .select(col("doc_id"),
+          call_function("graft_gram_md5_16", col("t"), lit(k)).as("kern"),
+          when(size(col("t")) >= k,
+            transform(sequence(lit(1), size(col("t")) - (k - 1)),
+              i => substring(md5(concat_ws(" ", slice(col("t"), i, lit(k)))), 1, 16)))
+            .otherwise(array().cast("array<string>")).as("decl"))
+      assert(df.filter(not(col("kern") === col("decl"))).count() === 0L,
+        s"kernel/declarative mismatch at k=$k")
+    }
+  }
 }
