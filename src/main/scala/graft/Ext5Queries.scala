@@ -155,8 +155,13 @@ object Ext5Queries {
       val est = PortableHll.estimate(merged, Seq("event_type"))
       val n = s.read.parquet(s"$lake/counts")
         .groupBy("event_type").agg(sum("n_rows").as("n_rows"))
+      // persisted: the gate's collect below and the caller's final action
+      // would otherwise each re-run the register read + estimate pipeline
+      // (round-19; the frame is one row per event_type). The bench/verify
+      // loops clearCache() per pass, same lifetime stance as marginMining.
       val out = est.join(n, "event_type")
         .select(col("event_type"), col("approx_distinct"), col("n_rows"))
+        .persist()
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact"))
       out.join(exact, "event_type").collect() // ≤ #event_types rows
