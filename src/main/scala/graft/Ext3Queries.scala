@@ -228,9 +228,14 @@ object Ext3Queries {
         denseDims = Q89DenseDims, epochs = Q89Epochs,
         learningRate = Q89LearningRate, sampleFraction = Q89SampleFraction)
       feats.unpersist()
+      // persisted: the accuracy gate below and the caller's final action
+      // would otherwise each pay the tokenize+score projection (round-19;
+      // the frame is (id, n_chars, score) ≈ 20 B/row at any scale — far
+      // below the text it derives from; bench/verify clearCache per pass)
       val scored = QualityClassifier
         .scoreExact(docs, model, denseExprs = tokCount)
         .select(col("doc_id"), col("n_chars"), col("quality_score"))
+        .persist()
       // self-check: weak-label agreement must clear 85% or the query
       // fails loudly rather than shipping an untrained model
       val acc = scored

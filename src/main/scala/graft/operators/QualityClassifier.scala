@@ -123,7 +123,13 @@ object QualityClassifier {
       if (!sampled) features
       else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
         seed = "graft-train")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint, not persist (round-19): every epoch re-analyzes
+        // the training frame's full logical plan (hash-sample over the
+        // caller's feature projection over the scan) plus a fresh weights
+        // literal — measured ~1.1 s of BETWEEN-job driver time on q89's six
+        // epochs at sf0.1. Truncating to a leaf makes each epoch's analyzed
+        // plan O(epoch body); blocks land in the same memory+disk store.
+        .localCheckpoint(true)
     try {
     // ONE action for row count, dense-arity probe and the dense means
     // (round-19: was three passes — see trainExactReplay)
@@ -291,7 +297,13 @@ object QualityClassifier {
       if (!sampled) features
       else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
         seed = "graft-train")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // localCheckpoint, not persist (round-19): every epoch re-analyzes
+        // the training frame's full logical plan (hash-sample over the
+        // caller's feature projection over the scan) plus a fresh weights
+        // literal — measured ~1.1 s of BETWEEN-job driver time on q89's six
+        // epochs at sf0.1. Truncating to a leaf makes each epoch's analyzed
+        // plan O(epoch body); blocks land in the same memory+disk store.
+        .localCheckpoint(true)
     try {
     // ONE action for row count, dense-arity probe and the quantized dense
     // sums (round-19: these were three driver actions — count, a head()
