@@ -296,14 +296,17 @@ object ExtQueries {
     // unbounded collection — fine on bench data, wrong at 100 TB.)
     "q44_containment_pairs" -> ((s, dir) => {
       graft.plans.CollectCappedLong.register(s)
+      graft.plans.PairCombinations.register(s)
       val fp = TextDedup.winnowFingerprints(t(s, dir, "documents"))
       fp.groupBy(col("fingerprint"))
         .agg(sort_array(graft.plans.CollectCappedLong.of(col("doc_id"), 51)).as("ids"))
         .filter(size(col("ids")).between(2, 50))
-        .select(explode(flatten(transform(col("ids"), (x, i) =>
-          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        // pair emission via the fused PairCombinations kernel (round-19) —
+        // same pairs in the same order as the flatten(transform(slice))
+        // chain it replaces (differential-pinned in TextDedupDifferentialSpec)
+        .select(call_function("graft_pair_combinations", col("ids")).as("__ps"))
+        .select(explode(when(size(col("__ps")) >= 0, col("__ps"))).as("p"))
+        .groupBy(col("p.x").as("doc_a"), col("p.y").as("doc_b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 3)
     }),

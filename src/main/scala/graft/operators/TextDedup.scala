@@ -163,22 +163,22 @@ object TextDedup {
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("mhs"), col("bks")))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val pairs = buckets.select(col("band_id"),
-      explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(
-            x.getField("doc_id").as("a"), x.getField("mhs").as("am"),
-            x.getField("bks").as("ab"),
-            y.getField("doc_id").as("b"), y.getField("mhs").as("bm"),
-            y.getField("bks").as("bb")))))).as("p"))
+    // pair emission via the fused PairCombinations kernel (round-19) — see
+    // ngramJaccardPairs; same pairs in the same order, one allocation pass
+    graft.plans.PairCombinations.register(docs.sparkSession)
+    val pairs = buckets
+      .select(col("band_id"),
+        call_function("graft_pair_combinations", col("ids")).as("__ps"))
+      .select(col("band_id"),
+        explode(when(size(col("__ps")) >= 0, col("__ps"))).as("p"))
     // no earlier band j < band_id in which the pair also collides
     val firstCollision = not((0 until bands - 1).map { j =>
-      col("band_id") > j && col("p.ab")(j) === col("p.bb")(j)
+      col("band_id") > j && col("p.x.bks")(j) === col("p.y.bks")(j)
     }.reduce(_ || _))
     val agree = (0 until k).map(j =>
-      when(col("p.am")(j) === col("p.bm")(j), 1).otherwise(0)).reduce(_ + _)
+      when(col("p.x.mhs")(j) === col("p.y.mhs")(j), 1).otherwise(0)).reduce(_ + _)
     pairs.filter(firstCollision)
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+      .select(col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
         round(agree.cast("double") / k, 4).as("est_jaccard"))
   }
 
@@ -609,13 +609,17 @@ object TextDedup {
             "or raise the cap deliberately"))), lit(true)))
     // n is functionally dependent on doc_id, so grouping by (a, n_a, b,
     // n_b) is the same partition as (a, b) — the sizes come along free.
+    // Pair emission is the fused [[graft.plans.PairCombinations]] kernel
+    // (round-19): the flatten(transform(slice)) chain allocated a sliced
+    // array per member plus a nested array-of-arrays before flatten copied
+    // the pair set again; the kernel emits the flat pair array in one
+    // pass. Same pairs in the same order (differential-pinned).
+    graft.plans.PairCombinations.register(docs.sparkSession)
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.getField("doc_id").as("a"), x.getField("n").as("na"),
-            y.getField("doc_id").as("b"), y.getField("n").as("nb")))))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.na").as("n_a"),
-        col("p.b").as("doc_b"), col("p.nb").as("n_b"))
+      .select(call_function("graft_pair_combinations", col("ids")).as("__ps"))
+      .select(explode(when(size(col("__ps")) >= 0, col("__ps"))).as("p"))
+      .groupBy(col("p.x.doc_id").as("doc_a"), col("p.x.n").as("n_a"),
+        col("p.y.doc_id").as("doc_b"), col("p.y.n").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /

@@ -269,4 +269,32 @@ class TextDedupDifferentialSpec extends AnyFunSuite with SparkSpec {
       Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause).map(identity))
     assert(messages(e).exists(m => m != null && m.contains("null element")))
   }
+
+  test("graft_pair_combinations kernel == flatten(transform(slice)) chain " +
+    "(structs, primitives, short arrays)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.plans.PairCombinations.register(spark)
+    // struct elements (the q22/q20 shape): sorted (doc_id, n) buckets
+    val rnd = new scala.util.Random(119)
+    val structDf = (1 to 60).map { i =>
+      val m = rnd.nextInt(6) // 0..5 members
+      (i.toLong, (1 to m).map(j => (j.toLong * i, j + i)).sorted)
+    }.toDF("bucket", "raw")
+      .select(col("bucket"), transform(col("raw"),
+        r => struct(r.getField("_1").as("doc_id"), r.getField("_2").as("n"))).as("ids"))
+    val both = structDf.select(
+      call_function("graft_pair_combinations", col("ids")).as("kern"),
+      flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("x"), y.as("y"))))).as("decl"))
+    assert(both.filter(not(col("kern") === col("decl"))).count() === 0L)
+    // primitive elements
+    val prim = Seq(Seq(3L, 1L, 2L), Seq(7L), Seq.empty[Long]).toDF("a")
+      .select(call_function("graft_pair_combinations", col("a")).as("kern"),
+        flatten(transform(col("a"), (x, i) =>
+          transform(slice(col("a"), i + lit(2), size(col("a"))),
+            y => struct(x.as("x"), y.as("y"))))).as("decl"))
+    assert(prim.filter(not(col("kern") === col("decl"))).count() === 0L)
+  }
 }
