@@ -435,9 +435,16 @@ object TextAnalysis {
       .select(col("__grp"), explode(array(levels: _*)).as("__lvl"))
       .select(col("__grp"), col("__lvl.n").as("n"),
         explode(col("__lvl.grams")).as("__gram"))
+      // two-level aggregation instead of count + countDistinct in one agg
+      // (round-19): the mixed form plans an Expand that doubles the gram
+      // stream before aggregating; level 1 collapses to distinct
+      // (group, n, gram) rows with map-side combine, level 2 is
+      // vocabulary-sized. Identical exact integers.
+      .groupBy(col("__grp"), col("n"), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
       .groupBy("__grp", "n")
-      .agg(count(lit(1)).as("total_ngrams"),
-        countDistinct(col("__gram")).as("distinct_ngrams"))
+      .agg(sum(col("__c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
       .select(col("__grp").as(groupCol), col("n"), col("total_ngrams"),
         col("distinct_ngrams"),
         round(col("distinct_ngrams").cast("double") / col("total_ngrams"), 4)
