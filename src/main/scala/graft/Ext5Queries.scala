@@ -162,8 +162,11 @@ object Ext5Queries {
       val out = est.join(n, "event_type")
         .select(col("event_type"), col("approx_distinct"), col("n_rows"))
         .persist()
-      val exact = ev.groupBy("event_type")
-        .agg(countDistinct(col("user_id")).as("exact"))
+      // two-level distinct (the q133 move): countDistinct alone plans an
+      // Expand over the event stream; collapsing to distinct (type, user)
+      // rows first map-side-combines. Identical exact integer.
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("exact"))
       out.join(exact, "event_type").collect() // ≤ #event_types rows
         .foreach { r =>
           val (a, e) = (r.getAs[Double]("approx_distinct"), r.getAs[Long]("exact"))
