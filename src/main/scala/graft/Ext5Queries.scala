@@ -141,20 +141,26 @@ object Ext5Queries {
       import org.apache.spark.sql.functions.{col, count, countDistinct, date_trunc, lit, max, sum}
       import graft.operators.SketchRollup.PortableHll
       val ev = t(s, dir, "events")
-      val daily = PortableHll.registers(ev,
+      // ONE events pass for registers AND row counts (round-19.2): the
+      // old shape scanned raw events twice (a registers pass and a counts
+      // pass grouped by the same (event_type, day) keys). Each event
+      // lands in exactly one hash bucket, so a per-bucket row count `bn`
+      // in the register row recovers count(*) as sum(bn) — exact
+      // integers, identical n_rows — and the lake seam becomes ONE table
+      // whose rows carry (hm, bn), the same (sketch, n_rows) row design
+      // as the Datasketches buildSketches variant. One scan + one write
+      // replace two of each; both rollups below read the seam (register-
+      // lattice-sized), never raw events.
+      val daily = PortableHll.registersWithRowCount(ev,
         Seq("event_type" -> col("event_type"),
           "day" -> date_trunc("day", col("ts"))), col("user_id"))
-      val counts = ev
-        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_rows"))
       val lake = graft.util.Fs.scratchDir("graft-q107-sketches").toString
       daily.write.mode("overwrite").parquet(s"$lake/registers") // the seam
-      counts.write.mode("overwrite").parquet(s"$lake/counts")
-      val merged = s.read.parquet(s"$lake/registers")
+      val regs = s.read.parquet(s"$lake/registers")
+      val merged = regs
         .groupBy(col("event_type"), col("hb")).agg(max("hm").as("hm"))
       val est = PortableHll.estimate(merged, Seq("event_type"))
-      val n = s.read.parquet(s"$lake/counts")
-        .groupBy("event_type").agg(sum("n_rows").as("n_rows"))
+      val n = regs.groupBy("event_type").agg(sum("bn").as("n_rows"))
       // persisted: the gate's collect below and the caller's final action
       // would otherwise each re-run the register read + estimate pipeline
       // (round-19; the frame is one row per event_type). The bench/verify

@@ -280,10 +280,34 @@ object QualityClassifier {
     withDense + lit(m.biasq.toDouble / WScaleD)
   }
 
+  /** Session-conf cap for the trainExactReplay driver finisher: the
+    * training sample collects to the driver when it has at most this many
+    * rows (default 256k — at the corpus's ~50-300 tokens/doc that is a
+    * ~64-300 MB collect, the same bounded-collect class as
+    * `graft.graph.maxDriverEdges`). 0 disables the finisher. */
+  private def maxDriverRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.classifier.maxDriverRows")
+      .map(_.toLong).getOrElse(262144L)
+
   /** Full-batch GD with exact integer carry — same shuffle shape as
     * [[train]] (one codegen residual pass + one map-side-combined index
     * aggregation + one dim-bounded collect per epoch), but every
-    * cross-partition sum is BIGINT. */
+    * cross-partition sum is BIGINT.
+    *
+    * Driver finisher (round-19.2, the q78/q92/q110 pattern applied to the
+    * epoch loop): every cross-row reduction in this trainer is either a
+    * BIGINT sum of per-row quantized contributions (order-independent by
+    * construction — that is what makes the oracle replay possible) or a
+    * fixed per-row IEEE expression, so when the materialized training
+    * sample fits under `graft.classifier.maxDriverRows` one collect plus
+    * a driver loop over the SAME rows yields the bit-identical ExactModel
+    * while paying the job-scheduling floor once instead of 2×epochs+1
+    * times (the probe and each epoch's map+reduce jobs; measured ~0.8 s
+    * of between-job driver time on q89's six epochs at sf0.1). Above the
+    * cap — or when any row carries a NULL feature/dense/label, whose
+    * propagation the distributed expressions define — the distributed
+    * loop below runs unchanged. Equality is pinned by
+    * QualityClassifierSpec (cap forced to 0 vs default). */
   def trainExactReplay(features: DataFrame, dim: Int = 4096,
                        denseDims: Int = 1, epochs: Int = 20,
                        learningRate: Double = 0.5,
@@ -293,10 +317,25 @@ object QualityClassifier {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       "sampleFraction must be in (0, 1]")
     val sampled = sampleFraction < 1.0
-    val base =
+    val sampledDf =
       if (!sampled) features
       else Sampling.hashSample(features, col(sampleIdCol), sampleFraction,
         seed = "graft-train")
+    val cap = maxDriverRows(features.sparkSession)
+    // gate + fetch in ONE action (the take(cap+1) idiom): an over-cap
+    // sample is detected by length and falls through to the distributed
+    // loop. The driver path never localCheckpoints — the collect IS the
+    // materialization.
+    val fetched =
+      if (cap > 0 && cap < Int.MaxValue.toLong)
+        sampledDf.select(col("features"), col("dense"), col("label"))
+          .limit(cap.toInt + 1).collect()
+      else null
+    if (fetched != null && fetched.length <= cap && fetched.forall(cleanRow))
+      return trainExactDriver(fetched, dim, denseDims, epochs, learningRate)
+    val base =
+      if (!sampled) features
+      else sampledDf
         // localCheckpoint, not persist (round-19): every epoch re-analyzes
         // the training frame's full logical plan (hash-sample over the
         // caller's feature projection over the scan) plus a fresh weights
@@ -359,6 +398,111 @@ object QualityClassifier {
     }
     m
     } finally { if (sampled) base.unpersist() }
+  }
+
+  /** A collected training row is driver-loop eligible only when nothing
+    * is NULL (top-level or inside the arrays): NULL propagation through
+    * the distributed expressions (size(NULL), NULL margins dropped by
+    * sum) is semantics the driver loop does not replicate, so such rows
+    * route to the distributed path unchanged. */
+  private def cleanRow(r: org.apache.spark.sql.Row): Boolean =
+    !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+      !r.getSeq[Any](0).exists(_ == null) &&
+      !r.getSeq[Any](1).exists(_ == null)
+
+  /** The epoch loop over the collected sample — every term mirrors the
+    * distributed expressions one for one ([[marginExact]] / `gradIndex` /
+    * the probe aggregation in [[trainExactReplay]]): per-row margins and
+    * residuals are the same fixed IEEE chains, per-occurrence gradient
+    * contributions quantize with the same `floor(x·1e9)` BEFORE any
+    * cross-row addition, and the cross-row reductions are BIGINT adds —
+    * order-independent, so accumulating row-by-row here equals the
+    * map-side-combined aggregation bit for bit. */
+  private def trainExactDriver(rows: Array[org.apache.spark.sql.Row],
+                               dim: Int, denseDims: Int, epochs: Int,
+                               learningRate: Double): ExactModel = {
+    val n = rows.length
+    require(n > 0, "cannot train on an empty frame (sample too small?)")
+    val feats = new Array[Array[Int]](n)
+    val dense = new Array[Array[Double]](n)
+    val labels = new Array[Double](n)
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var i = 0
+    while (i < n) {
+      feats(i) = rows(i).getSeq[Int](0).toArray
+      val d = rows(i).getSeq[Double](1).toArray
+      dense(i) = d
+      labels(i) = rows(i).getDouble(2)
+      if (d.length < mn) mn = d.length
+      if (d.length > mx) mx = d.length
+      i += 1
+    }
+    require(mn == denseDims && mx == denseDims,
+      s"denseDims=$denseDims does not match the dense array length " +
+        s"$mx produced at hashFeatures time — pass the " +
+        "arity the feature frame was built with (1 + denseExprs.size)")
+    val nL = n.toLong
+    val nD = n.toDouble
+    // dense means as floorDiv of exact quantized sums — the probe twin
+    val mq = Array.tabulate(denseDims) { k =>
+      var s = 0L
+      var r = 0
+      while (r < n) { s += math.floor(dense(r)(k) * DQScaleD).toLong; r += 1 }
+      Math.floorDiv(s, nL)
+    }
+    var wq = new Array[Long](dim)
+    var dwq = new Array[Long](denseDims)
+    var biasq = 0L
+    for (_ <- 1 to epochs) {
+      val gw = new Array[Long](dim)
+      val gd = new Array[Long](denseDims)
+      var gb = 0L
+      var r = 0
+      while (r < n) {
+        val f = feats(r)
+        val len = f.length
+        val lenD = math.max(len, 1).toDouble
+        var sumWq = 0L
+        var j = 0
+        while (j < len) { sumWq += wq(f(j)); j += 1 }
+        // marginExact's exact term order: sparse, then each dense dim in
+        // index order, then the bias
+        var acc = (sumWq.toDouble / WScaleD) / lenD
+        var k = 0
+        while (k < denseDims) {
+          val dq = math.floor(dense(r)(k) * DQScaleD).toLong
+          acc += (dwq(k).toDouble / WScaleD) *
+            ((dq - mq(k)).toDouble / DQScaleD)
+          k += 1
+        }
+        val margin = acc + biasq.toDouble / WScaleD
+        val sh = 0.5 + margin / (2.0 * (1.0 + math.abs(margin)))
+        val resid = sh - labels(r)
+        val invLen = 1.0 / lenD
+        j = 0
+        while (j < len) {
+          gw(f(j)) += math.floor((resid * invLen) * GScaleD).toLong
+          j += 1
+        }
+        gb += math.floor((resid * 1.0) * GScaleD).toLong
+        k = 0
+        while (k < denseDims) {
+          val dq = math.floor(dense(r)(k) * DQScaleD).toLong
+          val v = (dq - mq(k)).toDouble / DQScaleD
+          gd(k) += math.floor((resid * v) * GScaleD).toLong
+          k += 1
+        }
+        r += 1
+      }
+      def stepQ(oldQ: Long, sx: Long): Long =
+        oldQ - math.floor(
+          ((learningRate * (sx.toDouble / GScaleD)) / nD) * WScaleD).toLong
+      wq = Array.tabulate(dim)(i => stepQ(wq(i), gw(i)))
+      dwq = Array.tabulate(denseDims)(k => stepQ(dwq(k), gd(k)))
+      biasq = stepQ(biasq, gb)
+    }
+    ExactModel(wq, dwq, mq, biasq)
   }
 
   /** Exact-replay scoring: shuffle-free projection, quality_score =

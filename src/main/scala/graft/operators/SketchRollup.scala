@@ -86,7 +86,22 @@ object SketchRollup {
       * (group, hash-bucket). `groupCols` are (name, expression) pairs and
       * may be empty (one global sketch). */
     def registers(df: DataFrame, groupCols: Seq[(String, Column)],
-                  value: Column): DataFrame = {
+                  value: Column): DataFrame =
+      registerAgg(df, groupCols, value, withRowCount = false)
+
+    /** [[registers]] plus an exact per-(group, hash-bucket) row count
+      * `bn`: every input row lands in exactly one hash bucket, so
+      * `sum(bn)` over `hb` equals `count(*)` per group — EXACT integers.
+      * Lets an ingest that persists sketches AND plain row counts derive
+      * both from ONE pass over the raw data instead of two full scans
+      * (round-19, q107: the registers pass and the counts pass grouped by
+      * the same keys and each re-read every event). */
+    def registersWithRowCount(df: DataFrame, groupCols: Seq[(String, Column)],
+                              value: Column): DataFrame =
+      registerAgg(df, groupCols, value, withRowCount = true)
+
+    private def registerAgg(df: DataFrame, groupCols: Seq[(String, Column)],
+                            value: Column, withRowCount: Boolean): DataFrame = {
       graft.plans.Hash60.register(df.sparkSession)
       val h = call_function("graft_hash60", value.cast("string"))
       val rest = h.bitwiseAND(lit(RestMask))
@@ -94,9 +109,11 @@ object SketchRollup {
         .otherwise(lit(RankBits + 1) - length(bin(rest)))
       val sel = groupCols.map { case (n, c) => c.as(n) } ++
         Seq(shiftright(h, RankBits).as("hb"), rank.as("hr"))
-      df.select(sel: _*)
+      val grouped = df.select(sel: _*)
         .groupBy((groupCols.map(_._1) :+ "hb").map(col): _*)
-        .agg(max(col("hr")).as("hm"))
+      if (withRowCount) grouped.agg(max(col("hr")).as("hm"),
+        count(lit(1)).as("bn"))
+      else grouped.agg(max(col("hr")).as("hm"))
     }
 
     /** The estimator over register rows: one aggregation per group. */

@@ -75,6 +75,40 @@ class QualityClassifierSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("exact-replay driver finisher equals the distributed epoch loop bit-for-bit") {
+    // round-19.2: under graft.classifier.maxDriverRows the epoch loop
+    // collects the sample and finishes on the driver — integer gradient
+    // sums are order-independent, so the ExactModel must be IDENTICAL to
+    // the distributed loop's, weight unit for weight unit. Corpus mixes
+    // lengths, an empty-token doc, and a second dense dim; a sub-1.0
+    // sampleFraction exercises the hash-sample path on both sides.
+    val docs = (1L to 300L).map { i =>
+      val txt =
+        if (i % 37 == 0) ""
+        else if (i % 2 == 0) ("alpha beta gamma delta " * ((i % 5) + 1).toInt).trim
+        else ("zork grum blart feeb " * ((i % 3) + 1).toInt).trim
+      (i, txt, if (i % 2 == 0) 1 else 0)
+    }.toDF("doc_id", "text", "is_good")
+    val denseExtra = Seq(length(col("text")).cast("double") / 7.0)
+    val feats = QualityClassifier.hashFeaturesExact(docs, col("is_good") === 1,
+      dim = 256, denseExprs = denseExtra).persist()
+    try {
+      spark.conf.set("graft.classifier.maxDriverRows", "0") // force distributed
+      val dist = QualityClassifier.trainExactReplay(feats, dim = 256,
+        denseDims = 2, epochs = 7, learningRate = 0.7, sampleFraction = 0.6)
+      spark.conf.set("graft.classifier.maxDriverRows", "262144") // driver path
+      val drv = QualityClassifier.trainExactReplay(feats, dim = 256,
+        denseDims = 2, epochs = 7, learningRate = 0.7, sampleFraction = 0.6)
+      assert(drv.wq.toSeq === dist.wq.toSeq)
+      assert(drv.dwq.toSeq === dist.dwq.toSeq)
+      assert(drv.mq.toSeq === dist.mq.toSeq)
+      assert(drv.biasq === dist.biasq)
+    } finally {
+      spark.conf.unset("graft.classifier.maxDriverRows")
+      feats.unpersist()
+    }
+  }
+
   test("dense channel learns a length gate the sparse buckets cannot") {
     // identical vocabulary everywhere, label = long doc: only the dense
     // ln(1+n_tokens) feature separates

@@ -38,6 +38,23 @@ class SketchPortabilitySpec extends AnyFunSuite with SparkSpec {
     assert(e1 === e2)
   }
 
+  test("registersWithRowCount: same registers, and sum(bn) == count(*) per group") {
+    // the q107 single-pass fusion (round-19.2): one aggregation yields
+    // BOTH the register lattice and exact per-group row counts
+    val df = spark.range(40000)
+      .select(col("id"), (col("id") % 3).cast("string").as("g"))
+    val fused = PortableHll.registersWithRowCount(
+      df, Seq("g" -> col("g")), col("id"))
+    val plain = PortableHll.registers(df, Seq("g" -> col("g")), col("id"))
+    val fusedRegs = fused.select("g", "hb", "hm")
+    assert(fusedRegs.except(plain).count() === 0)
+    assert(plain.except(fusedRegs).count() === 0)
+    val counts = fused.groupBy("g").agg(sum("bn").as("n")).as[(String, Long)]
+      .collect().toMap
+    val direct = df.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts === direct)
+  }
+
   test("portable HLL is duplicate-insensitive") {
     val once = spark.range(10000).select(col("id"))
     val thrice = once.union(once).union(once)
