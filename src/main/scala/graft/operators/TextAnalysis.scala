@@ -333,25 +333,67 @@ object TextAnalysis {
     * "how much of this have we seen before, at all?"). Documents with
     * fewer than 3 tokens have no trigrams and drop out (oracle mirrors).
     *
-    * Scale shape: one explode over the corpus (rebalanced via
-    * [[TextDedup.shingleRows]]' conditional idiom), one gram-keyed
-    * aggregation for the first-occurrence map, and a gram-keyed join that
-    * REUSES the aggregation's exchange (same key, no second full
-    * shuffle), then a doc-keyed count — bucket-bounded throughout, no
-    * all-pairs anything. The first-occurrence map is gram-cardinality
-    * sized; at 100 TB it shards across the cluster like any
-    * aggregation — never a broadcast. */
+    * Scale shape (round 20 — guide §2.3, shuffle metadata not payloads):
+    * ONE explode over the corpus (rebalanced via [[TextDedup.shingleRows]]'
+    * conditional idiom) feeding ONE gram-keyed aggregation, and nothing
+    * gram-stream-sized ever shuffles again. The previous shape joined the
+    * raw gram stream back to the first-occurrence map and re-shuffled the
+    * join output by doc — two full gram-stream exchanges plus a sort-merge
+    * join. Both per-doc outputs are in fact derivable WITHOUT the join:
+    *
+    *  - `n_grams(d)` = the doc's distinct-gram count = `size(__shs)` — a
+    *    projection, no aggregation needed. It rides the SAME exploded
+    *    stream as one SENTINEL row per doc, keyed by `cast(doc_id as
+    *    string)`: grams are `concat_ws(" ", w1, w2, w3)` and therefore
+    *    always contain a space, a decimal doc id never does, so sentinel
+    *    keys cannot collide with gram keys. Sentinel rows carry
+    *    `pay = n_grams`; gram rows carry `pay = 0`.
+    *  - `n_novel(d)` = #{gram : min_doc(gram) = d} — a doc-keyed count
+    *    over the first-occurrence map itself (grams are distinct per doc
+    *    via `array_distinct`, so the old per-gram indicator sum counts
+    *    exactly one row per (doc, gram) — the same set).
+    *
+    * The one exchange carries map-side PARTIAL aggregates (gram, min, max)
+    * instead of raw gram rows; both consumers (sentinels → per-doc sizes,
+    * gram rows → novel counts) hang off that single aggregation, so AQE
+    * stage reuse runs the tokenize+shingle map exactly once. Downstream
+    * work is doc-cardinality. The first-occurrence map is gram-cardinality
+    * sized; at 100 TB it shards across the cluster like any aggregation —
+    * never a broadcast. Pinned equal to the join formulation in
+    * `ExtensionSpec` ("noveltyScores: reshaped single-aggregation…").
+    * PRECONDITION (as before, now structural): `idCol` is unique per row —
+    * the sentinel key is the doc id. */
   def noveltyScores(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val grams = TextDedup.shingleRows(docs, idCol, textCol)
-    val firsts = grams.groupBy(col("sh"))
-      .agg(min(col("doc_id")).as("__first"))
-    grams.join(firsts, "sh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+    import graft.functions.TextFunctions.{shinglesFromTokens, tokensFast}
+    val spark = docs.sparkSession
+    graft.plans.Tokenize.register(spark)
+    val par = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    val unitType = "array<struct<key:string,pay:bigint>>"
+    val units = balanced
+      .select(col(idCol).as("doc_id"),
+        shinglesFromTokens(tokensFast(col(textCol))).as("__shs"))
+      .select(col("doc_id"), explode(
+        when(size(col("__shs")) >= 1,
+          concat(
+            array(struct(col("doc_id").cast("string").as("key"),
+              size(col("__shs")).cast("long").as("pay"))),
+            transform(col("__shs"),
+              s => struct(s.as("key"), lit(0L).as("pay")))))
+          .otherwise(expr(s"CAST(array() AS $unitType)"))).as("u"))
+      .select(col("doc_id"), col("u.key").as("key"), col("u.pay").as("pay"))
+    val agg = units.groupBy(col("key"))
+      .agg(min(col("doc_id")).as("__first"), max(col("pay")).as("__pay"))
+    val perDoc = agg.filter(col("__pay") > 0)
+      .select(col("__first").as("doc_id"), col("__pay").as("n_grams"))
+    val novel = agg.filter(col("__pay") === 0)
+      .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+    val nNovel = coalesce(col("n_novel"), lit(0L))
+    perDoc.join(novel, perDoc("doc_id") === novel("__first"), "left")
+      .select(perDoc("doc_id"), col("n_grams"), nNovel.as("n_novel"),
+        round(nNovel.cast("double") / col("n_grams"), 4).as("novelty"))
   }
 
   /** Compression-ratio quality signal: DEFLATE-compressed size over raw

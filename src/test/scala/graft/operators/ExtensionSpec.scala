@@ -491,6 +491,37 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(out(3L) === ((4L, 3L, 0.75)))
   }
 
+  test("noveltyScores: reshaped single-aggregation path equals the gram-join formulation") {
+    import graft.functions.TextFunctions.{shinglesFromTokens, tokensFast}
+    // traps: repeated trigram inside one doc (array_distinct), doc shorter
+    // than 3 tokens (no grams → no row), empty/whitespace text, a doc with
+    // zero novel grams, ties on the first-occurrence doc, unicode tokens
+    val in = Seq(
+      10L -> "a b c d e f",
+      11L -> "a b c a b c a b c", // duplicate grams within one doc
+      12L -> "a b",               // too short — drops out
+      13L -> "",                  // empty — drops out
+      14L -> "a b c d e f",       // exact copy — zero novel
+      15L -> "μ ν ξ a b c",       // unicode + one seen gram
+      16L -> "   "                // whitespace only — drops out
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(in)
+    // the pre-round-20 formulation, inline: gram join + per-gram indicator
+    val grams = in
+      .select(col("doc_id"), explode(shinglesFromTokens(tokensFast(col("text")))).as("sh"))
+    val firsts = grams.groupBy(col("sh")).agg(min(col("doc_id")).as("__first"))
+    val want = grams.join(firsts, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 4).as("novelty"))
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val w = want.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(g === w)
+    assert(g.map(_._1).toSet === Set(10L, 11L, 14L, 15L))
+  }
+
   test("qualityScore is bounded [0,1] on real docs") {
     val scores = TextAnalysis.qualityScore(docs).select("quality_score")
       .collect().map(_.getDouble(0))
