@@ -545,28 +545,49 @@ object TermWeighting {
     * by `(pmi desc, w1 asc, w2 asc)` — a total order, so top-k is
     * deterministic cross-engine.
     *
-    * Scale shape: one exchange of exploded bigrams into the `(w1,w2)`
-    * count (map-side partial aggregation eats the duplication), unigram
-    * counts are a vocabulary-sized aggregate joined back by broadcast
-    * (same stance and unbounded-vocab caveat as [[tfidfTopTerms]]), the
-    * two corpus totals are 1-row broadcasts, and the final rank runs on
-    * the ≤ topK survivors of an orderBy+limit (TakeOrderedAndProject —
-    * per-partition heaps, never a single-partition window over the
-    * full pair set). */
+    * Scale shape (round 20 — guide §2.3/§2.4, tokenize once): unigram and
+    * bigram instances ride ONE generator as a fused unit stream —
+    * `struct(w1, w2)` rows where `w2 IS NULL` marks a unigram (tokens are
+    * never null, so the marker cannot collide) — into ONE `(w1, w2)`
+    * count whose map-side partial aggregation eats the duplication. Every
+    * downstream branch (the c2 pair table, the two unigram broadcast
+    * sides, and the two corpus totals) reads that single aggregation's
+    * PERSISTED result — persisted because the four broadcast builds are
+    * submitted concurrently and race past AQE's exchange-stage cache
+    * (measured: without the persist each build re-ran the full fused
+    * pass, four concurrent 1.2–2.3 s jobs), and vocabulary-sized by the
+    * same argument that lets the unigram side broadcast at all; count()
+    * materializes it BEFORE the branches fan out (the q44/q66 lazy-cache
+    * race lesson). The previous shape planted five separate scan+tokenize
+    * subtrees (two full corpus tokenize passes plus three
+    * re-aggregations — measured as five 0.5–1.6 s jobs of a 1.55 s wall
+    * at sf0.1). Unigram counts join
+    * back by broadcast (same stance and unbounded-vocab caveat as
+    * [[tfidfTopTerms]]), the two corpus totals are 1-row broadcasts, and
+    * the final rank runs on the ≤ topK survivors of an orderBy+limit
+    * (TakeOrderedAndProject — per-partition heaps, never a
+    * single-partition window over the full pair set). Pinned equal to the
+    * two-pass formulation in `TermWeightingSpec`. */
   def pmiCollocations(docs: DataFrame, minCount: Long = 5, topK: Int = 50,
                       textCol: String = "text"): DataFrame = {
     val toks = balancedDocs(docs).select(termsOf(textCol).as("__t"))
-    val bigStructs = transform(sequence(lit(1), size(col("__t")) - 1),
-      i => struct(element_at(col("__t"), i).as("w1"),
-        element_at(col("__t"), i + 1).as("w2")))
-    val big = toks.select(
-      explode(when(size(col("__t")) >= 2, bigStructs)
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val t = col("__t")
+    val unitType = "array<struct<w1:string,w2:string>>"
+    val bigStructs = transform(sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
+    val uniStructs = transform(t,
+      w => struct(w.as("w1"), lit(null).cast("string").as("w2")))
+    val units = toks.select(explode(concat(uniStructs,
+        when(size(t) >= 2, bigStructs).otherwise(array().cast(unitType)))).as("u"))
+      .select(col("u.w1").as("w1"), col("u.w2").as("w2"))
+    val cnts = units.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cnts.count()
+    val c2 = cnts.filter(col("w2").isNotNull)
+      .select(col("w1"), col("w2"), col("cnt").as("c2"))
+    val cw = cnts.filter(col("w2").isNull)
+      .select(col("w1").as("w"), col("cnt").as("cw"))
     val nb = c2.agg(sum("c2").as("__nb"))
-    val cw = toks.select(explodeTerms(col("__t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
     val n = cw.agg(sum("cw").as("__n"))
     val pmi = log((col("c2").cast("double") / col("__nb")) /
       ((col("cw1").cast("double") / col("__n")) *

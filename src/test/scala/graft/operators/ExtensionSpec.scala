@@ -742,6 +742,41 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     assert(pairs === Set(("p", "q")))
   }
 
+  test("pmiCollocations: fused unit stream equals the two-pass formulation on real docs") {
+    import graft.functions.TextFunctions.tokensFast
+    // the pre-round-20 shape, inline: separate bigram and unigram passes
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val toks = docs.select(filter(tokensFast(col("text")), t => t =!= "").as("__t"))
+    val bigStructs = transform(sequence(lit(1), size(col("__t")) - 1),
+      i => struct(element_at(col("__t"), i).as("w1"),
+        element_at(col("__t"), i + 1).as("w2")))
+    val big = toks.select(
+      explode(when(size(col("__t")) >= 2, bigStructs)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val nb = c2.agg(sum("c2").as("__nb"))
+    val cw = toks.select(explode(when(size(col("__t")) >= 0, col("__t"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = cw.agg(sum("cw").as("__n"))
+    val pmi = log((col("c2").cast("double") / col("__nb")) /
+      ((col("cw1").cast("double") / col("__n")) *
+        (col("cw2").cast("double") / col("__n"))))
+    val scored = c2.filter(col("c2") >= 5)
+      .join(broadcast(cw.select(col("w").as("w1"), col("cw").as("cw1"))), "w1")
+      .join(broadcast(cw.select(col("w").as("w2"), col("cw").as("cw2"))), "w2")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c2"), round(pmi, 4).as("pmi"))
+    val rkw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+    val want = scored.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(50).withColumn("rk", row_number().over(rkw).cast("long"))
+      .collect().map(_.toSeq)
+    val got = TermWeighting.pmiCollocations(docs).collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("oovRate: matches a naive recomputation of the same hash split") {
     val in = (1L to 40L).map(i => (i, s"tok$i shared tok${i % 7}"))
       .toDF("doc_id", "text")
