@@ -459,16 +459,15 @@ object TermWeighting {
     * Output: top-`topK` docs as `(doc_id, n_hit_terms, bm25, rk)`, `rk`
     * 1-based by `(bm25 desc, doc_id asc)`.
     *
-    * Scale shape: the query-term filter runs on the token ARRAY, before
-    * the generator, so the explode only ever emits hit instances (the
-    * post-explode filter form generated the whole token stream first) and
-    * the one (doc,term) exchange carries only rows for the |queryTerms|
-    * terms of interest. The compact per-doc `(doc_id, dl, hits)` frame is
-    * persisted so the corpus stats (N, avgdl) and the tf aggregate share
-    * ONE tokenize pass. Stats and per-term df (|queryTerms| rows) come
-    * back as broadcasts; no data-sized join side. Per-doc length `dl`
-    * rides in the aggregation key (functionally dependent on doc_id), so
-    * no join-back for it either: one real exchange end to end.
+    * Scale shape (round 20): the [[graft.plans.Bm25DocStats]] kernel
+    * computes each doc's `(dl, tf per query term)` in ONE fused byte scan
+    * — no token array is ever materialized and the former (doc,term)
+    * aggregation exchange is gone (the kernel's counts ARE tf). The
+    * compact per-doc `(doc_id, dl, cnts)` frame is persisted and
+    * materialized once; the corpus stats (N, avgdl) and the tf projection
+    * read the cache. Stats and per-term df (|queryTerms| rows) come back
+    * as broadcasts; no data-sized join side and no data-sized exchange at
+    * all.
     *
     * Determinism: tf, df, dl, N are exact integers; avgdl is one double
     * division; each w(d,t) is the same IEEE expression both engines. The
@@ -481,20 +480,29 @@ object TermWeighting {
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
     val bal = balancedDocs(docs)
-    // ONE tokenize pass: project each doc to its length + the (tiny)
-    // query-term hits — the query filter runs on the ARRAY, so the
-    // generator only ever sees hit instances instead of the whole token
-    // stream — and persist that compact frame (3 narrow columns per doc,
-    // orders of magnitude under the text) so the corpus stats and the tf
-    // aggregate read the same materialization instead of re-tokenizing.
+    // ONE tokenize pass, fused (round 20, guide §4): the
+    // [[graft.plans.Bm25DocStats]] kernel computes (dl, per-term hit
+    // counts) in one byte scan — the previous shape materialized the FULL
+    // token array of every doc just to count it and filter the hits, and
+    // the per-(doc,term) tf aggregation disappears entirely (the kernel's
+    // counts ARE tf, computed map-side with no exchange). The compact
+    // frame (3 narrow columns per doc) is persisted AND materialized
+    // before the branches fan out: without the count() the stats/df/tf
+    // broadcast builds race the unfilled cache concurrently and each
+    // re-ran the tokenize pass (measured: three ~0.7-1.0 s concurrent
+    // jobs of q103's 1.4 s wall; the q44/q66 lazy-cache race lesson).
+    graft.plans.Bm25DocStats.register(docs.sparkSession)
+    val termArr = array(queryTerms.map(lit): _*)
     val compact = bal.select(col(idCol).as("doc_id"),
-      termsOf(textCol).as("__terms"))
-      .select(col("doc_id"), size(col("__terms")).cast("long").as("dl"),
-        filter(col("__terms"), t => t.isin(queryTerms: _*)).as("__qt"))
+      call_function("graft_bm25_doc_stats", col(textCol), termArr).as("__st"))
+      .select(col("doc_id"), col("__st.dl").as("dl"), col("__st.cnts").as("__cnts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    compact.count()
     val tf = compact
-      .select(col("doc_id"), col("dl"), explodeTerms(col("__qt")).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"), posexplode(col("__cnts")).as(Seq("__i", "tf")))
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(termArr, col("__i") + 1).as("term"), col("tf"))
     val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = compact.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))

@@ -137,6 +137,39 @@ class TermWeightingSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("Bm25DocStats kernel: (dl, cnts) equals the token-array expression form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokensFast
+    val schema2 = StructType(Seq(StructField("text", StringType)))
+    val rows = Seq(
+      Seq("apple banana apple"), Seq("  apple\tbanana  "), Seq(""),
+      Seq("   "), Seq(null), Seq("APPLE Apple aPPle"), // lowercasing
+      Seq("über café apple"), // multi-byte UTF-8 around the matcher
+      Seq("applebanana bananaapple"), // substrings must NOT match
+      Seq("ab\fapple\r\nbanana"), // every ASCII ws class splits
+      Seq("apple banana")) // NBSP does NOT split (one token, no hit)
+    val in = df(schema2, rows)
+    graft.plans.Bm25DocStats.register(spark)
+    val terms = Seq("apple", "banana")
+    val termArr = array(terms.map(lit): _*)
+    val got = in.select(
+      call_function("graft_bm25_doc_stats", col("text"), termArr).as("st"))
+      .select(col("st.dl"), col("st.cnts")).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0), r.getSeq[Long](1)))
+    val want = in.select(filter(tokensFast(col("text")), t => t =!= "").as("t"))
+      .select(size(col("t")).cast("long").as("dl"),
+        transform(termArr, q => size(filter(col("t"), x => x === q)).cast("long")).as("cnts"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+    // null text: kernel yields a null STRUCT (both fields null); the
+    // expression form yields dl null and cnts null — same row semantics
+    got.zip(want).zipWithIndex.foreach { case (((gd, gc), (wd, wc)), i) =>
+      if (wd == null) assert(gd == null, s"row $i dl")
+      else { assert(gd === wd, s"row $i dl"); assert(gc === wc, s"row $i cnts") }
+    }
+  }
+
   test("bm25TopDocs: hand-computed Okapi scores, non-hits absent, rank order") {
     val corpus = df(schema, Seq(
       Seq(1L, "apple apple apple"),          // dl 3, tf(apple)=3
