@@ -47,8 +47,12 @@ object VectorFunctions {
     * to [[cosineSimilarity]] (same accumulation order), one pass, no
     * intermediate arrays. Length-mismatched inputs yield null in both
     * formulations (`zip_with` null-padding poisons the HOF fold; the native
-    * expression checks lengths explicitly). */
+    * expression checks lengths explicitly).
+    *
+    * Columns are passed RAW (round-20): the kernel reads `array<float>`
+    * elements with the exact `(double)` widening itself, so no
+    * per-row/per-pair `transform`-cast array is allocated. Inputs must be
+    * `array<float|double>` (everything this engine scores is). */
   def cosineSimilarityNative(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function(
-      "graft_cosine_sim", toDoubleArray(a), toDoubleArray(b))
+    org.apache.spark.sql.functions.call_function("graft_cosine_sim", a, b)
 }

@@ -69,11 +69,15 @@ object TextAnalysis {
     // QualityKernelSpec.
     graft.plans.CharClassCounts.register(docs.sparkSession)
     val text = col(textCol)
+    // n_tokens comes from the SAME fused scan (kernel field n_ws_tokens,
+    // defined as exactly size(split(trim(text), "\s+", -1)) — round-20):
+    // the split form allocated the full token array per row only to take
+    // its size, and was the other half of q90/q27's scan-stage wall.
     val pre = balancedDocs(docs).select(
       col(idCol),
       length(text).cast("long").as("n_chars"),
-      size(split(trim(text), "\\s+")).cast("long").as("n_tokens"),
       call_function("graft_quality_counts", text).as("__cc"))
+      .withColumn("n_tokens", col("__cc.n_ws_tokens"))
     val punct = col("__cc.n_punct")
     val stop = col("__cc.n_stop")
     val punctRatio = punct.cast("double") / col("n_chars")

@@ -27,7 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `n_stop` = NON-OVERLAPPING occurrences of `" the "` in the
   *    space-padded lowercased text, with replace-count semantics: a
   *    shared boundary space is consumed by the earlier match
-  *    (`" the the "` counts ONE) and the scan resumes after the match.
+  *    (`" the the "` counts ONE) and the scan resumes after the match;
+  *  - `n_ws_tokens` (round-20) = EXACTLY
+  *    `size(split(trim(text), "\\s+", -1))` — SQL `trim` strips 0x20
+  *    SPACES only (not tabs/newlines); Java `Pattern.split` with
+  *    limit −1 keeps leading AND trailing empty strings, so a trimmed
+  *    non-empty string yields (number of maximal `\s`-runs) + 1 elements
+  *    and the empty string yields 1 (`split("")` is `[""]`). Folding the
+  *    count into this scan removes the full token-ARRAY allocation the
+  *    `split` form paid per row just to take its size (q90/q27's
+  *    dominant stage).
   *
   * Byte-level scanning is sound because the patterns are pure ASCII and
   * UTF-8 continuation/lead bytes all have the high bit set, so they can
@@ -36,9 +45,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII `t`, `h` or `e` (the only ASCII-producing simple mappings are
   * U+212A→k and U+0130→i̇).
   *
-  * Returns `struct<n_punct:long, n_digits:long, n_stop:long>`; null in →
-  * null out. Codegen-friendly: a static call, same shape as
-  * [[DeflateSize]]. */
+  * Returns `struct<n_punct:long, n_digits:long, n_stop:long,
+  * n_ws_tokens:long>`; null in → null out. Codegen-friendly: a static
+  * call, same shape as [[DeflateSize]]. */
 case class CharClassCounts(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -66,7 +75,8 @@ object CharClassCounts {
   val Schema: StructType = StructType(Seq(
     StructField("n_punct", LongType, nullable = false),
     StructField("n_digits", LongType, nullable = false),
-    StructField("n_stop", LongType, nullable = false)))
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_ws_tokens", LongType, nullable = false)))
 
   /** The fused scan. Public because generated code calls it. */
   def counts(s: UTF8String): InternalRow = {
@@ -99,7 +109,28 @@ object CharClassCounts {
         j += 5 // non-overlap: the consumed trailing space can't re-match
       } else j += 1
     }
-    new GenericInternalRow(Array[Any](punct, digits, stop))
+    // n_ws_tokens: replicate size(split(trim(text), "\s+", -1)) exactly.
+    // trim strips 0x20 SPACES only; \s is ASCII [ \t\n\x0B\f\r] (all
+    // single-byte in UTF-8, so the byte scan is sound — continuation and
+    // lead bytes have the high bit set and never alias them).
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    var start = 0
+    while (start < n && s.getByte(start) == ' ') start += 1
+    var end = n - 1
+    while (end >= start && s.getByte(end) == ' ') end -= 1
+    var tokens = 1L // split("") == [""]; non-empty: runs + 1
+    if (start <= end) {
+      var k = start
+      var prevWs = false
+      while (k <= end) {
+        val w = isWs(s.getByte(k))
+        if (w && !prevWs) tokens += 1 // a new \s-run == one more element
+        prevWs = w
+        k += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](punct, digits, stop, tokens))
   }
 
   /** Register `graft_quality_counts(col)`; idempotent. */

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native codegen'd cosine similarity over two `array<double>` columns.
   *
@@ -27,20 +27,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * HOF fold); a null ELEMENT in either array returns null (a null product
   * poisons the HOF fold). This total equivalence is what lets
   * [[RewriteHofCosine]] substitute this expression unconditionally.
+  *
+  * Either side may be `array<float>` (round-20): elements are widened to
+  * double AT READ (`(double) getFloat(i)`, an exact IEEE widening — the
+  * identical value sequence `transform(a, cast double)` produces), so the
+  * caller-side `transform` cast that used to allocate a fresh double array
+  * PER JOIN PAIR in the cross-scoring operators (q124/q128: |corpus|×|Q|
+  * allocations) disappears while every accumulated double stays
+  * bit-identical.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def nullable: Boolean = true
 
+  private def okElem(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<double> arguments, got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-    }
+    if (okElem(left.dataType) && okElem(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double|float> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
 
@@ -50,6 +66,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
     val n = x.numElements()
     var dot = 0.0
     var na = 0.0
@@ -57,8 +75,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = x.getDouble(i)
-      val yv = y.getDouble(i)
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv
       na += xv * xv
       nb += yv * yv
@@ -77,6 +95,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       val hasNull = ctx.freshName("hasNull")
+      // (double) getFloat(i) is the exact widening the transform-cast
+      // produced; generated per the static element type of each side
+      val getX =
+        if (isFloat(left.dataType)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val getY =
+        if (isFloat(right.dataType)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -88,8 +114,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  boolean $hasNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
-         |    double $xv = $a.getDouble($i);
-         |    double $yv = $b.getDouble($i);
+         |    double $xv = $getX;
+         |    double $yv = $getY;
          |    $dot += $xv * $yv;
          |    $na += $xv * $xv;
          |    $nb += $yv * $yv;

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrite the declarative higher-order-function cosine
   * pattern to the fused single-pass [[CosineSimilarity]] expression.
@@ -61,12 +61,34 @@ object RewriteHofCosine extends Rule[LogicalPlan] {
     }
   }
 
+  /** Strips `transform(arr, x -> cast(x as double))` over an
+    * `array<float>` feeding the kernel: [[CosineSimilarity]] performs the
+    * identical exact widening at read, so the per-row cast array is a pure
+    * allocation. Null semantics match (null array → null either way; a
+    * null element survives the transform as a null element and poisons the
+    * kernel the same as it poisoned the fold). */
+  private def unwrapFloatCast(e: Expression): Expression = e match {
+    case ArrayTransform(arr,
+          LambdaFunction(Cast(v: NamedLambdaVariable, DoubleType, _, _),
+                         Seq(arg: NamedLambdaVariable), _))
+        if v.exprId == arg.exprId &&
+           (arr.dataType match {
+             case ArrayType(FloatType, _) => true
+             case _ => false
+           }) =>
+      arr
+    case _ => e
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case Divide(Dot(a, b),
                   Multiply(Sqrt(Dot(a1, a2)), Sqrt(Dot(b1, b2)), _), _)
           if a.semanticEquals(a1) && a.semanticEquals(a2) &&
              b.semanticEquals(b1) && b.semanticEquals(b2) =>
-        CosineSimilarity(a, b)
+        CosineSimilarity(unwrapFloatCast(a), unwrapFloatCast(b))
+      case CosineSimilarity(a, b)
+          if (unwrapFloatCast(a) ne a) || (unwrapFloatCast(b) ne b) =>
+        CosineSimilarity(unwrapFloatCast(a), unwrapFloatCast(b))
     }
 }

@@ -39,6 +39,27 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ortho.getDouble(0) === 0.0)
   }
 
+  test("float arrays read natively are bit-identical to the transform-cast form") {
+    CosineSimilarity.register(spark)
+    val q = emb.filter($"vec_id" === 1).select($"embedding".as("qv"))
+    val toD = VectorFunctions.toDoubleArray _
+    val scored = emb.filter($"vec_id" =!= 1).crossJoin(broadcast(q))
+      .select($"vec_id",
+        // raw array<float> both sides (the round-20 fast path)
+        call_function("graft_cosine_sim", $"embedding", $"qv").as("ff"),
+        // pre-cast array<double> both sides (the old shape)
+        call_function("graft_cosine_sim", toD($"embedding"), toD($"qv")).as("dd"),
+        // mixed: float left, double right
+        call_function("graft_cosine_sim", $"embedding", toD($"qv")).as("fd"))
+      .collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val bits = (i: Int) => java.lang.Double.doubleToLongBits(r.getDouble(i))
+      assert(bits(1) === bits(2) && bits(1) === bits(3),
+        s"mismatch at vec_id=${r.getLong(0)}")
+    }
+  }
+
   test("null array input yields null") {
     CosineSimilarity.register(spark)
     val out = spark.sql(

@@ -50,18 +50,46 @@ class QualityKernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  // every class split/trim distinguish: pure spaces (trim → "" → [""]),
+  // leading/trailing NON-space \s (trim keeps them; split emits leading
+  // and — with limit −1 — trailing empties), interior runs, NBSP (neither
+  // trimmed nor \s), and the empty string
+  private val wsEdges = Seq(
+    "", " ", "   ", "\t", " \t ", "\tabc", "abc\t", " \t abc  ",
+    "a  b\t\tc", " x ", " nbsp  x", "a\rb\ncd\fe",
+    "multi  spaced   words", "\n", "  \t\t  ")
+
+  test("kernel n_ws_tokens == size(split(trim(text), \\s+, -1)) exactly") {
+    CharClassCounts.register(spark)
+    val all = nasty ++ wsEdges
+    val df = all.toDF("text")
+    val viaSplit = df
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("t"))
+      .collect().map(_.getLong(0))
+    val viaKernel = df
+      .select(call_function("graft_quality_counts", col("text"))
+        .getField("n_ws_tokens").as("t"))
+      .collect().map(_.getLong(0))
+    all.indices.foreach { i =>
+      assert(viaKernel(i) === viaSplit(i),
+        s"mismatch on '${all(i).take(40).replace("\t", "\\t")}'")
+    }
+  }
+
   test("interpreted eval == codegen path") {
     // nullSafeEval directly vs the registered (codegen'd) column
     CharClassCounts.register(spark)
     val viaEval = nasty.map { s =>
       val r = CharClassCounts.counts(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     val viaPlan = nasty.toDF("text")
       .select(call_function("graft_quality_counts", col("text")).as("c"))
-      .select(col("c.n_punct"), col("c.n_digits"), col("c.n_stop"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .select(col("c.n_punct"), col("c.n_digits"), col("c.n_stop"),
+        col("c.n_ws_tokens"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(viaEval === viaPlan)
   }
 
