@@ -53,51 +53,96 @@ object Ext8Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Both encode queries share the round-20 codec-build driver finisher
+    // (the r19 take(cap+1) idiom applied to the WHOLE gate family): the
+    // dict is vocabulary-sized by construction, so under
+    // graft.bpe.maxDriverVocab (1M, BpeTrain's cap) ONE bounded collect
+    // feeds the merge-table build, the gate sample and the stats-pass
+    // vocab map on the driver — replacing the per-level argmax collects,
+    // the gate's sample job and encodedLengths' incremental take (q129 ran
+    // 11 driver actions for vocabulary-sized work; the driver path runs
+    // 2: the dict collect and the stats pass). Arithmetic is pinned
+    // identical (integer pair sums, UTF-8-byte tie-breaks, the same
+    // greedyEncode JVM function); cap-0 equality spec in BpeCodecSpec.
+    // Over-cap corpora take the unchanged distributed path (the bounded
+    // cap+1 fetch is discarded — the documented BpeTrain trade).
+
     "q129_bpe_encode_vocab" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      // ONE codegen'd dict pass (explode + hash agg — the per-doc RLE is
-      // pure waste for a GLOBAL count: partial agg collapses duplicates
-      // map-side already) feeds the table build, the gate sample and the
-      // stats-pass vocabulary. The dict IS persisted: levels=2 re-encodes
-      // it under level 1's table.
-      val dict = graft.operators.BpeCodec.wordCounts(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
-        dict, perLevel = BpeVocabPerLevel, levels = 2)
-      codecGate("q129_bpe_encode_vocab", dir) {
-        graft.plans.BpeEncodeLen.register(s)
-        val bc = s.sparkContext.broadcast(
-          graft.operators.BpeCodec.rankTable(table))
-        val sample = dict.select("w").orderBy("w").limit(200).as[String]
-        sample.mapPartitions { it =>
-            val tb = bc.value
-            it.map(w =>
-              (w, graft.operators.BpeCodec.greedyEncode(w, tb).length))
-          }.toDF("w", "greedy_len")
-          .withColumn("seq_len",
-            graft.plans.BpeEncodeLen.encodeLen(col("w"), table))
-          .filter(col("greedy_len") =!= col("seq_len"))
-          .count()
+      val dictDf = graft.operators.BpeCodec.wordCounts(docs)
+      val cap = graft.operators.BpeCodec.driverVocabCap(s)
+      val fetched = if (cap > 0)
+        dictDf.as[(String, Long)].limit(cap + 1).collect() else null
+      if (fetched != null && fetched.length <= cap) {
+        val table = graft.operators.BpeCodec.frequencyMergeTableFromRows(
+          fetched, perLevel = BpeVocabPerLevel, levels = 2)
+        codecGate("q129_bpe_encode_vocab", dir) {
+          // same sample (first 200 words in UTF-8 byte order), same two
+          // encoders (identical JVM functions the executors would run)
+          val tb = graft.operators.BpeCodec.rankTable(table)
+          val mergesArr = table.map(p => Array(p._1, p._2)).toArray
+          fetched.map(_._1).sortWith(graft.operators.BpeCodec.utf8Lt)
+            .take(200)
+            .count { w =>
+              graft.operators.BpeCodec.greedyEncode(w, tb).length !=
+                graft.plans.BpeEncodeLen.encodedLen(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(w),
+                  mergesArr)
+            }.toLong
+        }
+        graft.operators.BpeCodec.encodeStatsFromVocabMap(docs,
+          graft.operators.BpeCodec.encodedLengthsFromRows(fetched, table))
+      } else {
+        // distributed path, unchanged: ONE codegen'd dict pass feeds the
+        // table build, the gate sample and the stats-pass vocabulary. The
+        // dict IS persisted: levels=2 re-encodes it under level 1's table.
+        val dict = dictDf
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
+          dict, perLevel = BpeVocabPerLevel, levels = 2)
+        codecGate("q129_bpe_encode_vocab", dir) {
+          graft.plans.BpeEncodeLen.register(s)
+          val bc = s.sparkContext.broadcast(
+            graft.operators.BpeCodec.rankTable(table))
+          val sample = dict.select("w").orderBy("w").limit(200).as[String]
+          sample.mapPartitions { it =>
+              val tb = bc.value
+              it.map(w =>
+                (w, graft.operators.BpeCodec.greedyEncode(w, tb).length))
+            }.toDF("w", "greedy_len")
+            .withColumn("seq_len",
+              graft.plans.BpeEncodeLen.encodeLen(col("w"), table))
+            .filter(col("greedy_len") =!= col("seq_len"))
+            .count()
+        }
+        // exchange-free stats: one mapPartitions pass re-tokenizes each doc
+        // in-JVM and folds against the broadcast vocab map — no per-doc
+        // shuffle, no explode-back join
+        graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
       }
-      // exchange-free stats: one mapPartitions pass re-tokenizes each doc
-      // in-JVM and folds against the broadcast vocab map — no per-doc
-      // shuffle, no explode-back join
-      graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
     }),
 
     "q130_bpe_encode_prefix" -> ((s, dir) => {
+      import s.implicits._
       val docs = t(s, dir, "documents")
-      // ONE exchange total (the vocab agg): the codegen'd dict pass feeds
-      // the 2-rule table and the vocabulary; the per-doc stats are pure
-      // instance sums, folded in one mapPartitions pass with the broadcast
-      // vocab map. Re-tokenizing in the stats pass (fused kernel, in-JVM)
-      // is cheaper than materializing any corpus-sized cache.
-      val dict = graft.operators.BpeCodec.wordCounts(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
-        dict, perLevel = 2, levels = 1)
-      graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
+      val dictDf = graft.operators.BpeCodec.wordCounts(docs)
+      val cap = graft.operators.BpeCodec.driverVocabCap(s)
+      val fetched = if (cap > 0)
+        dictDf.as[(String, Long)].limit(cap + 1).collect() else null
+      if (fetched != null && fetched.length <= cap) {
+        val table = graft.operators.BpeCodec.frequencyMergeTableFromRows(
+          fetched, perLevel = 2, levels = 1)
+        graft.operators.BpeCodec.encodeStatsFromVocabMap(docs,
+          graft.operators.BpeCodec.encodedLengthsFromRows(fetched, table))
+      } else {
+        // distributed path, unchanged: ONE exchange total (the vocab agg)
+        val dict = dictDf
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val table = graft.operators.BpeCodec.frequencyMergeTableFromDict(
+          dict, perLevel = 2, levels = 1)
+        graft.operators.BpeCodec.encodeStatsFromDocs(docs, dict, table)
+      }
     })
   )
 

@@ -395,4 +395,92 @@ object BpeCodec {
     }
     table
   }
+
+  /** UTF-8 BYTE-order `<` on strings — Spark's string ordering contract
+    * (UTF8String compares unsigned bytes, NOT Java's UTF-16 chars). The
+    * driver-side replications below must tie-break exactly like the
+    * distributed `orderBy` they replace. Same function as BpeTrain's
+    * driver finisher. */
+  private[graft] def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Driver cap for the codec-build finisher (round-20): the SAME conf and
+    * default as [[BpeTrain.learnMerges]]'s finisher — both collect the
+    * vocabulary-sized `(w, cnt)` dict, the k-centroids bounded-collect
+    * class. 0 disables the driver path; values ≥ Int.MaxValue are clamped
+    * down so a big-driver override widens rather than silently disables. */
+  private[graft] def driverVocabCap(spark: org.apache.spark.sql.SparkSession): Int =
+    math.min(
+      spark.conf.getOption("graft.bpe.maxDriverVocab")
+        .map(_.toLong).getOrElse(1000000L),
+      (Int.MaxValue - 1).toLong).toInt
+
+  /** [[frequencyMergeTableFromDict]] replayed on the driver over the
+    * collected dict rows — bit-identical by construction: the pair counts
+    * are exact integer sums over the SAME greedy encodes (same JVM
+    * function the executors run), and the top-`perLevel` selection is the
+    * identical total order (pc desc, a asc, b asc in UTF-8 byte order;
+    * keys are unique so the order is total). Each level re-encodes under
+    * the table so far, exactly like the distributed loop. */
+  private[graft] def frequencyMergeTableFromRows(
+      rows: Array[(String, Long)], perLevel: Int,
+      levels: Int): Seq[(String, String)] = {
+    require(perLevel > 0 && levels > 0, "perLevel and levels must be positive")
+    var table = Vector.empty[(String, String)]
+    for (_ <- 1 to levels) {
+      val t = rankTable(table)
+      val pc = new java.util.HashMap[(String, String), java.lang.Long]()
+      rows.foreach { case (w, cnt) =>
+        val syms = greedyEncode(w, t)
+        var i = 0
+        while (i < syms.length - 1) {
+          pc.merge((syms(i), syms(i + 1)), java.lang.Long.valueOf(cnt),
+            (x, y) => java.lang.Long.valueOf(x.longValue() + y.longValue()))
+          i += 1
+        }
+      }
+      val top = pc.entrySet().toArray(
+          Array.empty[java.util.Map.Entry[(String, String), java.lang.Long]])
+        .sortWith { (e1, e2) =>
+          val c1 = e1.getValue.longValue(); val c2 = e2.getValue.longValue()
+          if (c1 != c2) c1 > c2
+          else if (e1.getKey._1 != e2.getKey._1) utf8Lt(e1.getKey._1, e2.getKey._1)
+          else utf8Lt(e1.getKey._2, e2.getKey._2)
+        }
+        .take(perLevel)
+      table = table ++ top.map(e => e.getKey)
+    }
+    table
+  }
+
+  /** [[encodedLengths]]' map built on the driver from already-collected
+    * dict rows (same greedy encoder, so the same `word → token count`
+    * values, without the extra distributed pass + take). */
+  private[graft] def encodedLengthsFromRows(
+      rows: Array[(String, Long)],
+      merges: Seq[(String, String)]): java.util.HashMap[String, Long] = {
+    require(merges.nonEmpty, "encode needs at least one merge rule")
+    val t = rankTable(merges)
+    val m = new java.util.HashMap[String, Long](rows.length * 2)
+    rows.foreach { case (w, _) => m.put(w, greedyEncode(w, t).length.toLong) }
+    m
+  }
+
+  /** Public seam for callers that built the vocab map on the driver
+    * (the q129/q130 finisher): the same one-pass stats fold as
+    * [[encodeStatsFromDocs]]. */
+  private[graft] def encodeStatsFromVocabMap(
+      docs: DataFrame, nSyms: java.util.HashMap[String, Long],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    statsFromEncodedVocab(docs, nSyms, idCol, textCol)
 }

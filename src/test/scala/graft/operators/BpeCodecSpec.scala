@@ -90,6 +90,29 @@ class BpeCodecSpec extends AnyFunSuite with SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("driver-finished codec build == distributed, table and stats cell-for-cell") {
+    // the q129/q130 round-20 finisher: same merge table, same vocab map,
+    // same stats frame whether the build ran on the driver (collected
+    // dict rows) or through the distributed argmax collects
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val dict = BpeCodec.wordCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = dict.as[(String, Long)].collect()
+      for ((perLevel, levels) <- Seq((20, 2), (2, 1))) {
+        val tDriver = BpeCodec.frequencyMergeTableFromRows(rows, perLevel, levels)
+        val tDist = BpeCodec.frequencyMergeTableFromDict(dict, perLevel, levels)
+        assert(tDriver === tDist, s"table mismatch at ($perLevel, $levels)")
+        val sDriver = BpeCodec.encodeStatsFromVocabMap(docs,
+            BpeCodec.encodedLengthsFromRows(rows, tDriver))
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        val sDist = BpeCodec.encodeStatsFromDocs(docs, dict, tDist)
+          .orderBy("doc_id").collect().map(_.toSeq).toSeq
+        assert(sDriver === sDist, s"stats mismatch at ($perLevel, $levels)")
+      }
+    } finally { dict.unpersist(): Unit }
+  }
+
   test("frequencyMergeTable: deterministic, duplicate-free, level 2 merges merges") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val t1 = BpeCodec.frequencyMergeTable(docs, perLevel = 20, levels = 2)
