@@ -633,9 +633,75 @@ object TermWeighting {
   def oovRate(docs: DataFrame, trainFrac: Double = 0.8, seed: String = "graft",
               idCol: String = "doc_id", textCol: String = "text",
               broadcastVocab: Boolean = true): DataFrame = {
-    val withU = balancedDocs(docs)
+    val spark = docs.sparkSession
+    val balanced = balancedDocs(docs)
+    val withU = balanced
       .select(col(idCol).as("doc_id"), termsOf(textCol).as("__t"),
         Sampling.hashUnit(seed, col(idCol)).as("__u"))
+    // Round-20 vocab-set finisher (the BpeCodec.statsFromEncodedVocab
+    // shape): the train vocabulary is vocabulary-sized BY CONSTRUCTION —
+    // the same boundedness broadcastVocab already assumes — so under
+    // graft.vocab.maxDriverTerms (1M; 0 disables) it is collected ONCE
+    // (bounded limit(cap+1)) into a broadcast hash SET, and the held-out
+    // stats fold in one mapPartitions pass over the raw docs: no token
+    // explode, no per-instance join, no per-doc re-aggregation exchange.
+    // Values are identical: the set is the SAME distinct aggregate the
+    // join broadcast, the tokenizer is the same kernel
+    // ([[graft.plans.Tokenize]]), n_tokens/n_oov are exact instance
+    // counts, and oov_rate replays Spark's round(x, 4) HALF_UP. Docs with
+    // no tokens emit no row in both shapes (no (doc, term) rows to group
+    // vs the explicit words==0 skip). Over-cap vocabularies (or cap 0,
+    // or broadcastVocab=false) take the join path unchanged.
+    val cap = math.min(
+      spark.conf.getOption("graft.vocab.maxDriverTerms")
+        .map(_.toLong).getOrElse(1000000L),
+      (Int.MaxValue - 1).toLong).toInt
+    if (broadcastVocab && cap > 0) {
+      import spark.implicits._
+      val terms = withU.filter(col("__u") < trainFrac)
+        .select(explodeTerms(col("__t")).as("term")).distinct()
+        .as[String].limit(cap + 1).collect()
+      if (terms.length <= cap) {
+        val set = new java.util.HashSet[String](terms.length * 2)
+        terms.foreach(set.add)
+        val bcSet = spark.sparkContext.broadcast(set)
+        val idType = docs.schema(idCol).dataType
+        return balanced
+          .filter(Sampling.hashUnit(seed, col(idCol)) >= trainFrac)
+          .select(col(idCol).cast("string").as("doc_id"), col(textCol))
+          .mapPartitions { it =>
+            val vocab = bcSet.value
+            it.flatMap { r =>
+              val text = r.getString(1)
+              if (text == null) Iterator.empty
+              else {
+                val toks = graft.plans.Tokenize.tokenize(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(text))
+                var nTok = 0L; var nOov = 0L
+                var i = 0
+                val n = toks.numElements()
+                while (i < n) {
+                  val u = toks.getUTF8String(i)
+                  if (u.numBytes() > 0) { // termsOf filters empty tokens
+                    nTok += 1
+                    if (!vocab.contains(u.toString)) nOov += 1
+                  }
+                  i += 1
+                }
+                if (nTok == 0) Iterator.empty
+                else {
+                  // exactly Spark's round(double, 4)
+                  val rate = java.math.BigDecimal
+                    .valueOf(nOov.toDouble / nTok)
+                    .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+                  Iterator((r.getString(0), nTok, nOov, rate))
+                }
+              }
+            }
+          }.toDF("doc_id", "n_tokens", "n_oov", "oov_rate")
+          .withColumn("doc_id", col("doc_id").cast(idType))
+      }
+    }
     val vocab = withU.filter(col("__u") < trainFrac)
       .select(explodeTerms(col("__t")).as("term")).distinct()
       .withColumn("__in_vocab", lit(1))

@@ -799,6 +799,24 @@ class ExtensionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("oovRate: driver vocab-set path == join path cell-for-cell (cap 0 vs default)") {
+    // real corpus docs so the tokenizer kernel sees punctuation/unicode,
+    // plus the synthetic frame above for the split edge
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val synth = (1L to 40L).map(i => (i, s"tok$i shared tok${i % 7}"))
+      .toDF("doc_id", "text")
+    for (in <- Seq(docs, synth)) {
+      val withSet = TermWeighting.oovRate(in)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      spark.conf.set("graft.vocab.maxDriverTerms", "0")
+      val withJoin =
+        try TermWeighting.oovRate(in).orderBy("doc_id").collect().map(_.toSeq).toSeq
+        finally spark.conf.unset("graft.vocab.maxDriverTerms")
+      assert(withSet === withJoin)
+      assert(withSet.nonEmpty)
+    }
+  }
+
   test("keepBestByScore: highest score wins, score ties break to the smaller id") {
     val groups = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L))
       .toDF("doc_id", "cluster_id")
