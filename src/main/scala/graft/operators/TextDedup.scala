@@ -570,7 +570,14 @@ object TextDedup {
     // bounded by the tokenize+hash scan it cannot avoid). Small inputs
     // skip it: the count(*) gate itself is a metadata-cheap aggregate,
     // and below the threshold the in-plan assert already fails fast.
-    if (docs.count() > PairPreflightDocThreshold) {
+    // the gate count comes from the CACHED shingle frame, not a separate
+    // docs scan (round-20): docSh is one row per doc, so its count IS the
+    // doc count, and counting it eagerly materializes the cache the query
+    // pays for anyway (the q103/q115 eager-materialization lesson) instead
+    // of a second full parquet scan just for the gate (measured 0.29 s at
+    // sf0.1). A tripped preflight still pays the tokenize+hash pass it
+    // cannot avoid — unchanged from the r19 shape.
+    if (docSh.count() > PairPreflightDocThreshold) {
       val viol =
         try sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxShingleDf &&
