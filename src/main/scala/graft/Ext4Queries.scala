@@ -103,15 +103,22 @@ object Ext4Queries {
       val keyed = Tables.loadStream(s, dir, "events")
         .select(col("user_id"), col("event_type"),
           date_trunc("minute", col("ts")).as("bucket"))
-      val q = ExtQueries.withStatePartitions(s, 8) {
-        graft.streaming.EventStreams
-          .dedupStream(keyed, Seq("user_id", "event_type", "bucket"),
-            tsCol = "bucket", watermarkDelay = "35 days")
-          .writeStream.outputMode("append")
-          .format("parquet").option("path", out)
-          .option("checkpointLocation", s"$ckpt/ckpt")
-          .trigger(Trigger.AvailableNow())
-          .start()
+      // no-data flush batch skipped (round-20): dropDuplicates emits each
+      // first-seen row in its data batch — the flush batch only evicts
+      // state, and the query terminates right after, so the parquet sink's
+      // content is identical (see withNoDataBatchSkipped's emission-safety
+      // note; aggregation streams like q35/q72 must NOT do this).
+      val q = ExtQueries.withNoDataBatchSkipped(s) {
+        ExtQueries.withStatePartitions(s, 8) {
+          graft.streaming.EventStreams
+            .dedupStream(keyed, Seq("user_id", "event_type", "bucket"),
+              tsCol = "bucket", watermarkDelay = "35 days")
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", s"$ckpt/ckpt")
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
       }
       require(q.awaitTermination(300000),
         "q94 stream did not terminate within 300s")

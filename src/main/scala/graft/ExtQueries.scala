@@ -30,6 +30,29 @@ object ExtQueries {
     try start finally s.conf.set(key, saved)
   }
 
+  /** Skip the trailing NO-DATA micro-batch for streams whose OUTPUT never
+    * depends on watermark advance (round-20, the q82/q96 floor item): an
+    * AvailableNow run with a watermark otherwise appends one extra empty
+    * micro-batch purely to advance the watermark and evict state —
+    * measured ~0.6 s of q82's floor for zero rows. Emission-safe ONLY for
+    * operators that emit in the data batch: inner stream-stream joins
+    * (matches emit as rows arrive; the flush batch can only emit for
+    * OUTER joins) and dropDuplicates (first-seen rows emit immediately;
+    * the flush batch only evicts). Append-mode AGGREGATIONS, outer joins
+    * and event-time timeouts (q35/q72/q67) emit ON watermark advance and
+    * MUST keep the default. State eviction is irrelevant here: the query
+    * terminates right after. The conf is restored after `start()` — the
+    * stream captured it at planning. */
+  private[graft] def withNoDataBatchSkipped[A](s: SparkSession)(start: => A): A = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val saved = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try start finally saved match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** State-partition count DERIVED from expected state volume, not
     * hardcoded: ≥`rowsPerPartition` state rows per partition (below that,
     * per-partition store open/commit overhead dominates — measured ~1s

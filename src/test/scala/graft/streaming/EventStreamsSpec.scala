@@ -229,6 +229,59 @@ class EventStreamsSpec extends AnyFunSuite with SparkSpec {
     assert(stateRows <= 2L)
   }
 
+  test("no-data flush batch skipped: inner join and dedup outputs identical, one fewer commit") {
+    // q82/q94's round-20 floor cut: emission-safety of
+    // spark.sql.streaming.noDataMicroBatches.enabled=false for operators
+    // that emit in the data batch. Each shape runs with the flush batch on
+    // and off: the output SET must be identical and the skip run must
+    // commit exactly one fewer micro-batch (the zero-row flush).
+    def ts(min: Long) = new java.sql.Timestamp((min + 1440) * 60000L)
+    val rows = Seq(
+      (1L, ts(0), "view", 0.0), (1L, ts(10), "purchase", 5.0),
+      (1L, ts(50), "purchase", 7.0), (1L, ts(70), "purchase", 9.0),
+      (2L, ts(30), "purchase", 3.0), (2L, ts(30), "purchase", 3.0))
+    def commits(ckpt: String): Int =
+      new java.io.File(s"$ckpt/commits").listFiles()
+        .count(f => !f.getName.endsWith(".crc") && !f.getName.startsWith("."))
+    def run(skipFlush: Boolean, shape: String): (Set[String], Int) = {
+      val dir = tempDir(s"stream-nodata-$shape-$skipFlush")
+      val in = s"$dir/in"
+      rows.toDF("user_id", "ts", "kind", "value")
+        .coalesce(1).write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      val src = spark.readStream.schema(schema).parquet(in)
+      val out = shape match {
+        case "join" => EventStreams.intervalJoin(
+          src.filter(col("kind") === "view")
+            .select(col("user_id"), col("ts").as("view_ts")),
+          src.filter(col("kind") === "purchase")
+            .select(col("user_id"), col("ts").as("purchase_ts"), col("value")),
+          Seq("user_id"), "view_ts", "purchase_ts", horizon = "1 hour")
+        case "dedup" => EventStreams.dedupStream(
+          src.select(col("user_id"), col("kind"), col("ts")),
+          Seq("user_id", "kind", "ts"), tsCol = "ts")
+      }
+      val name = s"nodata_${shape}_$skipFlush"
+      val start = () => out.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val q = if (skipFlush) graft.ExtQueries.withNoDataBatchSkipped(spark)(start())
+              else start()
+      assert(q.awaitTermination(120000))
+      (spark.table(name).collect().map(_.toString).toSet, commits(s"$dir/ckpt"))
+    }
+    for (shape <- Seq("join", "dedup")) {
+      val (outOn, cOn) = run(skipFlush = false, shape)
+      val (outOff, cOff) = run(skipFlush = true, shape)
+      assert(outOn === outOff, s"$shape output changed")
+      assert(outOn.nonEmpty)
+      assert(cOff === cOn - 1,
+        s"$shape commits: flush-on $cOn vs flush-off $cOff")
+    }
+  }
+
   test("stream-static enrichment: broadcast join per micro-batch, unmatched rows kept") {
     val dir = tempDir("stream-enrich")
     val in = s"$dir/in"
