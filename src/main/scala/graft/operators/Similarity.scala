@@ -43,6 +43,54 @@ object Similarity {
     * set long before its pair fan-out dominates a stage. */
   val DefaultDenseBucketCap = 1024
 
+  /** Round-20 driver cap for the miner finishers ([[hardNegatives]],
+    * [[marginMining]]): the compact scored frame is (qid, id, c6) — 24
+    * bytes/row, |corpus|×|queries| rows — and at bench scale the queries'
+    * walls are almost pure job/AQE floor over it (26k rows behind ~10
+    * scheduled jobs). Under the cap the DISTRIBUTED cross-scoring pass
+    * still computes every cosine; only the rank/statistic finish runs on
+    * the driver, over ONE bounded `limit(cap+1)` fetch (≤ ~48 MB at the
+    * default — the k-centroids bounded-collect class). 0 disables; values
+    * ≥ Int.MaxValue clamp down rather than silently disabling. Over-cap
+    * corpora (and non-long ids, or any null/NaN score — the distributed
+    * NULLS LAST/NaN-ordering edge cases stay on the engine that defines
+    * them) take the unchanged distributed path. */
+  private[graft] def driverScoreCap(spark: SparkSession): Int =
+    math.min(
+      spark.conf.getOption("graft.margin.maxDriverScores")
+        .map(_.toLong).getOrElse(2000000L),
+      (Int.MaxValue - 1).toLong).toInt
+
+  /** Bounded fetch of the compact scored frame for the driver finishers.
+    * Returns null — caller falls back to the distributed path — when the
+    * cap is off, either id column is not LongType, the row count exceeds
+    * the cap, or any (qid, id, c6) cell is null or NaN. */
+  private def fetchScoredBounded(
+      scored: DataFrame, cap: Int): Array[(Long, Long, Double)] = {
+    if (cap <= 0) return null
+    val f = scored.schema.fields
+    val long = org.apache.spark.sql.types.LongType
+    if (f(0).dataType != long || f(1).dataType != long) return null
+    val rows = scored.limit(cap + 1).collect()
+    if (rows.length > cap) return null
+    val out = new Array[(Long, Long, Double)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) return null
+      val c = r.getDouble(2)
+      if (java.lang.Double.isNaN(c)) return null
+      out(i) = (r.getLong(0), r.getLong(1), c)
+      i += 1
+    }
+    out
+  }
+
+  /** (c6 desc, id asc) — the miners' rank order, total because (id) is
+    * unique within a group. */
+  private def rankLt(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
   private def requireQueryFrameBounded(queries: DataFrame, op: String): Unit = {
     // limit(cap+1) keeps the check O(cap), never a full count of a
     // mistakenly corpus-sized frame
@@ -294,9 +342,26 @@ object Similarity {
     val balanced =
       if (embeddings.rdd.getNumPartitions < par) embeddings.repartition(par)
       else embeddings
-    val scored = balanced.crossJoin(broadcast(queries))
+    val compact = balanced.crossJoin(broadcast(queries))
       .filter(col(labelCol) =!= col("qlabel") && col(idCol) =!= col("qid"))
-      .withColumn("c6", round(score(col(vecCol), col("qv")), 6))
+      .select(col("qid"), col(idCol),
+        round(score(col(vecCol), col("qv")), 6).as("c6"))
+    // Round-20 driver finisher (see [[driverScoreCap]]): the per-query
+    // top-k is PURE rank logic — (c6 desc, id asc) is a total order, no
+    // float is ever combined — so the driver ranking is bit-identical to
+    // the salted two-phase windows (the salt phase only spreads the sort;
+    // its local top-k provably contains the global top-k). Cap-0 equality
+    // spec in SkewAndIvfSpec.
+    val fetched = fetchScoredBounded(compact, driverScoreCap(balanced.sparkSession))
+    if (fetched != null) {
+      val spark = balanced.sparkSession
+      import spark.implicits._
+      return fetched.groupBy(_._1).toSeq.flatMap { case (qid, arr) =>
+        arr.map(t => (t._2, t._3)).sortWith(rankLt).take(k)
+          .zipWithIndex.map { case ((id, c6), i) => (qid, i + 1, id, c6) }
+      }.toDF("qid", "rank", "neg_id", "cosine")
+    }
+    val scored = compact
       .withColumn("__salt", pmod(hash(col(idCol)), lit(salts)))
     val local = Window.partitionBy(col("qid"), col("__salt"))
       .orderBy(col("c6").desc, col(idCol).asc)
@@ -373,9 +438,48 @@ object Similarity {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
     val balanced =
       if (corpus.rdd.getNumPartitions < par) corpus.repartition(par) else corpus
-    val scored = balanced.crossJoin(broadcast(queries))
+    val compact = balanced.crossJoin(broadcast(queries))
       .select(col("qid"), col(idCol),
         round(cosineSimilarityNative(col(vecCol), col("qv")), 6).as("c6"))
+    // Round-20 driver finisher (see [[driverScoreCap]]): the distributed
+    // pass still computes every cosine; under the cap the top-k means,
+    // margins and the top-N pick replay on the driver over ONE bounded
+    // fetch — replacing persist + count + the dx/dy/join/window stage
+    // cascade (the query's wall was the ~10-job AQE floor, not data).
+    // Rank orders are the identical total orders ((c6 desc, id asc) /
+    // (c6 desc, qid asc)); each mean sums its ≤k quantized values in
+    // rank order where the distributed sum order is partition-arbitrary
+    // — the same ulp class the 6-place margin rounding already absorbs
+    // across engines (the q92 stance; oracle re-verified at sf0.01 AND
+    // sf0.1, cap-0 equality spec in MarginMiningSpec).
+    val fetchedM = fetchScoredBounded(compact, driverScoreCap(balanced.sparkSession))
+    if (fetchedM != null) {
+      val spark = balanced.sparkSession
+      import spark.implicits._
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def topMean(a: Array[(Long, Double)]): Double = {
+        val top = a.sortWith(rankLt).take(k)
+        var s = 0.0; top.foreach(s += _._2)
+        s / top.length
+      }
+      val dxm = fetchedM.groupBy(_._1)
+        .map { case (qid, a) => qid -> topMean(a.map(t => (t._2, t._3))) }
+      val dym = fetchedM.groupBy(_._2)
+        .map { case (id, a) => id -> topMean(a.map(t => (t._1, t._3))) }
+      val top = fetchedM.map { case (qid, id, c6) =>
+          val denom = (dxm(qid) + dym(id)) / 2
+          (qid, id, c6, if (denom == 0.0) 0.0 else r6(c6 / denom))
+        }
+        .sortWith { (a, b) =>
+          a._4 > b._4 || (a._4 == b._4 &&
+            (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)))
+        }
+        .take(topN)
+        .map(t => (t._1, t._2, t._3 + 0.0, t._4 + 0.0))
+      return top.toSeq.toDF("qid", "cand_id", "cosine", "margin")
+    }
+    val scored = compact
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize BEFORE fanning out into the dx and dy branches:
     // lazily-persisted branches race to fill the cache and can run the

@@ -42,6 +42,19 @@ class HardNegativesProjectionSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("driver finisher == distributed two-phase windows cell-for-cell (cap 0 vs default)") {
+    // pure rank logic, so the equality is BIT-exact, not just rounded-close
+    val viaDriver = Similarity.hardNegatives(emb, queriesFrame, k = 5)
+      .collect().map(_.toSeq).toSet
+    spark.conf.set("graft.margin.maxDriverScores", "0")
+    val viaDist =
+      try Similarity.hardNegatives(emb, queriesFrame, k = 5)
+        .collect().map(_.toSeq).toSet
+      finally spark.conf.unset("graft.margin.maxDriverScores")
+    assert(viaDriver === viaDist)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("two-phase top-k is salt-invariant") {
     val a = Similarity.hardNegatives(emb, queriesFrame, k = 4, salts = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet

@@ -61,6 +61,19 @@ class MarginMiningSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq === brute(4, 10).toSeq)
   }
 
+  test("driver finisher == distributed path cell-for-cell (cap 0 vs default)") {
+    val (corpus, q) = sides
+    val viaDriver = Similarity.marginMining(corpus, q, k = 4, topN = 25)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("graft.margin.maxDriverScores", "0")
+    val viaDist =
+      try Similarity.marginMining(corpus, q, k = 4, topN = 25)
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("graft.margin.maxDriverScores")
+    assert(viaDriver === viaDist)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("salt count does not change the result") {
     val (corpus, q) = sides
     val a = Similarity.marginMining(corpus, q, topN = 10, salts = 2).collect()
